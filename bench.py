@@ -1,0 +1,181 @@
+"""Benchmark: semi-PD-style phase-disaggregated serving vs colocated baseline
+on one TPU chip (flagship: Llama-3.2-1B-class shapes, bf16, random weights —
+no checkpoints are available in this environment; serving performance is
+weight-value-independent).
+
+Reproduces the reference's experimental design (evaluation/*.sh +
+bench_serving.py: poisson arrivals, TTFT/TPOT/ITL percentiles, output
+throughput) in-process. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+where value = output tokens/s under the semi-PD scheduler and vs_baseline =
+semi-PD goodput / colocated goodput at the same TTFT+TPOT SLOs.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_engine(semi_pd: bool):
+    from __graft_entry__ import _llama_config
+    from semi_pd_tpu.config.server_args import ServerArgs
+    from semi_pd_tpu.runtime.engine import Engine
+
+    args = ServerArgs(
+        model_path="",
+        random_weights=True,
+        page_size=16,
+        max_total_tokens=int(os.environ.get("BENCH_KV_TOKENS", "200000")),
+        chunked_prefill_size=2048,
+        enable_semi_pd=semi_pd,
+        decode_slo_ms=float(os.environ.get("BENCH_SLO_MS", "30")),
+        max_running_requests=256,
+    )
+    cfg = _llama_config(
+        layers=int(os.environ.get("BENCH_LAYERS", "16")),
+        hidden=2048, inter=8192, heads=32, kv_heads=8,
+        vocab=int(os.environ.get("BENCH_VOCAB", "128256")),
+        head_dim=64, ctx=8192,
+    )
+    return Engine(server_args=args, model_config=cfg)
+
+
+def run_serving_sim(eng, n_reqs, rate, prompt_len, out_len, seed=0):
+    """Poisson open-loop arrivals driven through scheduler ticks; returns
+    per-request TTFT and ITL samples plus aggregate throughput."""
+    from semi_pd_tpu.sampling.sampling_params import SamplingParams
+
+    rng = np.random.default_rng(seed)
+    arrivals = np.cumsum(rng.exponential(1.0 / rate, size=n_reqs))
+    reqs = []
+    sp = SamplingParams(max_new_tokens=out_len, temperature=0.0, ignore_eos=True)
+    for i in range(n_reqs):
+        pl = max(16, int(rng.normal(prompt_len, prompt_len / 4)))
+        ids = rng.integers(0, 1000, size=pl).tolist()
+        reqs.append(eng.make_request(input_ids=ids, sampling_params=sp))
+
+    token_times = {r.rid: [] for r in reqs}
+    t_start = time.monotonic()
+    submitted = 0
+    done = set()
+    while len(done) < n_reqs:
+        now = time.monotonic() - t_start
+        while submitted < n_reqs and arrivals[submitted] <= now:
+            eng.scheduler.add_request(reqs[submitted])
+            submitted += 1
+        produced = eng.scheduler.tick()
+        tnow = time.monotonic() - t_start
+        for req, tok in produced:
+            if tok < 0:
+                continue
+            token_times[req.rid].append(tnow)
+            if req.finished:
+                done.add(req.rid)
+        if not produced:
+            if submitted < n_reqs and not eng.scheduler.has_work():
+                time.sleep(min(0.002, max(0.0, arrivals[submitted] - (time.monotonic() - t_start))))
+            elif not eng.scheduler.has_work():
+                break
+    wall = time.monotonic() - t_start
+
+    ttfts, itls, n_tokens = [], [], 0
+    for i, r in enumerate(reqs):
+        ts = token_times[r.rid]
+        n_tokens += len(ts)
+        if not ts:
+            continue
+        ttfts.append(ts[0] - arrivals[i])
+        itls.extend(np.diff(ts).tolist())
+    return {
+        "wall_s": wall,
+        "out_tok_s": n_tokens / wall,
+        "ttft": np.array(ttfts),
+        "itl": np.array(itls) if itls else np.array([0.0]),
+        "reqs": reqs,
+        "arrivals": arrivals,
+        "token_times": token_times,
+    }
+
+
+def goodput(res, ttft_slo, itl_slo):
+    """Requests meeting BOTH TTFT and p95-ITL SLOs, per second."""
+    ok = 0
+    for i, r in enumerate(res["reqs"]):
+        ts = res["token_times"][r.rid]
+        if len(ts) < 2:
+            continue
+        ttft = ts[0] - res["arrivals"][i]
+        itl95 = np.percentile(np.diff(ts), 95)
+        if ttft <= ttft_slo and itl95 <= itl_slo:
+            ok += 1
+    return ok / res["wall_s"]
+
+
+def pct(a, q):
+    return float(np.percentile(a, q)) if len(a) else 0.0
+
+
+def main():
+    n_reqs = int(os.environ.get("BENCH_REQS", "60"))
+    rate = float(os.environ.get("BENCH_RATE", "4"))
+    prompt_len = int(os.environ.get("BENCH_PROMPT", "512"))
+    out_len = int(os.environ.get("BENCH_OUT", "64"))
+    ttft_slo = float(os.environ.get("BENCH_TTFT_SLO", "2.0"))
+    itl_slo = float(os.environ.get("BENCH_ITL_SLO", "0.05"))
+
+    results = {}
+    for mode, semi in (("colocated", False), ("semi_pd", True)):
+        t0 = time.monotonic()
+        eng = build_engine(semi)
+        # Warmup: compile prefill + decode buckets
+        from semi_pd_tpu.sampling.sampling_params import SamplingParams
+
+        eng.generate(
+            input_ids=[list(range(100, 100 + prompt_len))] * 2,
+            sampling_params=SamplingParams(max_new_tokens=4, temperature=0.0, ignore_eos=True),
+        )
+        print(f"[bench] {mode}: engine+warmup {time.monotonic()-t0:.1f}s", file=sys.stderr)
+        res = run_serving_sim(eng, n_reqs, rate, prompt_len, out_len)
+        res["goodput"] = goodput(res, ttft_slo, itl_slo)
+        results[mode] = res
+        print(
+            f"[bench] {mode}: {res['out_tok_s']:.1f} tok/s, "
+            f"TTFT p50/p99 {pct(res['ttft'],50)*1e3:.0f}/{pct(res['ttft'],99)*1e3:.0f} ms, "
+            f"ITL p50/p99 {pct(res['itl'],50)*1e3:.1f}/{pct(res['itl'],99)*1e3:.1f} ms, "
+            f"goodput {res['goodput']:.2f} req/s",
+            file=sys.stderr,
+        )
+        del eng
+
+    semi, colo = results["semi_pd"], results["colocated"]
+    vs = semi["goodput"] / colo["goodput"] if colo["goodput"] > 0 else float(
+        semi["goodput"] > 0
+    )
+    print(json.dumps({
+        "metric": "semi-pd serving output throughput (1B-class bf16, 1 chip)",
+        "value": round(semi["out_tok_s"], 2),
+        "unit": "tok/s",
+        "vs_baseline": round(vs, 3),
+        "detail": {
+            "semi_pd": {
+                "ttft_p99_ms": round(pct(semi["ttft"], 99) * 1e3, 1),
+                "itl_p99_ms": round(pct(semi["itl"], 99) * 1e3, 2),
+                "goodput_rps": round(semi["goodput"], 3),
+            },
+            "colocated": {
+                "ttft_p99_ms": round(pct(colo["ttft"], 99) * 1e3, 1),
+                "itl_p99_ms": round(pct(colo["itl"], 99) * 1e3, 2),
+                "goodput_rps": round(colo["goodput"], 3),
+                "out_tok_s": round(colo["out_tok_s"], 2),
+            },
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""Model configuration derived from HuggingFace configs.
+
+TPU-native counterpart of the reference's ModelConfig
+(reference: python/sglang/srt/configs/model_config.py:31-138 — HF config
+parsing, MLA-vs-MHA architecture detection, context length and quantization
+resolution). We normalize every supported architecture into one flat config
+the model builders consume, so the rest of the stack never touches raw HF
+config objects.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+# Architectures whose attention is Multi-head Latent Attention (compressed KV)
+# — these use the latent KV pool (reference memory_pool.py:379 MLATokenToKVPool).
+MLA_ARCHS = {
+    "DeepseekV2ForCausalLM",
+    "DeepseekV3ForCausalLM",
+}
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    architecture: str
+    model_path: str = ""
+
+    # Core transformer dims
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-6
+    hidden_act: str = "silu"
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False  # qwen2-style qkv bias
+    o_proj_bias: bool = False
+    mlp_bias: bool = False
+    logit_softcap: Optional[float] = None  # gemma2/grok
+    attn_logit_softcap: Optional[float] = None
+    sliding_window: Optional[int] = None
+    layer_types: Optional[List[str]] = None  # per-layer "full_attention"/"sliding_attention"
+
+    # Positional encoding
+    max_position_embeddings: int = 4096
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[Dict[str, Any]] = None
+    partial_rotary_factor: float = 1.0
+
+    # Context
+    context_length: int = 4096
+
+    # MoE (None => dense)
+    num_experts: Optional[int] = None
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: Optional[int] = None
+    num_shared_experts: int = 0
+    moe_layer_freq: int = 1
+    first_k_dense_replace: int = 0
+    n_group: Optional[int] = None  # deepseek grouped routing
+    topk_group: Optional[int] = None
+    routed_scaling_factor: float = 1.0
+    norm_topk_prob: bool = False
+    scoring_func: str = "softmax"  # softmax | sigmoid (deepseek v3)
+
+    # MLA (None => standard MHA/GQA)
+    use_mla: bool = False
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: Optional[int] = None
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+
+    # dtype / quant
+    dtype: str = "bfloat16"
+    quantization: Optional[str] = None
+    quantization_config: Optional[Dict[str, Any]] = None
+
+    # Embedding / pooling models
+    is_embedding: bool = False
+
+    # Multimodal
+    is_multimodal: bool = False
+
+    hf_config: Optional[Any] = dataclasses.field(default=None, repr=False)
+
+    # ------------------------------------------------------------------
+    @property
+    def kv_head_dim(self) -> int:
+        """Per-token per-head KV width as stored in the pool."""
+        if self.use_mla:
+            return self.kv_lora_rank + self.qk_rope_head_dim
+        return self.head_dim
+
+    @property
+    def num_kv_heads_total(self) -> int:
+        return 1 if self.use_mla else self.num_key_value_heads
+
+    @classmethod
+    def from_hf_config(
+        cls,
+        hf_config,
+        model_path: str = "",
+        context_length: Optional[int] = None,
+        dtype: str = "bfloat16",
+        quantization: Optional[str] = None,
+    ) -> "ModelConfig":
+        g = lambda k, d=None: getattr(hf_config, k, d)
+        arch_list = g("architectures") or ["LlamaForCausalLM"]
+        arch = arch_list[0]
+
+        num_heads = g("num_attention_heads", 32)
+        hidden = g("hidden_size", 4096)
+        head_dim = g("head_dim") or hidden // num_heads
+
+        cfg = cls(
+            architecture=arch,
+            model_path=model_path,
+            vocab_size=g("vocab_size", 32000),
+            hidden_size=hidden,
+            intermediate_size=g("intermediate_size", 4 * hidden),
+            num_hidden_layers=g("num_hidden_layers", 32),
+            num_attention_heads=num_heads,
+            num_key_value_heads=g("num_key_value_heads") or num_heads,
+            head_dim=head_dim,
+            rms_norm_eps=g("rms_norm_eps", g("layer_norm_epsilon", 1e-6)),
+            hidden_act=g("hidden_act", "silu"),
+            tie_word_embeddings=g("tie_word_embeddings", False),
+            attention_bias=g("attention_bias", g("qkv_bias", False)),
+            sliding_window=g("sliding_window"),
+            layer_types=g("layer_types"),
+            max_position_embeddings=g("max_position_embeddings", 4096),
+            rope_theta=g("rope_theta", 10000.0),
+            rope_scaling=g("rope_scaling"),
+            partial_rotary_factor=g("partial_rotary_factor", 1.0),
+            dtype=dtype,
+            quantization=quantization,
+            quantization_config=g("quantization_config"),
+            hf_config=hf_config,
+        )
+
+        cfg.context_length = context_length or g(
+            "max_position_embeddings", 4096
+        )
+
+        # Qwen2 puts bias on qkv but not o/mlp.
+        if arch.startswith(("Qwen2", "Qwen")) and "Moe" not in arch:
+            cfg.attention_bias = True if g("attention_bias") is None else cfg.attention_bias
+
+        # MoE detection (mixtral/qwen2_moe/deepseek/olmoe...)
+        n_experts = (
+            g("num_local_experts") or g("n_routed_experts") or g("num_experts")
+        )
+        if n_experts:
+            cfg.num_experts = n_experts
+            cfg.num_experts_per_tok = g("num_experts_per_tok", 2)
+            cfg.moe_intermediate_size = g("moe_intermediate_size") or cfg.intermediate_size
+            cfg.num_shared_experts = g("n_shared_experts") or 0
+            cfg.first_k_dense_replace = g("first_k_dense_replace", 0)
+            cfg.moe_layer_freq = g("moe_layer_freq", 1)
+            cfg.n_group = g("n_group")
+            cfg.topk_group = g("topk_group")
+            cfg.routed_scaling_factor = g("routed_scaling_factor", 1.0)
+            cfg.norm_topk_prob = g("norm_topk_prob", False)
+            cfg.scoring_func = g("scoring_func", "softmax")
+
+        # MLA detection (reference model_config.py: attention_arch MLA when
+        # kv_lora_rank present for deepseek_v2/v3).
+        if arch in MLA_ARCHS and g("kv_lora_rank"):
+            cfg.use_mla = True
+            cfg.q_lora_rank = g("q_lora_rank")
+            cfg.kv_lora_rank = g("kv_lora_rank")
+            cfg.qk_nope_head_dim = g("qk_nope_head_dim", 128)
+            cfg.qk_rope_head_dim = g("qk_rope_head_dim", 64)
+            cfg.v_head_dim = g("v_head_dim", 128)
+            cfg.head_dim = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
+
+        if arch.endswith(("EmbeddingModel", "Model")) or "Reward" in arch:
+            cfg.is_embedding = True
+
+        return cfg
+
+    @classmethod
+    def from_model_path(
+        cls,
+        model_path: str,
+        trust_remote_code: bool = True,
+        context_length: Optional[int] = None,
+        dtype: str = "bfloat16",
+        quantization: Optional[str] = None,
+    ) -> "ModelConfig":
+        from transformers import AutoConfig
+
+        hf_config = AutoConfig.from_pretrained(
+            model_path, trust_remote_code=trust_remote_code
+        )
+        # Unwrap text config for VLMs
+        inner = getattr(hf_config, "text_config", None)
+        use = inner if inner is not None and hasattr(inner, "num_hidden_layers") else hf_config
+        cfg = cls.from_hf_config(
+            use, model_path=model_path, context_length=context_length,
+            dtype=dtype, quantization=quantization,
+        )
+        if use is not hf_config:
+            cfg.is_multimodal = True
+            cfg.hf_config = hf_config
+        return cfg

@@ -1,0 +1,192 @@
+"""Server configuration.
+
+TPU-native counterpart of the reference's ServerArgs dataclass
+(reference: python/sglang/srt/server_args.py:63-1050 — ~120 CLI flags, one
+dataclass shared by CLI, HTTP server and the offline Engine). We keep that
+single-source-of-truth shape but drop GPU-only knobs (MPS percentiles, NCCL
+ports, cuda-graph flags) and replace them with TPU-native ones:
+
+- ``prefill_chunk_budget_tokens`` / ``decode_slo_ms`` replace
+  ``SEMI_PD_{PREFILL,DECODE}_SM_PERCENTILE`` (compute isolation on TPU is
+  achieved by bounding the per-tick prefill chunk cost so the decode cadence
+  stays under the TPOT SLO, not by SM partitioning).
+- ``decode_bs_buckets`` / ``prefill_token_buckets`` replace CUDA-graph
+  capture batch sizes (reference cuda_graph_runner.py:109) — bucketed static
+  shapes for the jitted decode/prefill programs.
+- mesh shape flags (``tp_size``, ``dp_size``, ``ep_size``) map onto a
+  ``jax.sharding.Mesh`` instead of process-per-rank NCCL groups.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+from typing import List, Optional
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class ServerArgs:
+    # Model and tokenizer
+    model_path: str = ""
+    tokenizer_path: Optional[str] = None
+    trust_remote_code: bool = True
+    context_length: Optional[int] = None
+    dtype: str = "bfloat16"  # model compute/weight dtype
+    kv_cache_dtype: str = "auto"  # auto | bfloat16 | fp8_e4m3 | fp8_e5m2
+    quantization: Optional[str] = None  # fp8 | int8 | awq_int4 | blockwise_fp8
+    random_weights: bool = False  # skip checkpoint load; random-init (tests/bench)
+    seed: int = 0
+
+    # Memory / KV cache
+    mem_fraction_static: Optional[float] = None
+    max_total_tokens: Optional[int] = None  # KV pool size in tokens (overrides profile)
+    page_size: int = 16  # tokens per KV page (TPU-friendly granularity)
+    max_running_requests: Optional[int] = None
+    max_queued_requests: int = 4096
+    max_prefill_tokens: int = 16384
+
+    # Scheduling
+    schedule_policy: str = "lpm"  # lpm | fcfs | lof | random
+    schedule_conservativeness: float = 1.0
+    chunked_prefill_size: int = 2048
+    disable_radix_cache: bool = False
+    retract_decode_steps: int = 20  # new tokens to reserve headroom for on retract
+
+    # Semi-PD (phase-disaggregated computation, unified storage)
+    enable_semi_pd: bool = False
+    decode_slo_ms: float = 50.0  # target TPOT; bounds prefill chunk per tick
+    prefill_chunk_budget_tokens: Optional[int] = None  # override auto chunk bound
+    semi_pd_prefill_share: float = 0.8  # fraction of a tick prefill may occupy
+
+    # Parallelism (mesh)
+    tp_size: int = 1
+    dp_size: int = 1
+    ep_size: int = 1  # expert parallel; folded onto the tp axis
+    nnodes: int = 1
+    node_rank: int = 0
+
+    # Compiled program buckets (static shapes for jit; role of CUDA-graph
+    # capture sizes in the reference)
+    decode_bs_buckets: Optional[List[int]] = None
+    prefill_token_buckets: Optional[List[int]] = None
+
+    # Sampling / constrained decoding
+    sampling_backend: str = "jax"
+    grammar_backend: Optional[str] = "outlines_like"
+
+    # Speculative decoding
+    speculative_algorithm: Optional[str] = None  # EAGLE | NGRAM
+    speculative_num_steps: int = 3
+    speculative_num_draft_tokens: int = 4
+    speculative_eagle_topk: int = 1
+    speculative_draft_model_path: Optional[str] = None
+
+    # LoRA
+    lora_paths: Optional[List[str]] = None
+    max_loras_per_batch: int = 4
+
+    # Server
+    host: str = "127.0.0.1"
+    port: int = 30000
+    api_key: Optional[str] = None
+    served_model_name: Optional[str] = None
+    chat_template: Optional[str] = None
+
+    # Observability / debug
+    log_level: str = "info"
+    enable_metrics: bool = False
+    show_time_cost: bool = False
+    watchdog_timeout: float = 300.0
+    enable_nan_detection: bool = False
+    profiler_dir: Optional[str] = None
+    stream_interval: int = 1
+
+    # Test / emulation
+    device_platform: Optional[str] = None  # force "cpu" for tests
+    num_virtual_devices: Optional[int] = None  # host-platform device count
+
+    def __post_init__(self):
+        if self.tokenizer_path is None:
+            self.tokenizer_path = self.model_path
+        if self.served_model_name is None:
+            self.served_model_name = self.model_path
+
+        if self.dp_size > 1 and self.enable_semi_pd:
+            # Unlike the reference (server_args.py:1163-1164 forbids multi-node
+            # semi-PD and engine.py:107 forbids offline), a single controller
+            # over a mesh supports semi-PD uniformly; DP replicas each run it.
+            pass
+
+        if self.quantization == "awq_int4" and self.kv_cache_dtype == "auto":
+            self.kv_cache_dtype = "bfloat16"
+
+        if self.decode_bs_buckets is None:
+            self.decode_bs_buckets = [1, 2, 4, 8, 16, 32, 64, 128, 256]
+        if self.prefill_token_buckets is None:
+            buckets, b = [], 256
+            while b < self.chunked_prefill_size:
+                buckets.append(b)
+                b *= 2
+            buckets.append(self.chunked_prefill_size)
+            self.prefill_token_buckets = buckets
+
+        if self.page_size < 1:
+            raise ValueError("page_size must be >= 1")
+        if self.chunked_prefill_size % self.page_size != 0:
+            self.chunked_prefill_size = (
+                (self.chunked_prefill_size + self.page_size - 1)
+                // self.page_size * self.page_size
+            )
+
+    # ------------------------------------------------------------------ CLI
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser) -> None:
+        for f in dataclasses.fields(ServerArgs):
+            name = "--" + f.name.replace("_", "-")
+            if f.type == "bool" or f.type is bool:
+                parser.add_argument(name, action="store_true", default=f.default)
+            elif f.name in ("decode_bs_buckets", "prefill_token_buckets", "lora_paths"):
+                parser.add_argument(name, type=str, default=None)
+            else:
+                base = {int: int, float: float}.get(_base_type(f.type), str)
+                parser.add_argument(name, type=base, default=_default_of(f))
+
+    @classmethod
+    def from_cli_args(cls, args: argparse.Namespace) -> "ServerArgs":
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            v = getattr(args, f.name, _default_of(f))
+            if f.name in ("decode_bs_buckets", "prefill_token_buckets") and isinstance(v, str):
+                v = [int(x) for x in v.split(",")]
+            if f.name == "lora_paths" and isinstance(v, str):
+                v = v.split(",")
+            kwargs[f.name] = v
+        return cls(**kwargs)
+
+
+def _default_of(f: dataclasses.Field):
+    if f.default is not dataclasses.MISSING:
+        return f.default
+    if f.default_factory is not dataclasses.MISSING:  # type: ignore
+        return f.default_factory()  # type: ignore
+    return None
+
+
+def _base_type(t):
+    # Annotations are strings (PEP 563); list-typed fields are special-cased
+    # by the caller, so "Optional[int]" etc. map to their scalar parser.
+    s = str(t)
+    if "int" in s:
+        return int
+    if "float" in s:
+        return float
+    return str
+
+
+def prepare_server_args(argv: List[str]) -> ServerArgs:
+    parser = argparse.ArgumentParser(description="semi_pd_tpu server")
+    ServerArgs.add_cli_args(parser)
+    return ServerArgs.from_cli_args(parser.parse_args(argv))

@@ -1,0 +1,124 @@
+"""Async serving wrapper around the in-process Engine.
+
+Role of the reference's TokenizerManager request-state plumbing
+(srt/managers/tokenizer_manager.py:129,463,907 — async request map, streaming
+fan-in) without the ZMQ process boundaries: one background thread runs the
+scheduler loop; per-request asyncio queues stream token deltas to HTTP
+handlers."""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import threading
+import time
+from typing import Any, AsyncIterator, Dict, Optional
+
+from semi_pd_tpu.runtime.engine import Engine
+from semi_pd_tpu.runtime.req import FinishReason, Req
+
+logger = logging.getLogger(__name__)
+
+
+class AsyncEngine:
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        self.loop: Optional[asyncio.AbstractEventLoop] = None
+        self._queues: Dict[str, asyncio.Queue] = {}
+        self._wake = threading.Event()
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._lock = threading.Lock()
+        self.last_step_time = time.monotonic()
+
+    def start(self, loop: asyncio.AbstractEventLoop) -> None:
+        self.loop = loop
+        self._thread.start()
+
+    def shutdown(self) -> None:
+        self._stop = True
+        self._wake.set()
+
+    # ------------------------------------------------------------- loop
+    def _run(self) -> None:
+        sched = self.engine.scheduler
+        while not self._stop:
+            if not sched.has_work():
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            try:
+                produced = sched.tick()
+            except Exception:
+                logger.exception("scheduler tick crashed")
+                self._fail_all()
+                continue
+            self.last_step_time = time.monotonic()
+            for req, tok in produced:
+                if tok < 0:
+                    continue
+                self.engine._post_token(req)
+                self._emit(req)
+
+    def _emit(self, req: Req) -> None:
+        q = self._queues.get(req.rid)
+        if q is None or self.loop is None:
+            return
+        item = self.engine._to_output(req)
+        item["finished"] = req.finished
+        self.loop.call_soon_threadsafe(q.put_nowait, item)
+        if req.finished:
+            with self._lock:
+                self._queues.pop(req.rid, None)
+
+    def _fail_all(self) -> None:
+        with self._lock:
+            for rid, q in list(self._queues.items()):
+                req = self.engine.scheduler.reqs_by_rid.get(rid)
+                if req is not None:
+                    req.finish_reason = FinishReason.ABORT
+                if self.loop:
+                    self.loop.call_soon_threadsafe(
+                        q.put_nowait, {"error": "internal scheduler error", "finished": True}
+                    )
+            self._queues.clear()
+
+    # ------------------------------------------------------------- API
+    async def generate(
+        self,
+        prompt: Optional[str] = None,
+        input_ids: Optional[list] = None,
+        sampling_params: Optional[dict] = None,
+        stream: bool = False,
+        rid: Optional[str] = None,
+        return_logprob: bool = False,
+    ) -> AsyncIterator[Dict[str, Any]]:
+        req = self.engine.make_request(
+            prompt=prompt, input_ids=input_ids, sampling_params=sampling_params,
+            rid=rid, stream=stream, return_logprob=return_logprob,
+        )
+        q: asyncio.Queue = asyncio.Queue()
+        with self._lock:
+            self._queues[req.rid] = q
+        self.engine.scheduler.add_request(req)
+        self._wake.set()
+        while True:
+            item = await q.get()
+            yield item
+            if item.get("finished"):
+                return
+
+    async def generate_full(self, **kw) -> Dict[str, Any]:
+        last = None
+        async for item in self.generate(**kw):
+            last = item
+        return last
+
+    def abort(self, rid: str) -> None:
+        self.engine.scheduler.abort_request(rid)
+        with self._lock:
+            q = self._queues.pop(rid, None)
+        if q is not None and self.loop is not None:
+            self.loop.call_soon_threadsafe(
+                q.put_nowait, {"error": "aborted", "finished": True, "meta_info": {}}
+            )

@@ -1,0 +1,363 @@
+"""HTTP API server (aiohttp).
+
+Reference: python/sglang/srt/entrypoints/http_server.py (FastAPI; native
+endpoints :145-491) + srt/openai_api/adapter.py (OpenAI translation). Same
+endpoint surface, aiohttp transport; one process, no subprocess tree
+(reference engine.py:80-90) because the scheduler is in-process.
+
+Endpoints: /generate, /health, /health_generate, /get_model_info,
+/get_server_info, /flush_cache, /abort_request, /update_weights_from_disk,
+/start_profile, /stop_profile, /metrics, /v1/completions,
+/v1/chat/completions, /v1/models.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import time
+from typing import Any, Dict, Optional
+
+from aiohttp import web
+
+from semi_pd_tpu.entrypoints.async_engine import AsyncEngine
+from semi_pd_tpu.entrypoints.protocol import (
+    ChatCompletionRequest,
+    CompletionRequest,
+    chat_id,
+    completion_id,
+    now,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def build_app(async_engine: AsyncEngine) -> web.Application:
+    app = web.Application()
+    app["engine"] = async_engine
+    app.add_routes([
+        web.get("/health", health),
+        web.get("/health_generate", health_generate),
+        web.get("/get_model_info", get_model_info),
+        web.get("/get_server_info", get_server_info),
+        web.get("/metrics", metrics),
+        web.post("/generate", generate),
+        web.post("/flush_cache", flush_cache),
+        web.post("/abort_request", abort_request),
+        web.post("/update_weights_from_disk", update_weights_from_disk),
+        web.post("/start_profile", start_profile),
+        web.post("/stop_profile", stop_profile),
+        web.post("/v1/completions", v1_completions),
+        web.post("/v1/chat/completions", v1_chat_completions),
+        web.get("/v1/models", v1_models),
+    ])
+    return app
+
+
+# ---------------------------------------------------------------- native
+async def health(request: web.Request) -> web.Response:
+    return web.Response(text="ok")
+
+
+async def health_generate(request: web.Request) -> web.Response:
+    """Tiny generation probe (reference http_server.py /health_generate)."""
+    ae: AsyncEngine = request.app["engine"]
+    try:
+        out = await asyncio.wait_for(
+            ae.generate_full(
+                input_ids=[1, 2, 3],
+                sampling_params={"max_new_tokens": 1, "temperature": 0.0, "ignore_eos": True},
+            ),
+            timeout=60,
+        )
+        ok = out is not None and "error" not in out
+    except asyncio.TimeoutError:
+        ok = False
+    return web.Response(text="ok" if ok else "error", status=200 if ok else 503)
+
+
+async def get_model_info(request: web.Request) -> web.Response:
+    ae: AsyncEngine = request.app["engine"]
+    sa = ae.engine.server_args
+    return web.json_response({
+        "model_path": sa.model_path,
+        "served_model_name": sa.served_model_name,
+        "is_generation": not ae.engine.runner.model_config.is_embedding,
+    })
+
+
+async def get_server_info(request: web.Request) -> web.Response:
+    ae: AsyncEngine = request.app["engine"]
+    info = ae.engine.get_server_info()
+    info["version"] = __import__("semi_pd_tpu").__version__
+    return web.json_response(info)
+
+
+async def _json_body(request: web.Request) -> Dict[str, Any]:
+    try:
+        return await request.json()
+    except Exception:
+        raise web.HTTPBadRequest(
+            text=json.dumps({"error": {"message": "invalid JSON body"}}),
+            content_type="application/json",
+        )
+
+
+async def generate(request: web.Request) -> web.StreamResponse:
+    ae: AsyncEngine = request.app["engine"]
+    body = await _json_body(request)
+    kwargs = dict(
+        prompt=body.get("text"),
+        input_ids=body.get("input_ids"),
+        sampling_params=body.get("sampling_params") or {},
+        rid=body.get("rid"),
+        return_logprob=bool(body.get("return_logprob", False)),
+    )
+    try:
+        if body.get("stream"):
+            resp = web.StreamResponse(
+                headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+            )
+            await resp.prepare(request)
+            async for item in ae.generate(stream=True, **kwargs):
+                await resp.write(f"data: {json.dumps(item)}\n\n".encode())
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+        out = await ae.generate_full(**kwargs)
+    except (ValueError, AssertionError) as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+    if out is None or "error" in (out or {}):
+        return web.json_response({"error": (out or {}).get("error", "unknown")}, status=500)
+    return web.json_response(out)
+
+
+async def flush_cache(request: web.Request) -> web.Response:
+    ae: AsyncEngine = request.app["engine"]
+    ok = ae.engine.flush_cache()
+    return web.json_response({"success": ok})
+
+
+async def abort_request(request: web.Request) -> web.Response:
+    ae: AsyncEngine = request.app["engine"]
+    body = await _json_body(request)
+    ae.abort(body.get("rid", ""))
+    return web.json_response({"success": True})
+
+
+async def update_weights_from_disk(request: web.Request) -> web.Response:
+    ae: AsyncEngine = request.app["engine"]
+    body = await _json_body(request)
+    try:
+        ok = ae.engine.update_weights_from_disk(body["model_path"])
+        return web.json_response({"success": ok})
+    except Exception as e:
+        return web.json_response({"success": False, "message": str(e)}, status=400)
+
+
+async def start_profile(request: web.Request) -> web.Response:
+    """jax.profiler trace (reference scheduler.py:1649 start_profile via
+    torch.profiler; TPU equivalent is XPlane/perfetto traces)."""
+    import jax
+
+    ae: AsyncEngine = request.app["engine"]
+    out_dir = ae.engine.server_args.profiler_dir or "/tmp/semi_pd_tpu_profile"
+    try:
+        jax.profiler.start_trace(out_dir)
+        return web.json_response({"success": True, "dir": out_dir})
+    except Exception as e:
+        return web.json_response({"success": False, "message": str(e)}, status=400)
+
+
+async def stop_profile(request: web.Request) -> web.Response:
+    import jax
+
+    try:
+        jax.profiler.stop_trace()
+        return web.json_response({"success": True})
+    except Exception as e:
+        return web.json_response({"success": False, "message": str(e)}, status=400)
+
+
+async def metrics(request: web.Request) -> web.Response:
+    try:
+        from prometheus_client import generate_latest, CONTENT_TYPE_LATEST
+
+        from semi_pd_tpu.metrics.collector import update_gauges
+
+        ae: AsyncEngine = request.app["engine"]
+        update_gauges(ae.engine)
+        return web.Response(
+            body=generate_latest(), content_type=CONTENT_TYPE_LATEST.split(";")[0]
+        )
+    except ImportError:
+        return web.Response(text="prometheus_client unavailable", status=501)
+
+
+# ---------------------------------------------------------------- OpenAI
+async def v1_models(request: web.Request) -> web.Response:
+    ae: AsyncEngine = request.app["engine"]
+    sa = ae.engine.server_args
+    return web.json_response({
+        "object": "list",
+        "data": [{
+            "id": sa.served_model_name, "object": "model",
+            "created": now(), "owned_by": "semi_pd_tpu",
+        }],
+    })
+
+
+async def v1_completions(request: web.Request) -> web.StreamResponse:
+    ae: AsyncEngine = request.app["engine"]
+    try:
+        req = CompletionRequest(**(await _json_body(request)))
+    except Exception as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+
+    prompt, input_ids = None, None
+    if isinstance(req.prompt, str):
+        prompt = req.prompt
+    elif req.prompt and isinstance(req.prompt[0], int):
+        input_ids = req.prompt
+    elif req.prompt:
+        prompt = req.prompt[0]  # batch-of-1 only for now
+
+    cid = completion_id()
+    sp = req.to_sampling_dict()
+
+    if req.stream:
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        sent = 0
+        async for item in ae.generate(
+            prompt=prompt, input_ids=input_ids, sampling_params=sp, stream=True
+        ):
+            if "error" in item:
+                break
+            text = item["text"][sent:]
+            sent = len(item["text"])
+            chunk = {
+                "id": cid, "object": "text_completion", "created": now(),
+                "model": req.model,
+                "choices": [{
+                    "index": 0, "text": text,
+                    "finish_reason": item["meta_info"].get("finish_reason") if item["finished"] else None,
+                }],
+            }
+            await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    try:
+        out = await ae.generate_full(
+            prompt=prompt, input_ids=input_ids, sampling_params=sp
+        )
+    except (ValueError, AssertionError) as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+    if out is None or "error" in out:
+        return web.json_response({"error": {"message": (out or {}).get("error", "unknown")}}, status=500)
+    mi = out["meta_info"]
+    return web.json_response({
+        "id": cid, "object": "text_completion", "created": now(), "model": req.model,
+        "choices": [{
+            "index": 0,
+            "text": out["text"],
+            "finish_reason": mi.get("finish_reason"),
+            "logprobs": None,
+        }],
+        "usage": {
+            "prompt_tokens": mi["prompt_tokens"],
+            "completion_tokens": mi["completion_tokens"],
+            "total_tokens": mi["prompt_tokens"] + mi["completion_tokens"],
+        },
+    })
+
+
+async def v1_chat_completions(request: web.Request) -> web.StreamResponse:
+    ae: AsyncEngine = request.app["engine"]
+    try:
+        req = ChatCompletionRequest(**(await _json_body(request)))
+    except Exception as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+
+    from semi_pd_tpu.utils.chat_template import apply_chat_template
+
+    try:
+        input_ids = apply_chat_template(
+            ae.engine.tokenizer, [m.model_dump() for m in req.messages],
+            chat_template=ae.engine.server_args.chat_template,
+        )
+    except Exception as e:
+        return web.json_response({"error": {"message": f"chat template: {e}"}}, status=400)
+
+    cid = chat_id()
+    sp = req.to_sampling_dict()
+
+    if req.stream:
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        first = True
+        sent = 0
+        async for item in ae.generate(
+            input_ids=input_ids, sampling_params=sp, stream=True
+        ):
+            if "error" in item:
+                break
+            delta: Dict[str, Any] = {}
+            if first:
+                delta["role"] = "assistant"
+                first = False
+            text = item["text"][sent:]
+            sent = len(item["text"])
+            if text:
+                delta["content"] = text
+            chunk = {
+                "id": cid, "object": "chat.completion.chunk", "created": now(),
+                "model": req.model,
+                "choices": [{
+                    "index": 0, "delta": delta,
+                    "finish_reason": item["meta_info"].get("finish_reason") if item["finished"] else None,
+                }],
+            }
+            await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    try:
+        out = await ae.generate_full(input_ids=input_ids, sampling_params=sp)
+    except (ValueError, AssertionError) as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+    if out is None or "error" in out:
+        return web.json_response({"error": {"message": (out or {}).get("error", "unknown")}}, status=500)
+    mi = out["meta_info"]
+
+    message: Dict[str, Any] = {"role": "assistant", "content": out["text"]}
+    finish_reason = mi.get("finish_reason")
+    if req.tools:
+        from semi_pd_tpu.utils.function_call import parse_tool_calls
+
+        content, calls = parse_tool_calls(out["text"])
+        if calls:
+            message = {"role": "assistant", "content": content or None, "tool_calls": calls}
+            finish_reason = "tool_calls"
+
+    return web.json_response({
+        "id": cid, "object": "chat.completion", "created": now(), "model": req.model,
+        "choices": [{
+            "index": 0,
+            "message": message,
+            "finish_reason": finish_reason,
+        }],
+        "usage": {
+            "prompt_tokens": mi["prompt_tokens"],
+            "completion_tokens": mi["completion_tokens"],
+            "total_tokens": mi["prompt_tokens"] + mi["completion_tokens"],
+        },
+    })

@@ -1,0 +1,56 @@
+"""Server launcher: ``python -m semi_pd_tpu.entrypoints.launch_server ...``
+
+Reference: python/sglang/launch_server.py + srt/entrypoints/http_server.py
+launch_server / engine.py _launch_semi_pd_subprocesses. One process: the
+subprocess tree (tokenizer / P scheduler / D scheduler / detokenizer wired by
+ZMQ) collapses into the in-process AsyncEngine; --enable-semi-pd switches the
+scheduler's tick discipline, not the process topology.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import sys
+
+from aiohttp import web
+
+from semi_pd_tpu.config.server_args import prepare_server_args
+from semi_pd_tpu.entrypoints.async_engine import AsyncEngine
+from semi_pd_tpu.entrypoints.http_server import build_app
+from semi_pd_tpu.parallel.mesh import create_mesh
+from semi_pd_tpu.runtime.engine import Engine
+
+logger = logging.getLogger(__name__)
+
+
+def main(argv=None):
+    args = prepare_server_args(argv if argv is not None else sys.argv[1:])
+    logging.basicConfig(
+        level=getattr(logging, args.log_level.upper(), logging.INFO),
+        format="[%(asctime)s %(name)s] %(message)s",
+    )
+    mesh = create_mesh(tp_size=args.tp_size, dp_size=args.dp_size)
+    engine = Engine(server_args=args, mesh=mesh)
+    async_engine = AsyncEngine(engine)
+
+    async def _serve():
+        loop = asyncio.get_running_loop()
+        async_engine.start(loop)
+        app = build_app(async_engine)
+        runner = web.AppRunner(app)
+        await runner.setup()
+        site = web.TCPSite(runner, args.host, args.port)
+        await site.start()
+        logger.info("serving on http://%s:%d (semi_pd=%s)", args.host, args.port, args.enable_semi_pd)
+        while True:
+            await asyncio.sleep(3600)
+
+    try:
+        asyncio.run(_serve())
+    except KeyboardInterrupt:
+        async_engine.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Checkpoint loading: HF safetensors / torch state dicts → stacked param pytrees.
+
+Reference: python/sglang/srt/model_loader/loader.py (1,230 LoC vLLM-style
+DefaultModelLoader) + weight_utils.py (801 LoC). TPU-native differences:
+
+- Models declare a **weight plan** (hf_weight_plan()): a mapping from HF
+  tensor-name templates to (pytree path, output-slice, transform). The loader
+  is generic; there is no per-model load_weights() imperatively copying into
+  nn.Parameters.
+- Per-layer tensors land in **stacked [L, ...] host buffers** (the scan-over-
+  layers layout), then each leaf is device_put once with its NamedSharding —
+  on a mesh this shards during transfer, no full replica per device.
+- bf16 host buffers via ml_dtypes (no torch dependency on the load path;
+  torch tensors are accepted and converted when given a state_dict).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+import re
+from typing import Any, Dict, Iterable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_TRANSFORMS = {
+    "none": lambda a: a,
+    "t": lambda a: np.ascontiguousarray(a.T),  # torch [dout,din] -> x@w layout
+}
+
+
+def _to_numpy(t) -> np.ndarray:
+    """Accept numpy arrays or torch tensors (incl. bf16) without copies where
+    possible."""
+    if isinstance(t, np.ndarray):
+        return t
+    try:
+        import torch
+
+        if isinstance(t, torch.Tensor):
+            t = t.detach().cpu()
+            if t.dtype == torch.bfloat16:
+                return t.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+            return t.numpy()
+    except ImportError:
+        pass
+    return np.asarray(t)
+
+
+def _np_dtype(jdt) -> np.dtype:
+    return np.dtype(
+        {
+            jnp.bfloat16: ml_dtypes.bfloat16,
+            jnp.float8_e4m3fn: ml_dtypes.float8_e4m3fn,
+            jnp.float8_e5m2: ml_dtypes.float8_e5m2,
+        }.get(jdt, jdt)
+    )
+
+
+def iterate_hf_weights(model_path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    """Yield (name, numpy array) from a HF checkpoint dir (safetensors
+    preferred, *.bin fallback; reference weight_utils.py safetensors iter)."""
+    st_files = sorted(glob.glob(os.path.join(model_path, "*.safetensors")))
+    if st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            with safe_open(f, framework="np") as sf:
+                for name in sf.keys():
+                    try:
+                        yield name, sf.get_tensor(name)
+                    except (TypeError, ValueError):
+                        # numpy framework can't express bf16; reopen via torch
+                        import torch
+                        from safetensors import safe_open as so_t
+
+                        with so_t(f, framework="pt") as sft:
+                            yield name, _to_numpy(sft.get_tensor(name))
+        return
+    bin_files = sorted(glob.glob(os.path.join(model_path, "*.bin")))
+    if not bin_files:
+        raise FileNotFoundError(f"no checkpoint files under {model_path}")
+    import torch
+
+    for f in bin_files:
+        sd = torch.load(f, map_location="cpu", weights_only=True)
+        for name, t in sd.items():
+            yield name, _to_numpy(t)
+
+
+def _get_path(tree: Dict[str, Any], dotted: str):
+    node = tree
+    for part in dotted.split("."):
+        node = node[part]
+    return node
+
+
+def _set_path(tree: Dict[str, Any], dotted: str, value):
+    parts = dotted.split(".")
+    node = tree
+    for part in parts[:-1]:
+        node = node[part]
+    node[parts[-1]] = value
+
+
+def load_params(
+    model,
+    weights: Optional[Iterable[Tuple[str, Any]]] = None,
+    model_path: Optional[str] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> Dict[str, Any]:
+    """Assemble the model's param pytree from checkpoint weights.
+
+    ``model`` must expose param_specs(), param_partition_specs(), and
+    hf_weight_plan(). Exactly one of ``weights`` / ``model_path`` given.
+    """
+    specs = model.param_specs()
+    plan = model.hf_weight_plan()
+
+    # Compile name templates to regexes.
+    compiled = []
+    for tmpl, action in plan.items():
+        pattern = re.escape(tmpl).replace(re.escape("{L}"), r"(\d+)")
+        compiled.append((re.compile("^" + pattern + "$"), tmpl, action))
+
+    # Host-side staging buffers in target dtype.
+    host = jax.tree.map(
+        lambda s: np.zeros(s.shape, dtype=_np_dtype(s.dtype)), specs
+    )
+
+    if weights is None:
+        assert model_path is not None
+        weights = iterate_hf_weights(model_path)
+
+    matched = set()
+    for name, tensor in weights:
+        for rx, tmpl, (path, out_slice, transform) in compiled:
+            m = rx.match(name)
+            if not m:
+                continue
+            arr = _TRANSFORMS[transform](_to_numpy(tensor))
+            dest = _get_path(host, path)
+            layer = int(m.group(1)) if m.groups() else None
+            target = dest[layer] if layer is not None else dest
+            if out_slice is not None:
+                start, size = out_slice
+                target[..., start : start + size] = arr.astype(target.dtype)
+            else:
+                target[...] = arr.astype(target.dtype)
+            matched.add(tmpl)
+            break
+        else:
+            if not name.endswith(("rotary_emb.inv_freq",)):
+                logger.debug("unmatched checkpoint tensor: %s", name)
+
+    missing = set(plan.keys()) - matched
+    if missing:
+        logger.warning("weight plan entries never matched: %s", sorted(missing))
+
+    return device_put_params(host, model, mesh)
+
+
+def device_put_params(
+    host_tree: Dict[str, Any], model, mesh: Optional[jax.sharding.Mesh]
+) -> Dict[str, Any]:
+    """Transfer a host pytree to device(s), sharded per the model's specs."""
+    if mesh is None:
+        return jax.tree.map(jnp.asarray, host_tree)
+    pspecs = model.param_partition_specs()
+
+    def put(a, spec):
+        return jax.device_put(a, jax.sharding.NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, host_tree, pspecs)

@@ -1,0 +1,208 @@
+"""Llama-family causal LMs (dense decoder, GQA, RoPE, SiLU-gated MLP).
+
+Reference: python/sglang/srt/models/llama.py:337 LlamaForCausalLM (also
+covers mistral/qwen2/internlm2/exaone/granite in the reference zoo — here one
+implementation genuinely serves them all because differences are pure config:
+qkv bias (qwen2), rope scaling, tied embeddings, logit softcap off).
+
+TPU-native structure, deliberately unlike the reference's nn.Module tree:
+
+- Params are a plain pytree with per-layer leaves **stacked** on a leading
+  [L, ...] axis so the forward pass is a single ``lax.scan`` over layers —
+  compile time is O(1) in depth (an 80-layer 70B traces as fast as a 2-layer
+  toy) and XLA double-buffers the per-layer weight fetch from HBM.
+- Tensor parallelism is sharding metadata, not code: ``param_partition_specs``
+  maps each leaf to a PartitionSpec over the ("dp","tp") mesh; attention
+  heads and MLP widths shard over "tp"; XLA inserts the collectives the
+  reference issues by hand (tensor_model_parallel_all_reduce, llama.py:204).
+- The KV pool rides through the scan carry; writes are in-place scatters on
+  the donated unified-storage buffers (see layers/attention.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from semi_pd_tpu.config.model_config import ModelConfig
+from semi_pd_tpu.layers.attention import paged_attention
+from semi_pd_tpu.layers.linear import apply_linear, lm_head_logits
+from semi_pd_tpu.ops.elementwise import ACT2FN, fused_add_rms_norm, rms_norm
+from semi_pd_tpu.ops.rope import RotaryEmbedding
+from semi_pd_tpu.runtime.forward_batch import ForwardArrays
+
+
+class LlamaForCausalLM:
+    """Functional model: holds config + rope table, params live in a pytree."""
+
+    def __init__(self, config: ModelConfig):
+        self.config = config
+        c = config
+        self.num_heads = c.num_attention_heads
+        self.num_kv_heads = c.num_key_value_heads
+        self.head_dim = c.head_dim
+        self.q_size = self.num_heads * self.head_dim
+        self.kv_size = self.num_kv_heads * self.head_dim
+        self.scale = self.head_dim ** -0.5
+        self.dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        self.rope = RotaryEmbedding(
+            head_dim=self.head_dim,
+            rotary_dim=int(self.head_dim * c.partial_rotary_factor),
+            max_position=c.context_length,
+            theta=c.rope_theta,
+            rope_scaling=c.rope_scaling,
+            dtype=self.dtype,
+        )
+        self.act = ACT2FN[c.hidden_act]
+        # Set by the runner before tracing (static under jit): property of the
+        # memory pool, not the checkpoint.
+        self.page_size = 16
+
+    # ------------------------------------------------------------- specs
+    def param_specs(self) -> Dict[str, Any]:
+        c, d = self.config, self.dtype
+        L, H = c.num_hidden_layers, c.hidden_size
+        qkv_out = self.q_size + 2 * self.kv_size
+        layer = {
+            "input_norm": jax.ShapeDtypeStruct((L, H), d),
+            "qkv_proj": {"w": jax.ShapeDtypeStruct((L, H, qkv_out), d)},
+            "o_proj": {"w": jax.ShapeDtypeStruct((L, self.q_size, H), d)},
+            "post_norm": jax.ShapeDtypeStruct((L, H), d),
+            "gate_up": {"w": jax.ShapeDtypeStruct((L, H, 2 * c.intermediate_size), d)},
+            "down": {"w": jax.ShapeDtypeStruct((L, c.intermediate_size, H), d)},
+        }
+        if c.attention_bias:
+            layer["qkv_proj"]["b"] = jax.ShapeDtypeStruct((L, qkv_out), d)
+        specs = {
+            "embed": {"w": jax.ShapeDtypeStruct((c.vocab_size, H), d)},
+            "layers": layer,
+            "final_norm": jax.ShapeDtypeStruct((H,), d),
+        }
+        if not c.tie_word_embeddings:
+            specs["lm_head"] = {"w": jax.ShapeDtypeStruct((H, c.vocab_size), d)}
+        return specs
+
+    def param_partition_specs(self) -> Dict[str, Any]:
+        """PartitionSpec per leaf over mesh axes ("dp", "tp")."""
+        c = self.config
+        layer = {
+            "input_norm": P(),
+            "qkv_proj": {"w": P(None, None, "tp")},
+            "o_proj": {"w": P(None, "tp", None)},
+            "post_norm": P(),
+            "gate_up": {"w": P(None, None, "tp")},
+            "down": {"w": P(None, "tp", None)},
+        }
+        if c.attention_bias:
+            layer["qkv_proj"]["b"] = P(None, "tp")
+        specs = {
+            "embed": {"w": P("tp", None)},
+            "layers": layer,
+            "final_norm": P(),
+        }
+        if not c.tie_word_embeddings:
+            specs["lm_head"] = {"w": P(None, "tp")}
+        return specs
+
+    # ------------------------------------------------------------- init
+    def init_params(self, seed: int = 0) -> Dict[str, Any]:
+        """Random-init params (tests/bench; reference counterpart: the
+        load_format=dummy path in model_loader/loader.py)."""
+        rng = np.random.default_rng(seed)
+
+        def mk(spec):
+            scale = 0.02
+            a = rng.standard_normal(spec.shape, dtype=np.float32) * scale
+            return jnp.asarray(a, dtype=spec.dtype)
+
+        return jax.tree.map(mk, self.param_specs())
+
+    # ------------------------------------------------------------- weights
+    def hf_weight_plan(self) -> Dict[str, Tuple]:
+        """Map HF checkpoint tensor name patterns -> (dest path, transform).
+
+        Returns dict: hf_name_template -> (path_in_pytree, slot, transform)
+        handled by model_loader.loader (reference: llama.py load_weights
+        stacked-params mapping)."""
+        plan = {
+            "model.embed_tokens.weight": ("embed.w", None, "none"),
+            "model.norm.weight": ("final_norm", None, "none"),
+            "model.layers.{L}.input_layernorm.weight": ("layers.input_norm", None, "none"),
+            "model.layers.{L}.post_attention_layernorm.weight": ("layers.post_norm", None, "none"),
+            "model.layers.{L}.self_attn.q_proj.weight": ("layers.qkv_proj.w", (0, self.q_size), "t"),
+            "model.layers.{L}.self_attn.k_proj.weight": ("layers.qkv_proj.w", (self.q_size, self.kv_size), "t"),
+            "model.layers.{L}.self_attn.v_proj.weight": ("layers.qkv_proj.w", (self.q_size + self.kv_size, self.kv_size), "t"),
+            "model.layers.{L}.self_attn.o_proj.weight": ("layers.o_proj.w", None, "t"),
+            "model.layers.{L}.mlp.gate_proj.weight": ("layers.gate_up.w", (0, self.config.intermediate_size), "t"),
+            "model.layers.{L}.mlp.up_proj.weight": ("layers.gate_up.w", (self.config.intermediate_size, self.config.intermediate_size), "t"),
+            "model.layers.{L}.mlp.down_proj.weight": ("layers.down.w", None, "t"),
+        }
+        if self.config.attention_bias:
+            plan.update({
+                "model.layers.{L}.self_attn.q_proj.bias": ("layers.qkv_proj.b", (0, self.q_size), "none"),
+                "model.layers.{L}.self_attn.k_proj.bias": ("layers.qkv_proj.b", (self.q_size, self.kv_size), "none"),
+                "model.layers.{L}.self_attn.v_proj.bias": ("layers.qkv_proj.b", (self.q_size + self.kv_size, self.kv_size), "none"),
+            })
+        if not self.config.tie_word_embeddings:
+            plan["lm_head.weight"] = ("lm_head.w", None, "t")
+        return plan
+
+    # ------------------------------------------------------------- forward
+    def forward(
+        self,
+        params: Dict[str, Any],
+        fb: ForwardArrays,
+        kv: Tuple[jax.Array, ...],
+    ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+        c = self.config
+        k_cache, v_cache = kv
+        h = jnp.take(params["embed"]["w"], fb.input_ids, axis=0)
+
+        layer_ids = jnp.arange(c.num_hidden_layers, dtype=jnp.int32)
+
+        def body(carry, xs):
+            h, k_cache, v_cache = carry
+            lp, lid = xs
+            h, k_cache, v_cache = self._layer(lp, lid, h, k_cache, v_cache, fb)
+            return (h, k_cache, v_cache), None
+
+        (h, k_cache, v_cache), _ = jax.lax.scan(
+            body, (h, k_cache, v_cache), (params["layers"], layer_ids)
+        )
+
+        h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
+        last_h = h[fb.logits_idx]  # [B, H]
+        head = params.get("lm_head") or {"w": params["embed"]["w"].T}
+        logits = lm_head_logits(last_h, head, c.logit_softcap)
+        return logits, (k_cache, v_cache)
+
+    def _layer(self, lp, layer_idx, h, k_cache, v_cache, fb: ForwardArrays):
+        c = self.config
+        T = h.shape[0]
+
+        attn_in = rms_norm(h, lp["input_norm"], c.rms_norm_eps)
+        qkv = apply_linear(lp["qkv_proj"], attn_in)
+        q, k, v = jnp.split(qkv, [self.q_size, self.q_size + self.kv_size], axis=-1)
+        q = q.reshape(T, self.num_heads, self.head_dim)
+        k = k.reshape(T, self.num_kv_heads, self.head_dim)
+        v = v.reshape(T, self.num_kv_heads, self.head_dim)
+        q, k = self.rope(fb.q_pos, q, k)
+
+        sliding = c.sliding_window
+        attn_out, k_cache, v_cache = paged_attention(
+            q, k, v, k_cache, v_cache, layer_idx, fb,
+            page_size=self.page_size, scale=self.scale,
+            logit_cap=c.attn_logit_softcap, sliding_window=sliding,
+        )
+        attn_out = apply_linear(lp["o_proj"], attn_out.reshape(T, self.q_size))
+        h = h + attn_out
+
+        mlp_in = rms_norm(h, lp["post_norm"], c.rms_norm_eps)
+        mlp = self.act(apply_linear(lp["gate_up"], mlp_in))
+        mlp = apply_linear(lp["down"], mlp)
+        return h + mlp, k_cache, v_cache

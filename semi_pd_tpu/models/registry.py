@@ -1,0 +1,73 @@
+"""Model registry: HF architecture string → model class.
+
+Reference: python/sglang/srt/models/registry.py (auto-discovery by
+architecture string). One TPU implementation often serves several reference
+model files because differences are config-only (see models/llama.py)."""
+
+from __future__ import annotations
+
+from typing import Dict, Type
+
+from semi_pd_tpu.config.model_config import ModelConfig
+
+_REGISTRY: Dict[str, type] = {}
+
+
+def register(*archs: str):
+    def deco(cls):
+        for a in archs:
+            _REGISTRY[a] = cls
+        return cls
+    return deco
+
+
+def get_model_class(architecture: str):
+    _ensure_populated()
+    if architecture not in _REGISTRY:
+        raise ValueError(
+            f"unsupported architecture {architecture!r}; known: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[architecture]
+
+
+def create_model(config: ModelConfig):
+    return get_model_class(config.architecture)(config)
+
+
+_populated = False
+
+
+def _ensure_populated():
+    global _populated
+    if _populated:
+        return
+    _populated = True
+    from semi_pd_tpu.models.llama import LlamaForCausalLM
+
+    for arch in (
+        "LlamaForCausalLM",
+        "MistralForCausalLM",
+        "Qwen2ForCausalLM",
+        "InternLM2ForCausalLM",
+        "ExaoneForCausalLM",
+        "GraniteForCausalLM",
+        "StableLmForCausalLM",
+        "Olmo2ForCausalLM",
+    ):
+        _REGISTRY.setdefault(arch, LlamaForCausalLM)
+
+    try:
+        from semi_pd_tpu.models.qwen2_moe import Qwen2MoeForCausalLM, MixtralForCausalLM
+
+        _REGISTRY.setdefault("Qwen2MoeForCausalLM", Qwen2MoeForCausalLM)
+        _REGISTRY.setdefault("MixtralForCausalLM", MixtralForCausalLM)
+    except ImportError:
+        pass
+
+    try:
+        from semi_pd_tpu.models.deepseek_v2 import DeepseekV2ForCausalLM
+
+        _REGISTRY.setdefault("DeepseekV2ForCausalLM", DeepseekV2ForCausalLM)
+        _REGISTRY.setdefault("DeepseekV3ForCausalLM", DeepseekV2ForCausalLM)
+    except ImportError:
+        pass

@@ -1,0 +1,77 @@
+"""Reference ragged paged attention in pure jnp.
+
+This is the correctness baseline for the Pallas kernels (the role of the
+reference's TorchNativeAttnBackend, srt/layers/attention/torch_native_backend.py
+— a pure-framework backend every optimized backend is tested against) and the
+backend used on CPU-device test runs, giving this framework the GPU-free test
+tier the reference lacks (SURVEY.md §4).
+
+Layout ("ragged"): one call serves both prefill (extend) and decode. Queries
+for all requests in the batch are concatenated into a flat [T, Hq, D] array;
+per-token arrays map each query row to its request and absolute position.
+KV is read from the shared paged pool via the per-batch page table.
+
+Semantics: query token t (request r = q_req_idx[t], position p = q_pos[t])
+attends to KV positions j of request r with j <= p and j < kv_lens[r]. New
+tokens' K/V must already be scattered into the pool before the call (the
+scheduler allocates their slots; reference schedule_batch.py:923-935 derives
+write locations the same way).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def ragged_paged_attention_reference(
+    q: jax.Array,  # [T, Hq, D]
+    k_cache: jax.Array,  # [L, S, Hkv, D] full pool, flat slots per layer
+    v_cache: jax.Array,  # [L, S, Hkv, Dv]
+    layer_idx,  # int or traced scalar
+    page_table: jax.Array,  # [B, maxP] int32 page ids
+    q_req_idx: jax.Array,  # [T] i32 (padding rows -> row 0, masked out)
+    q_pos: jax.Array,  # [T] i32 absolute position of query token
+    kv_lens: jax.Array,  # [B] i32 total kv length per request (incl. new)
+    page_size: int,
+    scale: float,
+    logit_cap: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    T, Hq, D = q.shape
+    Hkv = k_cache.shape[2]
+    Dv = v_cache.shape[-1]
+    B, maxP = page_table.shape
+    max_kv = maxP * page_size
+    group = Hq // Hkv
+
+    # Gather each request's KV window: [B, max_kv, Hkv, D]
+    slot_ids = (
+        page_table[:, :, None] * page_size
+        + jnp.arange(page_size, dtype=jnp.int32)[None, None, :]
+    ).reshape(B, max_kv)
+    k = k_cache[layer_idx][slot_ids].astype(jnp.float32)
+    v = v_cache[layer_idx][slot_ids].astype(jnp.float32)
+
+    # Per-query-token views of its request's KV: [T, max_kv, Hkv, D]
+    k_t = k[q_req_idx]
+    v_t = v[q_req_idx]
+
+    qf = q.astype(jnp.float32).reshape(T, Hkv, group, D)
+    scores = jnp.einsum("thgd,tkhd->thgk", qf, k_t) * scale  # [T,Hkv,g,max_kv]
+    if logit_cap:
+        scores = logit_cap * jnp.tanh(scores / logit_cap)
+
+    kv_pos = jnp.arange(max_kv, dtype=jnp.int32)[None, :]  # [1, max_kv]
+    valid = (kv_pos <= q_pos[:, None]) & (kv_pos < kv_lens[q_req_idx][:, None])
+    if sliding_window is not None and sliding_window > 0:
+        valid &= kv_pos > (q_pos[:, None] - sliding_window)
+    scores = jnp.where(valid[:, None, None, :], scores, -jnp.inf)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    # Fully-masked (padding) rows produce NaN from softmax over -inf; zero them.
+    probs = jnp.where(jnp.any(valid, axis=-1)[:, None, None, None], probs, 0.0)
+    out = jnp.einsum("thgk,tkhd->thgd", probs, v_t)  # [T,Hkv,g,Dv]
+    return out.reshape(T, Hq, Dv).astype(q.dtype)

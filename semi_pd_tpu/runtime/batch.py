@@ -1,0 +1,188 @@
+"""Host-side batch assembly → device ForwardArrays.
+
+Reference: python/sglang/srt/managers/schedule_batch.py:516 ScheduleBatch
+(prepare_for_extend :796, prepare_for_decode :1144, merge/filter :1260) and
+ModelWorkerBatch :1384. Here all bookkeeping is numpy on the controller;
+tensorization pads to static buckets so each (T, B, maxP) shape compiles
+exactly once (the role of CUDA-graph capture shapes).
+
+Page-table writes happen host-side into the authoritative numpy table (the
+reference needs a Triton kernel, write_req_to_token_pool_triton
+schedule_batch.py:1446, because its table lives on-GPU; ours ships per-batch
+slices with the step instead).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from semi_pd_tpu.ops.sampling import SamplingArrays
+from semi_pd_tpu.runtime.forward_batch import ForwardArrays, ForwardMode
+from semi_pd_tpu.runtime.req import Req
+
+
+def bucket_of(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclasses.dataclass
+class HostBatch:
+    mode: ForwardMode
+    reqs: List[Req]
+    extend_lens: Optional[List[int]] = None  # tokens prefilled per req (EXTEND)
+    # numpy staging (filled by build_*)
+    input_ids: np.ndarray = None
+    q_req_idx: np.ndarray = None
+    q_pos: np.ndarray = None
+    out_slots: np.ndarray = None
+    page_table: np.ndarray = None
+    kv_lens: np.ndarray = None
+    logits_idx: np.ndarray = None
+    sampling: SamplingArrays = None
+    T: int = 0
+    B: int = 0
+    maxP: int = 0
+
+    def to_device(self, rng_key) -> ForwardArrays:
+        return ForwardArrays(
+            input_ids=jnp.asarray(self.input_ids),
+            q_req_idx=jnp.asarray(self.q_req_idx),
+            q_pos=jnp.asarray(self.q_pos),
+            out_slots=jnp.asarray(self.out_slots),
+            page_table=jnp.asarray(self.page_table),
+            kv_lens=jnp.asarray(self.kv_lens),
+            logits_idx=jnp.asarray(self.logits_idx),
+            sampling=self.sampling,
+            rng_key=rng_key,
+            num_reqs=jnp.asarray(len(self.reqs), jnp.int32),
+        )
+
+
+def _sampling_arrays(reqs: List[Req], B: int) -> SamplingArrays:
+    def arr(f, dtype, pad):
+        a = np.full(B, pad, dtype=dtype)
+        for i, r in enumerate(reqs):
+            a[i] = f(r.sampling_params)
+        return jnp.asarray(a)
+
+    return SamplingArrays(
+        temperature=arr(lambda s: s.temperature, np.float32, 0.0),
+        top_k=arr(lambda s: s.top_k, np.int32, 0),
+        top_p=arr(lambda s: s.top_p, np.float32, 1.0),
+        min_p=arr(lambda s: s.min_p, np.float32, 0.0),
+        presence_penalty=arr(lambda s: s.presence_penalty, np.float32, 0.0),
+        frequency_penalty=arr(lambda s: s.frequency_penalty, np.float32, 0.0),
+        repetition_penalty=arr(lambda s: s.repetition_penalty, np.float32, 1.0),
+    )
+
+
+def _page_table_block(
+    reqs: List[Req], B: int, maxP: int, page_table_host: np.ndarray
+) -> np.ndarray:
+    pt = np.zeros((B, maxP), dtype=np.int32)
+    for i, r in enumerate(reqs):
+        row = page_table_host[r.req_slot]
+        n = min(maxP, len(r.pages))
+        pt[i, :n] = row[:n]
+    return pt
+
+
+def build_extend_batch(
+    admitted: List[Tuple[Req, int]],
+    page_table_host: np.ndarray,
+    page_size: int,
+    t_buckets: Sequence[int],
+    b_buckets: Sequence[int],
+    p_buckets: Sequence[int],
+) -> HostBatch:
+    """Admitted = [(req, n_extend_tokens)]; page lists in req.pages already
+    cover prefilled_len + n_extend (allocator ran in the scheduler)."""
+    reqs = [r for r, _ in admitted]
+    lens = [n for _, n in admitted]
+    total = sum(lens)
+    T = bucket_of(total, t_buckets)
+    B = bucket_of(len(reqs), b_buckets)
+    need_pages = max(
+        (r.prefilled_len + n + page_size - 1) // page_size for r, n in admitted
+    )
+    maxP = bucket_of(need_pages, p_buckets)
+
+    input_ids = np.zeros(T, np.int32)
+    q_req_idx = np.zeros(T, np.int32)
+    q_pos = np.zeros(T, np.int32)
+    out_slots = np.zeros(T, np.int32)
+    kv_lens = np.zeros(B, np.int32)
+    logits_idx = np.zeros(B, np.int32)
+
+    t = 0
+    for i, (r, n) in enumerate(admitted):
+        start = r.prefilled_len
+        toks = r.input_ids[start : start + n]
+        input_ids[t : t + n] = toks
+        q_req_idx[t : t + n] = i
+        q_pos[t : t + n] = np.arange(start, start + n, dtype=np.int32)
+        # slot = page[pos // P] * P + pos % P
+        pos = np.arange(start, start + n)
+        pages_arr = np.asarray(r.pages, dtype=np.int32)
+        out_slots[t : t + n] = pages_arr[pos // page_size] * page_size + pos % page_size
+        kv_lens[i] = start + n
+        logits_idx[i] = t + n - 1
+        t += n
+
+    hb = HostBatch(
+        mode=ForwardMode.EXTEND, reqs=reqs, extend_lens=lens,
+        input_ids=input_ids, q_req_idx=q_req_idx, q_pos=q_pos,
+        out_slots=out_slots,
+        page_table=_page_table_block(reqs, B, maxP, page_table_host),
+        kv_lens=kv_lens, logits_idx=logits_idx,
+        sampling=_sampling_arrays(reqs, B), T=T, B=B, maxP=maxP,
+    )
+    return hb
+
+
+def build_decode_batch(
+    reqs: List[Req],
+    page_table_host: np.ndarray,
+    page_size: int,
+    b_buckets: Sequence[int],
+    p_buckets: Sequence[int],
+) -> HostBatch:
+    """One new token per request; the token to embed is the last sampled one.
+    Pages for the new token were allocated by the scheduler already."""
+    B = bucket_of(len(reqs), b_buckets)
+    T = B
+    need_pages = max((r.kv_len + page_size) // page_size for r in reqs)
+    maxP = bucket_of(need_pages, p_buckets)
+
+    input_ids = np.zeros(T, np.int32)
+    q_req_idx = np.zeros(T, np.int32)
+    q_pos = np.zeros(T, np.int32)
+    out_slots = np.zeros(T, np.int32)
+    kv_lens = np.zeros(B, np.int32)
+    logits_idx = np.arange(B, dtype=np.int32)
+
+    for i, r in enumerate(reqs):
+        pos = r.kv_len  # writing token at index kv_len (0-based)
+        input_ids[i] = r.output_ids[-1] if r.output_ids else r.input_ids[-1]
+        q_req_idx[i] = i
+        q_pos[i] = pos
+        out_slots[i] = r.pages[pos // page_size] * page_size + pos % page_size
+        kv_lens[i] = pos + 1
+
+    return HostBatch(
+        mode=ForwardMode.DECODE, reqs=reqs,
+        input_ids=input_ids, q_req_idx=q_req_idx, q_pos=q_pos,
+        out_slots=out_slots,
+        page_table=_page_table_block(reqs, B, maxP, page_table_host),
+        kv_lens=kv_lens, logits_idx=logits_idx,
+        sampling=_sampling_arrays(reqs, B), T=T, B=B, maxP=maxP,
+    )

@@ -1,0 +1,211 @@
+"""Offline/in-process Engine API.
+
+Reference: python/sglang/srt/entrypoints/engine.py:79 Engine (generate /
+async_generate / encode / update_weights_*). Notable capability lift: the
+reference's Engine cannot run semi-PD (engine.py:107-108 raises); here the
+phase-disaggregated scheduler is the same in-process object, so
+``enable_semi_pd`` works identically offline and behind the HTTP server.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import threading
+import time
+import uuid
+from typing import Any, Dict, List, Optional, Union
+
+import numpy as np
+
+from semi_pd_tpu.config.model_config import ModelConfig
+from semi_pd_tpu.config.server_args import ServerArgs
+from semi_pd_tpu.runtime.detokenizer import incremental_detokenize, trim_stop_str
+from semi_pd_tpu.runtime.model_runner import ModelRunner
+from semi_pd_tpu.runtime.req import FinishReason, Req
+from semi_pd_tpu.runtime.scheduler import Scheduler
+from semi_pd_tpu.sampling.sampling_params import SamplingParams
+
+logger = logging.getLogger(__name__)
+
+
+class Engine:
+    def __init__(
+        self,
+        server_args: Optional[ServerArgs] = None,
+        model_config: Optional[ModelConfig] = None,
+        tokenizer=None,
+        mesh=None,
+        **kwargs,
+    ):
+        if server_args is None:
+            server_args = ServerArgs(**kwargs)
+        self.server_args = server_args
+
+        self.tokenizer = tokenizer
+        if self.tokenizer is None and server_args.tokenizer_path:
+            from transformers import AutoTokenizer
+
+            try:
+                self.tokenizer = AutoTokenizer.from_pretrained(
+                    server_args.tokenizer_path,
+                    trust_remote_code=server_args.trust_remote_code,
+                )
+            except Exception as e:  # random-weights bench without a tokenizer
+                if not server_args.random_weights:
+                    raise
+                logger.warning("no tokenizer (%s); token-id API only", e)
+
+        self.runner = ModelRunner(server_args, model_config=model_config, mesh=mesh)
+        self.scheduler = Scheduler(server_args, self.runner)
+        self._eos_ids = self._resolve_eos()
+        self._lock = threading.Lock()
+
+    def _resolve_eos(self) -> List[int]:
+        eos = []
+        tok = self.tokenizer
+        if tok is not None and tok.eos_token_id is not None:
+            eos.append(int(tok.eos_token_id))
+        hf = self.runner.model_config.hf_config
+        if hf is not None:
+            e = getattr(hf, "eos_token_id", None)
+            if isinstance(e, int):
+                eos.append(e)
+            elif isinstance(e, (list, tuple)):
+                eos.extend(int(x) for x in e)
+        return sorted(set(eos))
+
+    # ---------------------------------------------------------------- API
+    def make_request(
+        self,
+        prompt: Optional[str] = None,
+        input_ids: Optional[List[int]] = None,
+        sampling_params: Optional[Union[SamplingParams, Dict]] = None,
+        rid: Optional[str] = None,
+        stream: bool = False,
+        return_logprob: bool = False,
+    ) -> Req:
+        if isinstance(sampling_params, dict):
+            sampling_params = SamplingParams.from_dict(sampling_params)
+        sampling_params = sampling_params or SamplingParams()
+        if input_ids is None:
+            assert prompt is not None and self.tokenizer is not None
+            input_ids = self.tokenizer.encode(prompt)
+        return Req(
+            rid=rid or uuid.uuid4().hex,
+            input_ids=list(input_ids),
+            sampling_params=sampling_params,
+            eos_token_ids=self._eos_ids,
+            stream=stream,
+            return_logprob=return_logprob,
+        )
+
+    def generate(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+        sampling_params: Optional[Union[SamplingParams, Dict]] = None,
+        return_logprob: bool = False,
+    ) -> Union[Dict, List[Dict]]:
+        """Synchronous batch generation (reference engine.py:122 generate)."""
+        single = False
+        if prompt is not None and isinstance(prompt, str):
+            prompt, single = [prompt], True
+        if input_ids is not None and input_ids and isinstance(input_ids[0], int):
+            input_ids, single = [input_ids], True
+
+        reqs = []
+        n = len(prompt) if prompt is not None else len(input_ids)
+        for i in range(n):
+            reqs.append(
+                self.make_request(
+                    prompt=prompt[i] if prompt else None,
+                    input_ids=input_ids[i] if input_ids else None,
+                    sampling_params=sampling_params,
+                    return_logprob=return_logprob,
+                )
+            )
+        with self._lock:
+            for r in reqs:
+                self.scheduler.add_request(r)
+            self._run_until_done(reqs)
+        outs = [self._to_output(r) for r in reqs]
+        return outs[0] if single else outs
+
+    def _run_until_done(self, reqs: List[Req]) -> None:
+        pending = {r.rid for r in reqs if not r.finished}
+        guard = 0
+        while pending:
+            produced = self.scheduler.tick()
+            for req, tok in produced:
+                if tok < 0:
+                    continue
+                self._post_token(req)
+                if req.finished and req.rid in pending:
+                    pending.discard(req.rid)
+            if not produced:
+                guard += 1
+                if guard > 10000 or not self.scheduler.has_work():
+                    break
+            else:
+                guard = 0
+        for r in reqs:
+            if not r.finished:
+                r.finish_reason = FinishReason.ABORT
+
+    def _post_token(self, req: Req) -> None:
+        """Per-token host work: detokenize, stop-string check."""
+        if self.tokenizer is not None:
+            incremental_detokenize(self.tokenizer, req)
+            if not req.finished and req.sampling_params.stop:
+                req.check_finished()
+                if req.finish_reason is FinishReason.STOP_STR:
+                    self.scheduler.finish_stream_req(req)
+        if req.finished and self.tokenizer is not None:
+            incremental_detokenize(self.tokenizer, req, final=True)
+            trim_stop_str(req)
+
+    def _to_output(self, req: Req) -> Dict[str, Any]:
+        return {
+            "rid": req.rid,
+            "text": req.decoded_text,
+            "output_ids": req.full_output_ids(),
+            "meta_info": {
+                "prompt_tokens": req.origin_prompt_len,
+                "completion_tokens": len(req.output_ids) + req.n_retracted_output,
+                "finish_reason": req.finish_reason.value,
+                "cached_tokens": req.cached_tokens,
+                "output_logprobs": req.output_logprobs if req.return_logprob else None,
+            },
+        }
+
+    # ---------------------------------------------------------- maintenance
+    def flush_cache(self) -> bool:
+        """Reference scheduler.py flush_cache_wrapped: only when idle."""
+        if self.scheduler.has_work():
+            return False
+        self.scheduler.tree_cache.evict(10**9)
+        self.scheduler.check_memory()
+        return True
+
+    def update_weights_from_disk(self, model_path: str) -> bool:
+        from semi_pd_tpu.model_loader.loader import iterate_hf_weights
+
+        self.runner.update_weights(iterate_hf_weights(model_path))
+        return True
+
+    def get_server_info(self) -> Dict[str, Any]:
+        s = self.scheduler
+        return {
+            "model_path": self.server_args.model_path,
+            "is_semi_pd": self.server_args.enable_semi_pd,
+            "num_running": len(s.running),
+            "num_waiting": len(s.waiting),
+            "finished": s.n_finished,
+            "retracted": s.n_retracted,
+            "prefill_tokens": s.n_prefill_tokens,
+            "decode_tokens": s.n_decode_tokens,
+            "cached_prefix_tokens": s.n_cached_prefix_tokens,
+            "kv_pages_free": self.runner.page_allocator.available_pages(),
+            "kv_pages_total": self.runner.page_allocator.num_pages - 1,
+        }

@@ -1,0 +1,72 @@
+"""Device-side batch representation.
+
+TPU-native counterpart of the reference's ForwardBatch / ForwardMode
+(reference: srt/model_executor/forward_batch_info.py:53-110,131,226). One
+ragged layout serves both phases: query tokens of all requests concatenated
+to a flat, bucket-padded [T]; per-token arrays map tokens to requests and
+absolute positions. A decode batch is the special case T == B with one token
+per request. Shapes are static per (T_bucket, B_bucket, maxP_bucket) so each
+bucket compiles once (the role of CUDA-graph capture sizes,
+cuda_graph_runner.py:109).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semi_pd_tpu.ops.sampling import SamplingArrays
+
+
+class ForwardMode(enum.Enum):
+    EXTEND = "extend"  # prefill / chunked prefill continuation
+    DECODE = "decode"
+    IDLE = "idle"
+
+
+class ForwardArrays(NamedTuple):
+    """Everything the jitted step program needs, all device arrays.
+
+    Padding convention: padded token rows have q_req_idx pointing at row 0
+    with q_pos 0 (outputs ignored) and out_slots inside the dump page (page
+    0), so scatters are harmless. Padded batch rows have kv_lens 0.
+    """
+
+    input_ids: jax.Array  # [T] i32
+    q_req_idx: jax.Array  # [T] i32 — batch row of each token
+    q_pos: jax.Array  # [T] i32 — absolute position in its request
+    out_slots: jax.Array  # [T] i32 — KV slot this token's K/V is written to
+    page_table: jax.Array  # [B, maxP] i32
+    kv_lens: jax.Array  # [B] i32 — total kv length incl. this step's tokens
+    logits_idx: jax.Array  # [B] i32 — index into [T] of each request's last token
+    sampling: SamplingArrays  # per-request [B]
+    rng_key: jax.Array  # PRNG key for sampling
+    num_reqs: jax.Array  # [] i32 — actual (unpadded) request count
+
+
+def make_idle_batch(T: int, B: int, maxP: int) -> "ForwardArrays":
+    z = lambda n, d=jnp.int32: jnp.zeros(n, dtype=d)
+    return ForwardArrays(
+        input_ids=z(T),
+        q_req_idx=z(T),
+        q_pos=z(T),
+        out_slots=z(T),
+        page_table=z((B, maxP)),
+        kv_lens=z(B),
+        logits_idx=z(B),
+        sampling=SamplingArrays(
+            temperature=jnp.zeros(B, jnp.float32),
+            top_k=z(B),
+            top_p=jnp.ones(B, jnp.float32),
+            min_p=jnp.zeros(B, jnp.float32),
+            presence_penalty=jnp.zeros(B, jnp.float32),
+            frequency_penalty=jnp.zeros(B, jnp.float32),
+            repetition_penalty=jnp.ones(B, jnp.float32),
+        ),
+        rng_key=jax.random.PRNGKey(0),
+        num_reqs=jnp.zeros((), jnp.int32),
+    )

@@ -1,0 +1,207 @@
+"""ModelRunner: device setup, model + weights, KV pool sizing, jitted step
+programs.
+
+Reference: python/sglang/srt/model_executor/model_runner.py (init dist env
+:285, load_model :626, init_memory_pool :951 profiling KV size, forward
+:1257, sample :1294) + cuda_graph_runner.py (static decode shapes).
+
+TPU-native structure: ONE process drives the whole mesh. The step program is
+``(params, k_cache, v_cache, fb) -> (next_tokens, logprobs, new_key, k', v')``
+jitted with the KV buffers donated — XLA aliases them in place, which *is*
+the unified storage both phases share (the role of the reference's CUDA IPC
+export/import, model_runner.py:346-624). Prefill and decode are just
+different bucket shapes of this program; semi-PD dispatches them back to back
+on the same buffers.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from semi_pd_tpu.config.model_config import ModelConfig
+from semi_pd_tpu.config.server_args import ServerArgs
+from semi_pd_tpu.layers import attention as attention_backend
+from semi_pd_tpu.mem.pool import KVCache, KVCacheSpec, PageAllocator, ReqToPagePool
+from semi_pd_tpu.model_loader.loader import device_put_params, load_params
+from semi_pd_tpu.models.registry import create_model
+from semi_pd_tpu.ops import sampling as sampling_ops
+from semi_pd_tpu.runtime.forward_batch import ForwardArrays
+
+logger = logging.getLogger(__name__)
+
+KV_DTYPES = {
+    "bfloat16": jnp.bfloat16,
+    "float32": jnp.float32,
+    "fp8_e4m3": jnp.float8_e4m3fn,
+    "fp8_e5m2": jnp.float8_e5m2,
+}
+
+
+class ModelRunner:
+    def __init__(
+        self,
+        server_args: ServerArgs,
+        model_config: Optional[ModelConfig] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.server_args = server_args
+        self.mesh = mesh
+
+        if model_config is None:
+            model_config = ModelConfig.from_model_path(
+                server_args.model_path,
+                trust_remote_code=server_args.trust_remote_code,
+                context_length=server_args.context_length,
+                dtype=server_args.dtype,
+                quantization=server_args.quantization,
+            )
+        self.model_config = model_config
+        self.model = create_model(model_config)
+        self.model.page_size = server_args.page_size
+
+        # Attention backend: pallas on TPU, jnp reference elsewhere
+        platform = jax.devices()[0].platform
+        backend = "pallas" if platform in ("tpu", "axon") else "reference"
+        attention_backend.set_attention_backend(backend)
+        logger.info("attention backend: %s (platform %s)", backend, platform)
+
+        self._load_weights()
+        self._init_memory_pool()
+        self._build_step_fns()
+        self.rng_key = jax.random.PRNGKey(server_args.seed)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._replicated = NamedSharding(self.mesh, P())
+            self.rng_key = jax.device_put(self.rng_key, self._replicated)
+        else:
+            self._replicated = None
+
+    # ------------------------------------------------------------- weights
+    def _load_weights(self):
+        t0 = time.monotonic()
+        if self.server_args.random_weights or not self.server_args.model_path:
+            host = self.model.init_params(self.server_args.seed)
+            self.params = device_put_params(host, self.model, self.mesh)
+        else:
+            self.params = load_params(
+                self.model, model_path=self.server_args.model_path, mesh=self.mesh
+            )
+        n_bytes = sum(
+            x.size * x.dtype.itemsize for x in jax.tree.leaves(self.params)
+        )
+        logger.info(
+            "weights ready: %.2f GiB in %.1fs", n_bytes / 2**30, time.monotonic() - t0
+        )
+        self.weight_bytes = n_bytes
+
+    # ------------------------------------------------------------- memory
+    def _init_memory_pool(self):
+        args, mc = self.server_args, self.model_config
+        page_size = args.page_size
+        if args.kv_cache_dtype == "auto":
+            kv_dtype = KV_DTYPES.get(mc.dtype, jnp.bfloat16)
+        else:
+            kv_dtype = KV_DTYPES[args.kv_cache_dtype]
+
+        if args.max_total_tokens:
+            num_tokens = args.max_total_tokens
+        else:
+            num_tokens = self._profile_kv_tokens(kv_dtype)
+        num_pages = max(num_tokens // page_size, 8) + 1  # +1 dump page
+
+        max_context = min(mc.context_length, num_tokens)
+        self.max_running_requests = args.max_running_requests or min(
+            max(num_tokens // 512, 16), 512
+        )
+
+        self.kv_spec = KVCacheSpec(
+            num_layers=mc.num_hidden_layers,
+            num_pages=num_pages,
+            page_size=page_size,
+            num_kv_heads=mc.num_kv_heads_total,
+            head_dim=mc.kv_head_dim,
+            dtype=kv_dtype,
+            use_mla=mc.use_mla,
+        )
+        kv_sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = "tp" if (not mc.use_mla and mc.num_kv_heads_total % self.mesh.shape["tp"] == 0 and mc.num_kv_heads_total >= self.mesh.shape["tp"]) else None
+            kv_sharding = NamedSharding(self.mesh, P(None, None, axis, None))
+        self.kv_cache = KVCache(self.kv_spec, sharding=kv_sharding)
+        self.page_allocator = PageAllocator(num_pages, page_size)
+        self.req_pool = ReqToPagePool(self.max_running_requests, max_context, page_size)
+        self.max_context_len = max_context
+        logger.info(
+            "KV pool: %d pages x %d tokens (%.2f GiB, dtype %s), max_running=%d",
+            num_pages, page_size, self.kv_spec.bytes_total() / 2**30,
+            kv_dtype.__name__, self.max_running_requests,
+        )
+
+    def _profile_kv_tokens(self, kv_dtype) -> int:
+        """Size the KV pool from free HBM (reference model_runner.py:951
+        profile_max_num_token)."""
+        mc = self.model_config
+        per_token = (
+            mc.num_hidden_layers
+            * mc.num_kv_heads_total
+            * mc.kv_head_dim
+            * np.dtype(kv_dtype).itemsize
+            * (1 if mc.use_mla else 2)
+        )
+        dev = jax.devices()[0]
+        stats = getattr(dev, "memory_stats", lambda: None)() or {}
+        limit = stats.get("bytes_limit")
+        in_use = stats.get("bytes_in_use", 0)
+        if limit:
+            frac = self.server_args.mem_fraction_static or 0.9
+            free = limit * frac - in_use
+            tokens = int(free // per_token)
+            return max(tokens, 4096)
+        # CPU / unknown platform: small default for tests
+        return 32768
+
+    # ------------------------------------------------------------- step fn
+    def _build_step_fns(self):
+        model = self.model
+
+        def _step(params, kv, fb: ForwardArrays):
+            logits, kv = model.forward(params, fb, kv)
+            new_key, sample_key = jax.random.split(fb.rng_key)
+            next_tokens = sampling_ops.sample(logits, fb.sampling, sample_key)
+            logprobs = sampling_ops.compute_logprobs(logits, next_tokens)
+            return next_tokens, logprobs, new_key, kv
+
+        # donate kv buffers: in-place updates on the unified storage
+        self.step_fn = _step  # unjitted (graft entry / tests)
+        self._step_jit = jax.jit(_step, donate_argnums=(1,))
+
+    def step(self, fb: ForwardArrays) -> Tuple[jax.Array, jax.Array]:
+        """Dispatch one (prefill or decode) step. Returns device arrays
+        (next_tokens [B], logprobs [B]); KV buffers and RNG key are threaded
+        internally. Non-blocking (JAX async dispatch)."""
+        fb = fb._replace(rng_key=self.rng_key)
+        if self._replicated is not None:
+            fb = jax.device_put(fb, self._replicated)
+        next_tokens, logprobs, new_key, kv = self._step_jit(
+            self.params, self.kv_cache.arrays, fb
+        )
+        self.kv_cache.update(kv)
+        self.rng_key = new_key
+        return next_tokens, logprobs
+
+    # ------------------------------------------------------------- misc
+    def update_weights(self, weights_iter) -> None:
+        """Live weight update (reference model_runner.py:733
+        update_weights_from_disk / :845 from_distributed). Both phases see the
+        new weights atomically because there is one params pytree."""
+        self.params = load_params(self.model, weights=weights_iter, mesh=self.mesh)

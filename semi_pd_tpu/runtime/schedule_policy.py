@@ -1,0 +1,103 @@
+"""Admission policy for prefill batches.
+
+Reference: python/sglang/srt/managers/schedule_policy.py — priority orders
+lpm/fcfs/lof/random (:58-71) and the PrefillAdder token-budget admission
+(:272-) including the single in-flight chunked request (:352 add_chunked_req).
+
+The adder runs against the *decode-owned* memory accounting (in semi-PD the
+reference's decode scheduler answers prefill's admission queries with exactly
+this logic, semi_pd_decode_scheduler.py:166-308; here both phases live in one
+controller so it is a plain function call).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List, Optional
+
+from semi_pd_tpu.mem.pool import PageAllocator, ReqToPagePool
+from semi_pd_tpu.runtime.req import Req
+
+
+def sort_waiting_queue(policy: str, queue: List[Req], tree_cache) -> List[Req]:
+    """Reference schedule_policy.py:58-71 calc_priority."""
+    if policy == "fcfs":
+        return list(queue)
+    if policy == "lof":  # longest output first
+        return sorted(queue, key=lambda r: -r.sampling_params.max_new_tokens)
+    if policy == "random":
+        q = list(queue)
+        random.shuffle(q)
+        return q
+    # lpm: longest cached prefix match first (default)
+    if tree_cache is None:
+        return list(queue)
+    scored = []
+    for r in queue:
+        pages, _ = tree_cache.match_prefix(r.input_ids)
+        scored.append((len(pages), r))
+    scored.sort(key=lambda x: -x[0])
+    return [r for _, r in scored]
+
+
+class PrefillAdder:
+    """Selects which waiting requests join the next prefill batch, bounded by
+    a token budget and page availability, with decode headroom reserved."""
+
+    def __init__(
+        self,
+        page_allocator: PageAllocator,
+        req_pool: ReqToPagePool,
+        token_budget: int,
+        page_size: int,
+        running_reqs: List[Req],
+        retract_headroom_tokens: int = 0,
+        max_batch_rows: int = 64,
+    ):
+        self.page_allocator = page_allocator
+        self.req_pool = req_pool
+        self.rem_tokens = token_budget
+        self.page_size = page_size
+        self.max_batch_rows = max_batch_rows
+        self.can_run: List[tuple] = []  # (req, n_extend_tokens)
+        # Pages the running decode batch will need soon (headroom so admitting
+        # prefill doesn't immediately force retraction; reference
+        # schedule_policy.py rem_total_tokens accounting).
+        self._reserved_pages = (
+            retract_headroom_tokens + self.page_size - 1
+        ) // self.page_size + sum(
+            1 for r in running_reqs if r.kv_len % page_size == 0
+        )
+        self._avail_pages = page_allocator.available_pages() - self._reserved_pages
+
+    def try_add(self, req: Req, prefix_pages: int) -> Optional[int]:
+        """Attempt to admit ``req``. Returns the number of tokens to extend
+        this step (may be a chunk < remaining prompt), or None if it doesn't
+        fit at all."""
+        if len(self.can_run) >= self.max_batch_rows or self.rem_tokens <= 0:
+            return None
+        remaining = req.prefill_remaining
+        extend = min(remaining, self.rem_tokens)
+        if extend <= 0:
+            return None
+        # Pages needed to hold kv up to prefilled_len + extend (+1 decode token
+        # of headroom when this is the final chunk).
+        target_kv = req.prefilled_len + extend
+        have_pages = len(req.pages)
+        need = (target_kv + self.page_size - 1) // self.page_size - have_pages
+        if need > self._avail_pages:
+            # Shrink to what fits (chunk by memory), page-aligned.
+            fit_tokens = (have_pages + self._avail_pages) * self.page_size - req.prefilled_len
+            extend = min(extend, fit_tokens)
+            if extend <= 0:
+                return None
+            target_kv = req.prefilled_len + extend
+            need = (target_kv + self.page_size - 1) // self.page_size - have_pages
+        if req.req_slot is None and self.req_pool.available_slots() <= len(
+            [r for r, _ in self.can_run if r.req_slot is None]
+        ):
+            return None
+        self._avail_pages -= need
+        self.rem_tokens -= extend
+        self.can_run.append((req, extend))
+        return extend

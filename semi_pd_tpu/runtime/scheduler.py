@@ -1,0 +1,441 @@
+"""Continuous-batching scheduler with phase-wise disaggregated computation.
+
+This is the TPU re-derivation of Semi-PD's three mechanisms (SURVEY.md §0):
+
+1. **Compute isolation without MPS.** The reference runs prefill/decode as OS
+   processes under CUDA MPS SM-partitioning (engine.py:591-642). A TPU core
+   runs one program at a time, so isolation is re-derived as a *cadence
+   guarantee*: every tick dispatches the decode step first, then at most one
+   prefill chunk whose size is adaptively bounded so
+   ``t_decode + t_chunk <= decode_slo_ms``. The chunk budget is the
+   SM-percentage-equivalent knob (ServerArgs.semi_pd_prefill_share /
+   decode_slo_ms); a measured per-token prefill cost model (EWMA) converts
+   the time budget to tokens.
+
+2. **Unified storage for free.** Both phases are shapes of one jitted program
+   over the same donated KV buffers (model_runner.py); there is no IPC
+   (reference semi-pd-ipc/ipc.cpp + model_runner.py:346-624) because there is
+   nothing to share across — one process, one HBM pool, one page table.
+
+3. **Decode-owned admission.** The reference's asymmetric ZMQ protocol
+   (P asks D for the next prefill batch, semi_pd_decode_scheduler.py:310;
+   pre-allocated slots travel in GetNextPrefillBatchOutput io_struct.py:734)
+   survives as the *algorithm*: the same PrefillAdder runs against the
+   decode-owned allocator, slots/pages are pre-allocated before the prefill
+   program runs, retracted decodes re-queue at the head
+   (semi_pd_scheduler.py:52-56), and finished prefills merge into the running
+   batch in FIFO order (semi_pd_decode_scheduler.py:339-377).
+
+Colocated baseline mode (enable_semi_pd=False) reproduces the reference's
+inherited SGLang loop (scheduler.py:540 event_loop_normal): prefill batches
+are prioritized and may stall decode — the baseline our bench beats.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import deque
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from semi_pd_tpu.config.server_args import ServerArgs
+from semi_pd_tpu.mem.chunk_cache import ChunkCache
+from semi_pd_tpu.mem.radix_cache import RadixCache
+from semi_pd_tpu.runtime.batch import (
+    HostBatch,
+    build_decode_batch,
+    build_extend_batch,
+)
+from semi_pd_tpu.runtime.forward_batch import ForwardMode
+from semi_pd_tpu.runtime.model_runner import ModelRunner
+from semi_pd_tpu.runtime.req import FinishReason, Req
+from semi_pd_tpu.runtime.schedule_policy import PrefillAdder, sort_waiting_queue
+
+logger = logging.getLogger(__name__)
+
+
+class Scheduler:
+    def __init__(self, server_args: ServerArgs, runner: ModelRunner):
+        self.args = server_args
+        self.runner = runner
+        self.page_size = server_args.page_size
+
+        self.waiting: deque[Req] = deque()
+        self.running: List[Req] = []
+        self.reqs_by_rid: Dict[str, Req] = {}
+
+        alloc = runner.page_allocator
+        if server_args.disable_radix_cache:
+            self.tree_cache = ChunkCache(self.page_size, alloc.free)
+        else:
+            self.tree_cache = RadixCache(self.page_size, alloc.free)
+
+        # Bucket tables
+        self.t_buckets = server_args.prefill_token_buckets
+        self.b_buckets = server_args.decode_bs_buckets
+        maxp = runner.req_pool.max_pages_per_req
+        self.p_buckets = []
+        p = 8
+        while p < maxp:
+            self.p_buckets.append(p)
+            p *= 4
+        self.p_buckets.append(maxp)
+
+        # Cost model for semi-PD chunk sizing (EWMA, seconds)
+        self._prefill_cost_per_token = 50e-6
+        self._decode_cost = 5e-3
+        self._ewma = lambda old, new: 0.8 * old + 0.2 * new
+
+        # Stats
+        self.n_finished = 0
+        self.n_retracted = 0
+        self.n_cached_prefix_tokens = 0
+        self.n_prefill_tokens = 0
+        self.n_decode_tokens = 0
+
+    # ================================================================ API
+    def add_request(self, req: Req) -> None:
+        if len(req.input_ids) >= self.runner.max_context_len:
+            req.finish_reason = FinishReason.ABORT
+            return
+        self.reqs_by_rid[req.rid] = req
+        self.waiting.append(req)
+
+    def abort_request(self, rid: str) -> None:
+        req = self.reqs_by_rid.get(rid)
+        if req is None or req.finished:
+            return
+        req.finish_reason = FinishReason.ABORT
+        if req in self.running:
+            self.running.remove(req)
+            self._release_finished(req)
+        elif req in self.waiting:
+            self.waiting.remove(req)
+            if req.pages or req.req_slot is not None:
+                self._release_finished(req)
+
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.running)
+
+    def finish_stream_req(self, req: Req) -> None:
+        """Release a request finished by a host-side condition (stop string
+        found after detokenization)."""
+        if req in self.running:
+            self.running.remove(req)
+            self._release_finished(req)
+
+    # ================================================================ tick
+    def tick(self) -> List[Tuple[Req, int]]:
+        """One scheduler iteration. Returns (req, new_token) pairs produced
+        this tick (token == -1 for non-final prefill chunks)."""
+        if self.args.enable_semi_pd:
+            return self._tick_semi_pd()
+        return self._tick_colocated()
+
+    def _tick_colocated(self) -> List[Tuple[Req, int]]:
+        """Reference event_loop_normal: run a prefill batch when one can form,
+        else a decode batch — a long prefill stalls decode for its duration."""
+        out = []
+        extend = self._form_extend_batch(self.args.chunked_prefill_size)
+        if extend is not None:
+            out += self._run_extend(extend)
+            return out
+        if self.running:
+            out += self._run_decode()
+        return out
+
+    def _tick_semi_pd(self) -> List[Tuple[Req, int]]:
+        """Decode first (cadence guaranteed), then one SLO-bounded prefill
+        chunk on the same unified storage."""
+        out = []
+        if self.running:
+            t0 = time.monotonic()
+            out += self._run_decode()
+            self._decode_cost = self._ewma(self._decode_cost, time.monotonic() - t0)
+
+        budget = self._prefill_chunk_budget()
+        extend = self._form_extend_batch(budget)
+        if extend is not None:
+            n_tok = sum(n for _, n in extend)
+            t0 = time.monotonic()
+            out += self._run_extend(extend)
+            dt = time.monotonic() - t0
+            if n_tok > 0:
+                self._prefill_cost_per_token = self._ewma(
+                    self._prefill_cost_per_token, dt / n_tok
+                )
+        return out
+
+    def _prefill_chunk_budget(self) -> int:
+        """The MPS-%-equivalent knob: tokens of prefill allowed per tick."""
+        if self.args.prefill_chunk_budget_tokens:
+            return min(
+                self.args.prefill_chunk_budget_tokens, self.args.chunked_prefill_size
+            )
+        if not self.running:
+            # No decode cadence to protect: full-size chunks.
+            return self.args.chunked_prefill_size
+        slack = self.args.decode_slo_ms / 1e3 - self._decode_cost
+        slack *= self.args.semi_pd_prefill_share
+        tokens = int(slack / max(self._prefill_cost_per_token, 1e-9))
+        tokens = (tokens // self.page_size) * self.page_size
+        return max(min(tokens, self.args.chunked_prefill_size), self.page_size)
+
+    # ================================================================ prefill
+    def _form_extend_batch(self, token_budget: int) -> Optional[List[Tuple[Req, int]]]:
+        if not self.waiting or token_budget <= 0:
+            return None
+        ordered = sort_waiting_queue(
+            self.args.schedule_policy, list(self.waiting), self.tree_cache
+        )
+        adder = PrefillAdder(
+            self.runner.page_allocator,
+            self.runner.req_pool,
+            token_budget,
+            self.page_size,
+            self.running,
+            retract_headroom_tokens=self.args.retract_decode_steps
+            * max(len(self.running), 1),
+            max_batch_rows=min(64, self.runner.max_running_requests),
+        )
+        admitted: List[Tuple[Req, int]] = []
+        for req in ordered:
+            if len(self.running) + len(admitted) >= self.runner.max_running_requests:
+                break
+            prefix_pages = self._attach_prefix(req)
+            n = adder.try_add(req, prefix_pages)
+            if n is None:
+                continue
+            admitted.append((req, n))
+        if not admitted:
+            return None
+        # Allocate slots + pages NOW (decode-owned pre-allocation; reference
+        # GetNextPrefillBatchOutput carries these to the P process).
+        final: List[Tuple[Req, int]] = []
+        for req, n in admitted:
+            if self._allocate_for_extend(req, n):
+                self.waiting.remove(req)
+                final.append((req, n))
+        return final or None
+
+    def _attach_prefix(self, req: Req) -> int:
+        """First-time admission: radix prefix reuse (reference
+        scheduler.py:1075 get_new_batch_prefill → match_prefix)."""
+        if req.req_slot is not None or req.prefilled_len > 0 or req.pages:
+            return len(req.pages)
+        pages, node = self.tree_cache.match_prefix(req.input_ids)
+        # Must leave >= 1 uncached token to produce logits (reference
+        # schedule_policy.py same cap).
+        max_pages = (req.prompt_len - 1) // self.page_size
+        n = min(len(pages), max_pages)
+        if n > 0:
+            req.pages = pages[:n].tolist()
+            req.n_prefix_pages = n
+            req.prefilled_len = n * self.page_size
+            req.last_node = node
+            req.cached_tokens = req.prefilled_len
+            self.tree_cache.inc_lock_ref(node)
+            self.n_cached_prefix_tokens += req.prefilled_len
+        else:
+            req.last_node = node
+        return n
+
+    def _allocate_for_extend(self, req: Req, n_tokens: int) -> bool:
+        if req.req_slot is None:
+            slot = self.runner.req_pool.alloc()
+            if slot is None:
+                return False
+            req.req_slot = slot
+            if req.pages:
+                self.runner.req_pool.write(
+                    slot, 0, np.asarray(req.pages, dtype=np.int32)
+                )
+        target_kv = req.prefilled_len + n_tokens
+        need = (
+            target_kv + self.page_size - 1
+        ) // self.page_size - len(req.pages)
+        if need > 0:
+            pages = self._alloc_pages(need)
+            if pages is None:
+                return False
+            self.runner.req_pool.write(req.req_slot, len(req.pages), pages)
+            req.pages.extend(pages.tolist())
+        return True
+
+    def _run_extend(self, admitted: List[Tuple[Req, int]]) -> List[Tuple[Req, int]]:
+        hb = build_extend_batch(
+            admitted,
+            self.runner.req_pool.page_table,
+            self.page_size,
+            self.t_buckets,
+            self.b_buckets,
+            self.p_buckets,
+        )
+        tokens, logprobs = self.runner.step(hb.to_device(self.runner.rng_key))
+        tokens = np.asarray(tokens)
+        logprobs = np.asarray(logprobs)
+        self.n_prefill_tokens += sum(n for _, n in admitted)
+
+        out = []
+        for i, (req, n) in enumerate(admitted):
+            req.prefilled_len += n
+            if req.prefilled_len >= req.prompt_len:
+                tok = int(tokens[i])
+                req.output_ids.append(tok)
+                if req.return_logprob:
+                    req.output_logprobs.append(float(logprobs[i]))
+                if req.first_token_time is None:
+                    req.first_token_time = time.monotonic()
+                req.is_retracted = False
+                req.check_finished()
+                if req.finished:
+                    self._release_finished(req)
+                else:
+                    self.running.append(req)
+                out.append((req, tok))
+            else:
+                # Mid-chunk: back to the head of the queue for the next chunk
+                # (keeps its slot/pages; reference add_chunked_req).
+                self.waiting.appendleft(req)
+                out.append((req, -1))
+        return out
+
+    # ================================================================ decode
+    def _run_decode(self) -> List[Tuple[Req, int]]:
+        if not self._prepare_decode_pages():
+            return []
+        hb = build_decode_batch(
+            self.running,
+            self.runner.req_pool.page_table,
+            self.page_size,
+            self.b_buckets,
+            self.p_buckets,
+        )
+        tokens, logprobs = self.runner.step(hb.to_device(self.runner.rng_key))
+        tokens = np.asarray(tokens)
+        logprobs = np.asarray(logprobs)
+        self.n_decode_tokens += len(self.running)
+
+        out = []
+        still_running = []
+        for i, req in enumerate(self.running):
+            tok = int(tokens[i])
+            req.output_ids.append(tok)
+            if req.return_logprob:
+                req.output_logprobs.append(float(logprobs[i]))
+            req.check_finished()
+            out.append((req, tok))
+            if req.finished:
+                self._release_finished(req)
+            else:
+                still_running.append(req)
+        self.running = still_running
+        return out
+
+    def _prepare_decode_pages(self) -> bool:
+        """Allocate the page each request needs for its next token; on
+        exhaustion retract newest requests back to waiting (reference
+        update_running_batch semi_pd_decode_scheduler.py:90-151 +
+        retract_decode schedule_batch.py:1034)."""
+        while self.running:
+            need_idx = [
+                i for i, r in enumerate(self.running)
+                if r.kv_len % self.page_size == 0
+                and len(r.pages) * self.page_size <= r.kv_len
+            ]
+            if not need_idx:
+                return True
+            pages = self._alloc_pages(len(need_idx))
+            if pages is not None:
+                for j, i in enumerate(need_idx):
+                    r = self.running[i]
+                    self.runner.req_pool.write(
+                        r.req_slot, len(r.pages), pages[j : j + 1]
+                    )
+                    r.pages.append(int(pages[j]))
+                return True
+            # Retract the newest request (LIFO — oldest keep making progress).
+            victim = self.running.pop()
+            self._retract(victim)
+            if not self.running:
+                # Everything retracted; victim alone couldn't get a page —
+                # whole pool is consumed by the radix cache; nuke it.
+                self.tree_cache.evict(10**9)
+        return bool(self.running)
+
+    def _retract(self, req: Req) -> None:
+        self.n_retracted += 1
+        self._free_req_memory(req)
+        req.reset_for_retract()
+        self.waiting.appendleft(req)
+
+    # ================================================================ memory
+    def _alloc_pages(self, n: int) -> Optional[np.ndarray]:
+        pages = self.runner.page_allocator.alloc(n)
+        if pages is None:
+            missing = n - self.runner.page_allocator.available_pages()
+            self.tree_cache.evict(missing)
+            pages = self.runner.page_allocator.alloc(n)
+        return pages
+
+    def _free_req_memory(self, req: Req) -> None:
+        """Free owned pages; shared prefix pages return to the tree."""
+        own = req.pages[req.n_prefix_pages :]
+        if own:
+            self.runner.page_allocator.free(np.asarray(own, dtype=np.int32))
+        if req.last_node is not None and req.n_prefix_pages > 0:
+            self.tree_cache.dec_lock_ref(req.last_node)
+        if req.req_slot is not None:
+            self.runner.req_pool.free(req.req_slot)
+        req.pages = []
+        req.n_prefix_pages = 0
+        req.req_slot = None
+        req.last_node = None
+
+    def _release_finished(self, req: Req) -> None:
+        """Finished: re-insert KV into the prefix cache, release the rest
+        (reference radix_cache.py:168 cache_finished_req)."""
+        self.n_finished += 1
+        req.finish_time = time.monotonic()
+        if isinstance(self.tree_cache, RadixCache):
+            kv_tokens = req.kv_len
+            n_full = kv_tokens // self.page_size
+            tokens = req.all_token_ids()[: n_full * self.page_size]
+            pages = np.asarray(req.pages[:n_full], dtype=np.int32)
+            dup, node = self.tree_cache.insert(tokens, pages)
+            # pages[:n_prefix] were always the tree's; pages[n_prefix:dup] are
+            # ours but identical content was inserted meanwhile — free ours.
+            if dup > req.n_prefix_pages:
+                self.runner.page_allocator.free(
+                    np.asarray(req.pages[req.n_prefix_pages : dup], dtype=np.int32)
+                )
+            # Tail pages beyond the cached full pages are ours to free.
+            tail = req.pages[max(n_full, req.n_prefix_pages) :]
+            if tail:
+                self.runner.page_allocator.free(np.asarray(tail, dtype=np.int32))
+            if req.last_node is not None and req.n_prefix_pages > 0:
+                self.tree_cache.dec_lock_ref(req.last_node)
+            if req.req_slot is not None:
+                self.runner.req_pool.free(req.req_slot)
+            req.pages = []
+            req.n_prefix_pages = 0
+            req.req_slot = None
+            req.last_node = None
+        else:
+            self._free_req_memory(req)
+
+    # ================================================================ debug
+    def check_memory(self) -> None:
+        """Idle-state leak check (reference scheduler.py:981-1030)."""
+        assert not self.running and not self.waiting
+        cached = self.tree_cache.total_cached_pages()
+        avail = self.runner.page_allocator.available_pages()
+        total = self.runner.page_allocator.num_pages - 1
+        if cached + avail != total:
+            raise AssertionError(
+                f"KV page leak: {avail} free + {cached} cached != {total}"
+            )
+        if self.runner.req_pool.available_slots() != self.runner.req_pool.max_reqs:
+            raise AssertionError("req slot leak")

@@ -1,0 +1,151 @@
+"""End-to-end engine tests on the CPU backend with a tiny random HF Llama:
+greedy parity vs HF generate through the full stack (scheduler, paged KV,
+radix cache, chunked prefill, retraction, semi-PD ticks).
+
+Reference test analogs: test/srt/models/test_generation_models.py (HFRunner vs
+SRTRunner) and test_retract_decode.py (fault-injected retraction)."""
+
+import numpy as np
+import pytest
+
+from semi_pd_tpu.config.model_config import ModelConfig
+from semi_pd_tpu.config.server_args import ServerArgs
+from semi_pd_tpu.runtime.engine import Engine
+from semi_pd_tpu.sampling.sampling_params import SamplingParams
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    import torch
+    from transformers import LlamaConfig as HFLlamaConfig, LlamaForCausalLM as HFLlama
+
+    cfg = HFLlamaConfig(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    return HFLlama(cfg).eval().float(), cfg
+
+
+def _mk_engine(hf_model, **kw):
+    hf, hf_cfg = hf_model
+    mc = ModelConfig.from_hf_config(hf_cfg, dtype="float32")
+    args = ServerArgs(
+        model_path="", random_weights=True, page_size=4,
+        max_total_tokens=kw.pop("max_total_tokens", 2048),
+        chunked_prefill_size=kw.pop("chunked_prefill_size", 64),
+        **kw,
+    )
+    eng = Engine(server_args=args, model_config=mc)
+    # Swap in the HF weights for parity
+    from semi_pd_tpu.model_loader.loader import load_params
+
+    eng.runner.params = load_params(
+        eng.runner.model, weights=list(hf.state_dict().items())
+    )
+    return eng
+
+
+def _hf_greedy(hf_model, prompt_ids, n):
+    """Stepwise teacher-forced greedy (no KV cache): the exact reference
+    semantic. hf.generate's cached path has different float rounding, which
+    flips near-tie argmaxes on tiny random models."""
+    import torch
+
+    hf, _ = hf_model
+    ids = list(prompt_ids)
+    out = []
+    with torch.no_grad():
+        for _ in range(n):
+            tok = int(hf(torch.tensor([ids])).logits[0, -1].argmax())
+            out.append(tok)
+            ids.append(tok)
+    return out
+
+
+@pytest.mark.parametrize("semi_pd", [False, True])
+def test_greedy_parity_and_batching(hf_model, semi_pd):
+    eng = _mk_engine(hf_model, enable_semi_pd=semi_pd)
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, 256, size=n).tolist() for n in (5, 13, 29)]
+    want = [_hf_greedy(hf_model, p, 12) for p in prompts]
+
+    sp = SamplingParams(max_new_tokens=12, temperature=0.0, ignore_eos=True)
+    outs = eng.generate(input_ids=prompts, sampling_params=sp)
+    for o, w in zip(outs, want):
+        assert o["output_ids"] == w
+    eng.scheduler.check_memory()
+
+
+def test_radix_prefix_reuse(hf_model):
+    eng = _mk_engine(hf_model)
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, size=40).tolist()
+    sp = SamplingParams(max_new_tokens=6, temperature=0.0, ignore_eos=True)
+
+    o1 = eng.generate(input_ids=base, sampling_params=sp)
+    assert o1["meta_info"]["cached_tokens"] == 0
+    # Same prompt again: long cached prefix, same greedy tokens
+    o2 = eng.generate(input_ids=base, sampling_params=sp)
+    assert o2["meta_info"]["cached_tokens"] >= 32
+    assert o2["output_ids"] == o1["output_ids"]
+    # Diverging suffix still shares the common prefix pages
+    o3 = eng.generate(input_ids=base[:20] + [9, 9, 9, 9], sampling_params=sp)
+    assert o3["meta_info"]["cached_tokens"] >= 16
+    eng.flush_cache()
+    eng.scheduler.check_memory()
+
+
+def test_chunked_prefill(hf_model):
+    eng = _mk_engine(hf_model, chunked_prefill_size=8)
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(0, 256, size=50).tolist()  # >> chunk size
+    want = _hf_greedy(hf_model, prompt, 8)
+    sp = SamplingParams(max_new_tokens=8, temperature=0.0, ignore_eos=True)
+    out = eng.generate(input_ids=prompt, sampling_params=sp)
+    assert out["output_ids"] == want
+    eng.flush_cache()
+    eng.scheduler.check_memory()
+
+
+@pytest.mark.parametrize("semi_pd", [False, True])
+def test_retraction_under_memory_pressure(hf_model, semi_pd):
+    # Pool of 144 tokens; three requests that each need ~72 tokens of KV force
+    # decode-OOM retraction; outputs must still match HF greedy exactly.
+    eng = _mk_engine(
+        hf_model, max_total_tokens=144, enable_semi_pd=semi_pd,
+        disable_radix_cache=True,
+    )
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, 256, size=40).tolist() for _ in range(3)]
+    want = [_hf_greedy(hf_model, p, 30) for p in prompts]
+    sp = SamplingParams(max_new_tokens=30, temperature=0.0, ignore_eos=True)
+    outs = eng.generate(input_ids=prompts, sampling_params=sp)
+    assert eng.scheduler.n_retracted >= 1, "test should exercise retraction"
+    for o, w in zip(outs, want):
+        assert o["output_ids"] == w
+    eng.scheduler.check_memory()
+
+
+def test_stop_conditions(hf_model):
+    eng = _mk_engine(hf_model)
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(0, 256, size=10).tolist()
+    want = _hf_greedy(hf_model, prompt, 20)
+
+    # stop_token_ids: stop at first occurrence of want[4]
+    sp = SamplingParams(
+        max_new_tokens=20, temperature=0.0, ignore_eos=True,
+        stop_token_ids=[want[4]],
+    )
+    out = eng.generate(input_ids=prompt, sampling_params=sp)
+    assert out["output_ids"] == want[:5]
+    assert out["meta_info"]["finish_reason"] == "stop_token"
+    eng.scheduler.check_memory()

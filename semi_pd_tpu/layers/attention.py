@@ -9,11 +9,11 @@ step's fresh K/V into the shared pool at the scheduler-assigned slots and
 - "reference": pure-jnp ragged attention (CPU-runnable correctness tier)
 - "pallas": Pallas ragged paged attention kernel (TPU hot path)
 
-Caches are the full stacked pool ``[L, S, Hkv, D]`` plus a (possibly traced)
-``layer_idx`` so models can ``lax.scan`` over layers: the write is a direct
-scatter at (layer_idx, slots) and the read gathers (layer_idx, page slots) —
-neither materializes a per-layer copy, which matters because under donation
-these are the multi-GB unified-storage buffers.
+The pool is ONE combined buffer ``[L, 2, S, Hkv, D]`` (component axis: K=0,
+V=1; see mem/pool.py) passed whole with a (possibly traced) ``layer_idx`` so
+models can ``lax.scan`` over layers: the write is a single scatter at
+(layer_idx, slots) and reads gather page-contiguously — no per-layer copies
+of the multi-GB donated unified-storage buffer.
 """
 
 from __future__ import annotations
@@ -41,19 +41,20 @@ def get_attention_backend() -> str:
 def paged_attention(
     q: jax.Array,  # [T, Hq, D]
     k_new: jax.Array,  # [T, Hkv, D]
-    v_new: jax.Array,  # [T, Hkv, Dv]
-    k_cache: jax.Array,  # [L, S, Hkv, D] — full pool
-    v_cache: jax.Array,  # [L, S, Hkv, Dv]
+    v_new: jax.Array,  # [T, Hkv, D]
+    kv_cache: jax.Array,  # [L, 2, S, Hkv, D] — full combined pool
     layer_idx,  # python int or traced i32 scalar
     fb: ForwardArrays,
     page_size: int,
     scale: float,
     logit_cap: Optional[float] = None,
     sliding_window: Optional[int] = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (attn_out [T, Hq, Dv], k_cache', v_cache')."""
-    k_cache = k_cache.at[layer_idx, fb.out_slots].set(k_new.astype(k_cache.dtype))
-    v_cache = v_cache.at[layer_idx, fb.out_slots].set(v_new.astype(v_cache.dtype))
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (attn_out [T, Hq, D], kv_cache')."""
+    kv_new = jnp.stack([k_new, v_new], axis=0)  # [2, T, Hkv, D]
+    kv_cache = kv_cache.at[layer_idx, :, fb.out_slots].set(
+        jnp.swapaxes(kv_new, 0, 1).astype(kv_cache.dtype)
+    )
 
     if _BACKEND == "pallas":
         from semi_pd_tpu.ops.attention.ragged_paged_attention import (
@@ -61,8 +62,8 @@ def paged_attention(
         )
 
         out = ragged_paged_attention(
-            q, k_cache, v_cache, layer_idx, fb.page_table, fb.q_req_idx,
-            fb.q_pos, fb.kv_lens, page_size=page_size, scale=scale,
+            q, kv_cache, layer_idx, fb.page_table, fb.kv_lens,
+            fb.attn_meta, page_size=page_size, scale=scale,
             logit_cap=logit_cap, sliding_window=sliding_window,
         )
     else:
@@ -71,8 +72,8 @@ def paged_attention(
         )
 
         out = ragged_paged_attention_reference(
-            q, k_cache, v_cache, layer_idx, fb.page_table, fb.q_req_idx,
+            q, kv_cache, layer_idx, fb.page_table, fb.q_req_idx,
             fb.q_pos, fb.kv_lens, page_size=page_size, scale=scale,
             logit_cap=logit_cap, sliding_window=sliding_window,
         )
-    return out, k_cache, v_cache
+    return out, kv_cache

@@ -137,26 +137,29 @@ class KVCacheSpec:
 class KVCache:
     """Device KV arrays threaded through the jitted step programs.
 
-    MHA/GQA: ``k``, ``v`` each ``[L, S, H, D]`` (reference MHATokenToKVPool
-    memory_pool.py:187-377). MLA: single ``kv`` ``[L, S, 1, rank+rope]``
-    (reference MLATokenToKVPool :379-453). FP8 KV stores e4m3 values directly
-    (jax has native fp8 dtypes; no uint8 view dance as at reference :205-208).
+    MHA/GQA: ONE buffer ``[L, 2, S, H, D]`` — component axis 0 is K, 1 is V
+    (the reference keeps separate per-layer K/V buffers, MHATokenToKVPool
+    memory_pool.py:187-377; one array here keeps donation/aliasing across the
+    two phase programs trivial). The component axis is NOT folded into the
+    minor dims because Mosaic requires lane-dim (and sublane) slices to be
+    tile-aligned — head_dim 32/64 models would break a [..., 2D] layout.
+    MLA: ``[L, 1, S, 1, rank+rope]`` (reference MLATokenToKVPool :379-453).
+    FP8 KV stores e4m3 values directly (jax has native fp8 dtypes; no uint8
+    view dance as at reference :205-208).
     """
 
     def __init__(self, spec: KVCacheSpec, sharding=None):
         self.spec = spec
-        shape = (spec.num_layers, spec.num_slots, spec.num_kv_heads, spec.head_dim)
+        ncomp = 1 if spec.use_mla else 2
+        shape = (
+            spec.num_layers, ncomp, spec.num_slots, spec.num_kv_heads,
+            spec.head_dim,
+        )
 
-        def mk():
-            arr = jnp.zeros(shape, dtype=spec.dtype)
-            if sharding is not None:
-                arr = jax.device_put(arr, sharding)
-            return arr
-
-        if spec.use_mla:
-            self.buffers: Tuple[jax.Array, ...] = (mk(),)
-        else:
-            self.buffers = (mk(), mk())
+        arr = jnp.zeros(shape, dtype=spec.dtype)
+        if sharding is not None:
+            arr = jax.device_put(arr, sharding)
+        self.buffers: Tuple[jax.Array, ...] = (arr,)
 
     @property
     def arrays(self) -> Tuple[jax.Array, ...]:

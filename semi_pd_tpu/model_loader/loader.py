@@ -124,10 +124,12 @@ def load_params(
     specs = model.param_specs()
     plan = model.hf_weight_plan()
 
-    # Compile name templates to regexes.
+    # Compile name templates to regexes ({L} = layer index, {E} = expert index).
     compiled = []
     for tmpl, action in plan.items():
-        pattern = re.escape(tmpl).replace(re.escape("{L}"), r"(\d+)")
+        pattern = re.escape(tmpl)
+        pattern = pattern.replace(re.escape("{L}"), r"(?P<L>\d+)")
+        pattern = pattern.replace(re.escape("{E}"), r"(?P<E>\d+)")
         compiled.append((re.compile("^" + pattern + "$"), tmpl, action))
 
     # Host-side staging buffers in target dtype.
@@ -147,8 +149,12 @@ def load_params(
                 continue
             arr = _TRANSFORMS[transform](_to_numpy(tensor))
             dest = _get_path(host, path)
-            layer = int(m.group(1)) if m.groups() else None
-            target = dest[layer] if layer is not None else dest
+            gd = m.groupdict()
+            target = dest
+            if "L" in gd:
+                target = target[int(gd["L"])]
+            if "E" in gd:
+                target = target[int(gd["E"])]
             if out_slice is not None:
                 start, size = out_slice
                 target[..., start : start + size] = arr.astype(target.dtype)

@@ -62,6 +62,12 @@ class LlamaForCausalLM:
         # Set by the runner before tracing (static under jit): property of the
         # memory pool, not the checkpoint.
         self.page_size = 16
+        # scan_layers=True compiles O(1) in depth (lax.scan over stacked
+        # params); False unrolls with python-int layer indices. The runner
+        # picks per platform (Mosaic on v5e was observed to hang compiling
+        # DMA offsets derived from traced layer indices; unrolled is the
+        # conservative TPU default until that is root-caused).
+        self.scan_layers = True
 
     # ------------------------------------------------------------- specs
     def param_specs(self) -> Dict[str, Any]:
@@ -73,8 +79,7 @@ class LlamaForCausalLM:
             "qkv_proj": {"w": jax.ShapeDtypeStruct((L, H, qkv_out), d)},
             "o_proj": {"w": jax.ShapeDtypeStruct((L, self.q_size, H), d)},
             "post_norm": jax.ShapeDtypeStruct((L, H), d),
-            "gate_up": {"w": jax.ShapeDtypeStruct((L, H, 2 * c.intermediate_size), d)},
-            "down": {"w": jax.ShapeDtypeStruct((L, c.intermediate_size, H), d)},
+            **self._mlp_specs(),
         }
         if c.attention_bias:
             layer["qkv_proj"]["b"] = jax.ShapeDtypeStruct((L, qkv_out), d)
@@ -95,8 +100,7 @@ class LlamaForCausalLM:
             "qkv_proj": {"w": P(None, None, "tp")},
             "o_proj": {"w": P(None, "tp", None)},
             "post_norm": P(),
-            "gate_up": {"w": P(None, None, "tp")},
-            "down": {"w": P(None, "tp", None)},
+            **self._mlp_pspecs(),
         }
         if c.attention_bias:
             layer["qkv_proj"]["b"] = P(None, "tp")
@@ -138,9 +142,7 @@ class LlamaForCausalLM:
             "model.layers.{L}.self_attn.k_proj.weight": ("layers.qkv_proj.w", (self.q_size, self.kv_size), "t"),
             "model.layers.{L}.self_attn.v_proj.weight": ("layers.qkv_proj.w", (self.q_size + self.kv_size, self.kv_size), "t"),
             "model.layers.{L}.self_attn.o_proj.weight": ("layers.o_proj.w", None, "t"),
-            "model.layers.{L}.mlp.gate_proj.weight": ("layers.gate_up.w", (0, self.config.intermediate_size), "t"),
-            "model.layers.{L}.mlp.up_proj.weight": ("layers.gate_up.w", (self.config.intermediate_size, self.config.intermediate_size), "t"),
-            "model.layers.{L}.mlp.down_proj.weight": ("layers.down.w", None, "t"),
+            **self._mlp_weight_plan(),
         }
         if self.config.attention_bias:
             plan.update({
@@ -160,28 +162,33 @@ class LlamaForCausalLM:
         kv: Tuple[jax.Array, ...],
     ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
         c = self.config
-        k_cache, v_cache = kv
+        (kv_cache,) = kv
         h = jnp.take(params["embed"]["w"], fb.input_ids, axis=0)
 
-        layer_ids = jnp.arange(c.num_hidden_layers, dtype=jnp.int32)
+        if self.scan_layers:
+            layer_ids = jnp.arange(c.num_hidden_layers, dtype=jnp.int32)
 
-        def body(carry, xs):
-            h, k_cache, v_cache = carry
-            lp, lid = xs
-            h, k_cache, v_cache = self._layer(lp, lid, h, k_cache, v_cache, fb)
-            return (h, k_cache, v_cache), None
+            def body(carry, xs):
+                h, kv_cache = carry
+                lp, lid = xs
+                h, kv_cache = self._layer(lp, lid, h, kv_cache, fb)
+                return (h, kv_cache), None
 
-        (h, k_cache, v_cache), _ = jax.lax.scan(
-            body, (h, k_cache, v_cache), (params["layers"], layer_ids)
-        )
+            (h, kv_cache), _ = jax.lax.scan(
+                body, (h, kv_cache), (params["layers"], layer_ids)
+            )
+        else:
+            for l in range(c.num_hidden_layers):
+                lp = jax.tree.map(lambda x: x[l], params["layers"])
+                h, kv_cache = self._layer(lp, l, h, kv_cache, fb)
 
         h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
         last_h = h[fb.logits_idx]  # [B, H]
         head = params.get("lm_head") or {"w": params["embed"]["w"].T}
         logits = lm_head_logits(last_h, head, c.logit_softcap)
-        return logits, (k_cache, v_cache)
+        return logits, (kv_cache,)
 
-    def _layer(self, lp, layer_idx, h, k_cache, v_cache, fb: ForwardArrays):
+    def _layer(self, lp, layer_idx, h, kv_cache, fb: ForwardArrays):
         c = self.config
         T = h.shape[0]
 
@@ -194,8 +201,8 @@ class LlamaForCausalLM:
         q, k = self.rope(fb.q_pos, q, k)
 
         sliding = c.sliding_window
-        attn_out, k_cache, v_cache = paged_attention(
-            q, k, v, k_cache, v_cache, layer_idx, fb,
+        attn_out, kv_cache = paged_attention(
+            q, k, v, kv_cache, layer_idx, fb,
             page_size=self.page_size, scale=self.scale,
             logit_cap=c.attn_logit_softcap, sliding_window=sliding,
         )
@@ -203,6 +210,31 @@ class LlamaForCausalLM:
         h = h + attn_out
 
         mlp_in = rms_norm(h, lp["post_norm"], c.rms_norm_eps)
-        mlp = self.act(apply_linear(lp["gate_up"], mlp_in))
-        mlp = apply_linear(lp["down"], mlp)
-        return h + mlp, k_cache, v_cache
+        return h + self._mlp(lp, mlp_in), kv_cache
+
+    # ------------------------------------------------- MLP hooks (overridable
+    # by MoE subclasses: qwen2_moe.py, deepseek_v2.py)
+    def _mlp_specs(self) -> Dict[str, Any]:
+        c, d = self.config, self.dtype
+        L, H = c.num_hidden_layers, c.hidden_size
+        return {
+            "gate_up": {"w": jax.ShapeDtypeStruct((L, H, 2 * c.intermediate_size), d)},
+            "down": {"w": jax.ShapeDtypeStruct((L, c.intermediate_size, H), d)},
+        }
+
+    def _mlp_pspecs(self) -> Dict[str, Any]:
+        return {
+            "gate_up": {"w": P(None, None, "tp")},
+            "down": {"w": P(None, "tp", None)},
+        }
+
+    def _mlp_weight_plan(self) -> Dict[str, Any]:
+        I = self.config.intermediate_size
+        return {
+            "model.layers.{L}.mlp.gate_proj.weight": ("layers.gate_up.w", (0, I), "t"),
+            "model.layers.{L}.mlp.up_proj.weight": ("layers.gate_up.w", (I, I), "t"),
+            "model.layers.{L}.mlp.down_proj.weight": ("layers.down.w", None, "t"),
+        }
+
+    def _mlp(self, lp, x):
+        return apply_linear(lp["down"], self.act(apply_linear(lp["gate_up"], x)))

@@ -1,0 +1,372 @@
+"""Pallas TPU ragged paged attention (extend + decode).
+
+The hot kernel of the framework — TPU-native replacement for the reference's
+flashinfer paged attention wrappers (srt/layers/attention/flashinfer_backend.py)
+and its Triton extend/decode kernels (srt/layers/attention/triton_ops/
+{extend,decode}_attention.py). One kernel serves both phases over the shared
+paged KV pool (unified storage).
+
+Design (flash attention over paged KV, ragged flat query layout):
+
+- Queries stay in the flat ragged layout ``[T, Hq, D]`` (tokens of all
+  sequences concatenated — no per-sequence padding, so no [B, maxQ] memory
+  blow-up). The host precomputes a **work list** of query blocks: for block
+  i, ``block_seq[i]`` = sequence, ``block_row[i]`` = first flat row,
+  ``block_qofs[i]`` = offset within that sequence's new tokens (see
+  runtime/batch.py make_attn_meta). Padded entries carry seq -1.
+- Grid ``(NQB, KB)``: per query block, per KV block. KB is innermost and
+  sequentially executed; online-softmax stats live in VMEM scratch across KB
+  steps. Inactive (block, kv) cells predicate off.
+- KV blocks are gathered page-by-page from the HBM pool ([L, 2, S, Hkv, D],
+  K/V on the component axis) with manual async DMA driven by the
+  scalar-prefetched page table, double-buffered so block ki+1 streams in
+  while ki computes.
+- A query block may overrun its sequence's tail into the next sequence's
+  rows (reads are masked). The overrun rows of the *output* are clobbered
+  with zeros, but grid order is ascending over sequences, so the next
+  sequence's own blocks rewrite them — each row's last writer is its own
+  block. Output DMA is awaited before the next cell reuses the buffer.
+- GQA via dot_general with the kv-head axis as batch dim; fp32 accumulation;
+  optional logit softcap (gemma2/grok) and sliding window.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+class AttnMeta(NamedTuple):
+    """Host-precomputed ragged-attention metadata (all int32 device arrays).
+
+    q_lens/q_start: per sequence [B] — number of new (query) tokens and the
+    absolute position of the first one. block_*: the query-block work list
+    [NQB] (padded with seq = -1)."""
+
+    q_lens: jax.Array
+    q_start: jax.Array
+    block_seq: jax.Array
+    block_row: jax.Array
+    block_qofs: jax.Array
+
+
+def make_attn_meta_host(
+    q_lens: np.ndarray, T: int, q_block_size: int
+) -> tuple:
+    """Build the work list on the host (numpy). Returns (block_seq,
+    block_row, block_qofs) padded to the static bucket size
+    ``num_q_blocks(T, B, q_block_size)``."""
+    B = len(q_lens)
+    nqb = num_q_blocks(T, B, q_block_size)
+    block_seq = np.full(nqb, -1, np.int32)
+    block_row = np.zeros(nqb, np.int32)
+    block_qofs = np.zeros(nqb, np.int32)
+    i = 0
+    row = 0
+    for b in range(B):
+        n = int(q_lens[b])
+        for ofs in range(0, n, q_block_size):
+            block_seq[i] = b
+            block_row[i] = row + ofs
+            block_qofs[i] = ofs
+            i += 1
+        row += n
+    return block_seq, block_row, block_qofs
+
+
+def num_q_blocks(T: int, B: int, q_block_size: int) -> int:
+    """Static upper bound on work-list length: every sequence contributes at
+    most one partial block; full blocks are bounded by T // q_block_size."""
+    return min(T // q_block_size + B, (T + q_block_size - 1) // q_block_size + B)
+
+
+def _rpa_kernel(
+    # scalar prefetch
+    layer_ref,  # [1]
+    num_slots_ref,  # [1] = S (for flat-row offset arithmetic)
+    page_table_ref,  # [B, maxP] (SMEM)
+    kv_lens_ref,  # [B]
+    q_lens_ref,  # [B]
+    q_start_ref,  # [B]
+    block_seq_ref,  # [NQB]
+    block_row_ref,  # [NQB]
+    block_qofs_ref,  # [NQB]
+    # inputs (ANY/HBM)
+    q_hbm,  # [Tpad, Hq, D]
+    kv_hbm,  # [L*2*S, Hkv, D] flattened pool; row of (layer, comp, slot) =
+             #   (layer*2 + comp)*S + slot. Flat because Mosaic DMA handles
+             #   dynamic pl.ds offsets on the major dim but hangs on dynamic
+             #   *indexing* of a leading array axis (observed on v5e).
+    # outputs
+    out_hbm,  # [Tpad, Hq, D]
+    # scratch
+    q_buf,  # [QBLK, Hq, D]
+    k_buf,  # [2, KVBLK, Hkv, D] (slot, ...)
+    v_buf,  # [2, KVBLK, Hkv, D]
+    o_buf,  # [QBLK, Hq, D]
+    m_scr,  # [Hkv, QG] f32  (lane-padded by mosaic)
+    l_scr,  # [Hkv, QG] f32
+    acc_scr,  # [Hkv, QG, D] f32
+    q_sem,
+    kv_sems,  # [2, 2] DMA sems (slot, k/v)
+    o_sem,
+    *,
+    page_size: int,
+    QBLK: int,
+    KVBLK: int,
+    scale: float,
+    logit_cap: Optional[float],
+    sliding_window: Optional[int],
+):
+    i = pl.program_id(0)
+    ki = pl.program_id(1)
+
+    ppb = KVBLK // page_size
+    layer = layer_ref[0]
+    S = num_slots_ref[0]
+    k_base = (layer * 2 + 0) * S
+    v_base = (layer * 2 + 1) * S
+    b = block_seq_ref[i]
+    bsafe = jnp.maximum(b, 0)
+    row0 = block_row_ref[i]
+    qofs = block_qofs_ref[i]
+    kv_len = kv_lens_ref[bsafe]
+    q_len = q_lens_ref[bsafe]
+    q_start = q_start_ref[bsafe]
+
+    n_rows = jnp.minimum(q_len - qofs, QBLK)  # valid q rows in this block
+    q_abs_lo = q_start + qofs
+    q_abs_hi = q_abs_lo + n_rows - 1
+    kv_blk_start = ki * KVBLK
+
+    block_valid = b >= 0
+    seq_active = block_valid & (kv_blk_start < kv_len)
+    causal_active = kv_blk_start <= q_abs_hi
+    first_ki = jnp.zeros((), jnp.int32)
+    if sliding_window is not None and sliding_window > 0:
+        causal_active &= (kv_blk_start + KVBLK) > (q_abs_lo - sliding_window)
+        first_ki = jnp.maximum(q_abs_lo - sliding_window + 1, 0) // KVBLK
+    active = seq_active & causal_active
+
+    last_kv = jnp.minimum(kv_len, q_abs_hi + 1)
+    last_ki = jnp.maximum((last_kv + KVBLK - 1) // KVBLK - 1, 0)
+
+    def start_kv_dma(slot, block_idx):
+        for p in range(ppb):
+            page = page_table_ref[bsafe, block_idx * ppb + p]
+            dst = pl.ds(p * page_size, page_size)
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(k_base + page * page_size, page_size)],
+                k_buf.at[slot, dst], kv_sems.at[slot, 0],
+            ).start()
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(v_base + page * page_size, page_size)],
+                v_buf.at[slot, dst], kv_sems.at[slot, 1],
+            ).start()
+
+    def wait_kv_dma(slot):
+        for p in range(ppb):
+            dst = pl.ds(p * page_size, page_size)
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(0, page_size)], k_buf.at[slot, dst],
+                kv_sems.at[slot, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(0, page_size)], v_buf.at[slot, dst],
+                kv_sems.at[slot, 1],
+            ).wait()
+
+    slot = jax.lax.rem(ki, 2)
+
+    @pl.when(active & (ki == first_ki))
+    def _():
+        # Fetch this block's q rows and the first KV block.
+        pltpu.make_async_copy(
+            q_hbm.at[pl.ds(row0, QBLK)], q_buf, q_sem
+        ).start()
+        start_kv_dma(slot, ki)
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        pltpu.make_async_copy(q_hbm.at[pl.ds(row0, QBLK)], q_buf, q_sem).wait()
+
+    @pl.when(active)
+    def _():
+        @pl.when(ki < last_ki)
+        def _():
+            start_kv_dma(1 - slot, ki + 1)
+
+        wait_kv_dma(slot)
+
+        QBLK_, Hq, D = q_buf.shape
+        Hkv = k_buf.shape[2]
+        G = Hq // Hkv
+        QG = QBLK_ * G
+
+        q = q_buf[...].astype(jnp.float32)  # [QBLK, Hq, D]
+        k = k_buf[slot].astype(jnp.float32)  # [KVBLK, Hkv, D]
+        v = v_buf[slot].astype(jnp.float32)
+
+        # Mask shared by all kv heads: [QG, KVBLK] (q rows replicated per G)
+        kv_pos = kv_blk_start + jax.lax.broadcasted_iota(jnp.int32, (QG, KVBLK), 1)
+        q_local = jax.lax.broadcasted_iota(jnp.int32, (QG, KVBLK), 0) // G
+        q_abs = q_abs_lo + q_local
+        valid = (kv_pos <= q_abs) & (kv_pos < kv_len) & (q_local < n_rows)
+        if sliding_window is not None and sliding_window > 0:
+            valid &= kv_pos > (q_abs - sliding_window)
+
+        # Per-kv-head flash update (unrolled: Mosaic batched matmul needs
+        # leading batch dims on both sides, which the KV layout can't give).
+        for h in range(Hkv):
+            q_h = q[:, h * G : (h + 1) * G, :].reshape(QG, D)
+            s = jax.lax.dot_general(
+                q_h, k[:, h, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [QG, KVBLK]
+            if logit_cap:
+                s = logit_cap * jnp.tanh(s / logit_cap)
+            s = jnp.where(valid, s, NEG_INF)
+
+            m_old = m_scr[h, :][:, None]  # [QG, 1]
+            l_old = l_scr[h, :][:, None]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_old, m_cur)
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m_old - m_new)
+            l_new = l_old * corr + jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p, v[:, h, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [QG, D]
+            acc_scr[h] = acc_scr[h] * corr + pv
+            m_scr[h, :] = m_new[:, 0]
+            l_scr[h, :] = l_new[:, 0]
+
+    @pl.when(seq_active & (ki == last_ki))
+    def _():
+        QBLK_, Hq, D = q_buf.shape
+        Hkv = k_buf.shape[2]
+        G = Hq // Hkv
+        l = l_scr[...]  # [Hkv, QG]
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
+        normed = acc_scr[...] / l_safe[:, :, None]  # [Hkv, QG, D]
+        out = (
+            normed.reshape(Hkv, QBLK_, G, D).transpose(1, 0, 2, 3).reshape(QBLK_, Hq, D)
+        )
+        o_buf[...] = out.astype(o_buf.dtype)
+        cp = pltpu.make_async_copy(o_buf, out_hbm.at[pl.ds(row0, QBLK_)], o_sem)
+        cp.start()
+        cp.wait()
+
+
+def ragged_paged_attention(
+    q: jax.Array,  # [T, Hq, D] flat ragged
+    kv_cache: jax.Array,  # [L, 2, S, Hkv, D] combined pool
+    layer_idx,  # scalar i32 (traced ok)
+    page_table: jax.Array,  # [B, maxP]
+    kv_lens: jax.Array,  # [B]
+    meta: AttnMeta,
+    *,
+    page_size: int,
+    scale: float,
+    logit_cap: Optional[float] = None,
+    sliding_window: Optional[int] = None,
+    q_block: Optional[int] = None,
+    kv_block: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    T, Hq, D = q.shape
+    B, maxP = page_table.shape
+    L, _, S, Hkv, _ = kv_cache.shape
+    max_kv = maxP * page_size
+
+    is_decode = T == B
+    QBLK = q_block or (8 if is_decode else 128)
+    QBLK = min(QBLK, max(8, T))
+
+    KVBLK = min(kv_block, max(page_size, max_kv))
+    if KVBLK % page_size:
+        raise ValueError("kv_block must be a multiple of page_size")
+    if max_kv % KVBLK:
+        padP = (KVBLK - max_kv % KVBLK) // page_size
+        page_table = jnp.pad(page_table, ((0, 0), (0, padP)))
+        maxP += padP
+        max_kv += padP * page_size
+    KB = max_kv // KVBLK
+    ppb = KVBLK // page_size
+
+    NQB = meta.block_seq.shape[0]
+    G = Hq // Hkv
+    QG = QBLK * G
+
+    # q rows DMA may overrun by QBLK-1 rows: pad the flat token dim.
+    q_in = jnp.pad(q, ((0, QBLK), (0, 0), (0, 0)))
+    Tpad = q_in.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(NQB, KB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # q
+            pl.BlockSpec(memory_space=pl.ANY),  # kv_cache
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((QBLK, Hq, D), q.dtype),
+            pltpu.VMEM((2, KVBLK, Hkv, D), kv_cache.dtype),
+            pltpu.VMEM((2, KVBLK, Hkv, D), kv_cache.dtype),
+            pltpu.VMEM((QBLK, Hq, D), q.dtype),
+            pltpu.VMEM((Hkv, QG), jnp.float32),
+            pltpu.VMEM((Hkv, QG), jnp.float32),
+            pltpu.VMEM((Hkv, QG, D), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    kernel = functools.partial(
+        _rpa_kernel,
+        page_size=page_size,
+        QBLK=QBLK,
+        KVBLK=KVBLK,
+        scale=scale,
+        logit_cap=logit_cap,
+        sliding_window=sliding_window,
+    )
+
+    layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+    kv_flat = kv_cache.reshape(L * 2 * S, Hkv, kv_cache.shape[-1])
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tpad, Hq, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        layer_arr,
+        jnp.asarray([S], jnp.int32),
+        page_table,
+        kv_lens,
+        meta.q_lens,
+        meta.q_start,
+        meta.block_seq,
+        meta.block_row,
+        meta.block_qofs,
+        q_in,
+        kv_flat,
+    )
+    return out[:T]

@@ -28,8 +28,7 @@ import jax.numpy as jnp
 
 def ragged_paged_attention_reference(
     q: jax.Array,  # [T, Hq, D]
-    k_cache: jax.Array,  # [L, S, Hkv, D] full pool, flat slots per layer
-    v_cache: jax.Array,  # [L, S, Hkv, Dv]
+    kv_cache: jax.Array,  # [L, 2, S, Hkv, D] combined pool (component: K=0, V=1)
     layer_idx,  # int or traced scalar
     page_table: jax.Array,  # [B, maxP] int32 page ids
     q_req_idx: jax.Array,  # [T] i32 (padding rows -> row 0, masked out)
@@ -41,19 +40,19 @@ def ragged_paged_attention_reference(
     sliding_window: Optional[int] = None,
 ) -> jax.Array:
     T, Hq, D = q.shape
-    Hkv = k_cache.shape[2]
-    Dv = v_cache.shape[-1]
+    Hkv = kv_cache.shape[3]
+    Dv = D
     B, maxP = page_table.shape
     max_kv = maxP * page_size
     group = Hq // Hkv
 
-    # Gather each request's KV window: [B, max_kv, Hkv, D]
+    # Gather each request's KV window: [B, max_kv, Hkv, D] per component
     slot_ids = (
         page_table[:, :, None] * page_size
         + jnp.arange(page_size, dtype=jnp.int32)[None, None, :]
     ).reshape(B, max_kv)
-    k = k_cache[layer_idx][slot_ids].astype(jnp.float32)
-    v = v_cache[layer_idx][slot_ids].astype(jnp.float32)
+    k = kv_cache[layer_idx, 0][slot_ids].astype(jnp.float32)
+    v = kv_cache[layer_idx, 1][slot_ids].astype(jnp.float32)
 
     # Per-query-token views of its request's KV: [T, max_kv, Hkv, D]
     k_t = k[q_req_idx]

@@ -1,0 +1,103 @@
+"""Mixture-of-Experts feed-forward (grouped GEMM via ragged_dot).
+
+Reference: srt/layers/moe/fused_moe_triton/fused_moe.py (1,260 LoC Triton
+grouped kernel + align/sort machinery, moe_align_block_size sgl-kernel) and
+ep_moe/layer.py. TPU-native approach: sort tokens by expert and use
+``jax.lax.ragged_dot`` — XLA lowers it onto the MXU as a grouped matmul, so
+no hand-written kernel is needed for the core GEMM; the sort/scatter
+bookkeeping that sgl-kernel's moe_align_block_size.cu does on GPU is a few
+jnp ops here.
+
+Routing supports softmax top-k (mixtral/qwen2moe), sigmoid scoring with
+grouped selection and routed scaling (DeepSeek-V3, reference
+layers/moe/topk.py grouped_topk), and optional top-k prob renormalization.
+
+Sharding note: expert weights [E, d, f] shard f (or d) over the "tp" mesh
+axis like a dense MLP (expert-TP). True expert-parallel placement (reference
+EPMoE: experts split across ranks, ep_moe/layer.py:106) maps to sharding E
+over "tp" with shard_map + all-to-all dispatch — planned in parallel/ for the
+DeepSeek configs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from semi_pd_tpu.ops.elementwise import silu_and_mul
+
+
+def route_topk(
+    router_logits: jax.Array,  # [T, E] f32
+    top_k: int,
+    *,
+    scoring: str = "softmax",
+    norm_topk_prob: bool = False,
+    n_group: Optional[int] = None,
+    topk_group: Optional[int] = None,
+    routed_scaling_factor: float = 1.0,
+    e_score_bias: Optional[jax.Array] = None,  # [E] deepseek-v3 gate bias
+):
+    """Returns (weights [T, K] f32, expert_idx [T, K] i32)."""
+    T, E = router_logits.shape
+    logits = router_logits.astype(jnp.float32)
+    if scoring == "sigmoid":
+        scores = jax.nn.sigmoid(logits)
+    else:
+        scores = jax.nn.softmax(logits, axis=-1)
+
+    select_scores = scores if e_score_bias is None else scores + e_score_bias[None, :]
+
+    if n_group and topk_group and n_group > 1:
+        # DeepSeek grouped routing: keep only top `topk_group` groups
+        gs = select_scores.reshape(T, n_group, E // n_group)
+        # group score = sum of top-2 in group (v3) — fall back to max for top-1
+        top2 = jax.lax.top_k(gs, min(2, E // n_group))[0].sum(-1)  # [T, G]
+        grp_thresh = jax.lax.top_k(top2, topk_group)[0][:, -1:]  # [T, 1]
+        grp_mask = top2 >= grp_thresh  # [T, G]
+        mask = jnp.repeat(grp_mask, E // n_group, axis=1)
+        select_scores = jnp.where(mask, select_scores, -jnp.inf)
+
+    _, idx = jax.lax.top_k(select_scores, top_k)  # [T, K]
+    w = jnp.take_along_axis(scores, idx, axis=1)  # weights from unbiased scores
+    if norm_topk_prob:
+        w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-20)
+    w = w * routed_scaling_factor
+    return w, idx.astype(jnp.int32)
+
+
+def moe_ffn(
+    x: jax.Array,  # [T, d]
+    gate_up: jax.Array,  # [E, d, 2f]
+    down: jax.Array,  # [E, f, d]
+    weights: jax.Array,  # [T, K] f32 routing weights
+    expert_idx: jax.Array,  # [T, K] i32
+) -> jax.Array:
+    """Sort-by-expert grouped-GEMM MoE forward. [T, d] -> [T, d]."""
+    T, d = x.shape
+    E = gate_up.shape[0]
+    K = weights.shape[1]
+    TK = T * K
+
+    flat_expert = expert_idx.reshape(TK)
+    order = jnp.argsort(flat_expert)  # stable
+    token_of = order // K  # original token for each sorted row
+
+    xs = x[token_of]  # [TK, d] gathered (duplicated per selected expert)
+    group_sizes = jnp.bincount(flat_expert, length=E)
+
+    h = jax.lax.ragged_dot(
+        xs.astype(gate_up.dtype), gate_up, group_sizes.astype(jnp.int32)
+    )  # [TK, 2f]
+    h = silu_and_mul(h)
+    out_rows = jax.lax.ragged_dot(
+        h, down, group_sizes.astype(jnp.int32)
+    )  # [TK, d]
+
+    w_rows = weights.reshape(TK)[order].astype(out_rows.dtype)  # [TK]
+    out = jnp.zeros((T, d), out_rows.dtype).at[token_of].add(
+        out_rows * w_rows[:, None]
+    )
+    return out.astype(x.dtype)

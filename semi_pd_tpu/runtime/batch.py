@@ -23,7 +23,11 @@ import jax
 import jax.numpy as jnp
 
 from semi_pd_tpu.ops.sampling import SamplingArrays
-from semi_pd_tpu.runtime.forward_batch import ForwardArrays, ForwardMode
+from semi_pd_tpu.runtime.forward_batch import (
+    ForwardArrays,
+    ForwardMode,
+    build_attn_meta,
+)
 from semi_pd_tpu.runtime.req import Req
 
 
@@ -53,6 +57,12 @@ class HostBatch:
     maxP: int = 0
 
     def to_device(self, rng_key) -> ForwardArrays:
+        if self.mode == ForwardMode.DECODE:
+            q_lens = np.ones(self.B, np.int64)
+            q_lens[len(self.reqs):] = 0
+        else:
+            q_lens = np.zeros(self.B, np.int64)
+            q_lens[: len(self.reqs)] = self.extend_lens
         return ForwardArrays(
             input_ids=jnp.asarray(self.input_ids),
             q_req_idx=jnp.asarray(self.q_req_idx),
@@ -64,6 +74,7 @@ class HostBatch:
             sampling=self.sampling,
             rng_key=rng_key,
             num_reqs=jnp.asarray(len(self.reqs), jnp.int32),
+            attn_meta=build_attn_meta(q_lens, self.kv_lens.astype(np.int64), self.T),
         )
 
 

@@ -19,6 +19,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from semi_pd_tpu.ops.attention.ragged_paged_attention import (
+    AttnMeta,
+    make_attn_meta_host,
+)
 from semi_pd_tpu.ops.sampling import SamplingArrays
 
 
@@ -46,6 +50,22 @@ class ForwardArrays(NamedTuple):
     sampling: SamplingArrays  # per-request [B]
     rng_key: jax.Array  # PRNG key for sampling
     num_reqs: jax.Array  # [] i32 — actual (unpadded) request count
+    attn_meta: AttnMeta  # ragged-attention work list (pallas backend)
+
+
+def build_attn_meta(q_lens_np: np.ndarray, kv_lens_np: np.ndarray, T: int) -> AttnMeta:
+    """Numpy → device AttnMeta. q_block_size must match the kernel's choice
+    (8 for decode where T == B, 128 for extend)."""
+    B = len(q_lens_np)
+    qbs = 8 if T == B else 128
+    bs, br, bq = make_attn_meta_host(q_lens_np, T, qbs)
+    return AttnMeta(
+        q_lens=jnp.asarray(q_lens_np.astype(np.int32)),
+        q_start=jnp.asarray((kv_lens_np - q_lens_np).astype(np.int32)),
+        block_seq=jnp.asarray(bs),
+        block_row=jnp.asarray(br),
+        block_qofs=jnp.asarray(bq),
+    )
 
 
 def make_idle_batch(T: int, B: int, maxP: int) -> "ForwardArrays":
@@ -69,4 +89,5 @@ def make_idle_batch(T: int, B: int, maxP: int) -> "ForwardArrays":
         ),
         rng_key=jax.random.PRNGKey(0),
         num_reqs=jnp.zeros((), jnp.int32),
+        attn_meta=build_attn_meta(np.zeros(B, np.int64), np.zeros(B, np.int64), T),
     )

@@ -70,6 +70,10 @@ class ModelRunner:
         platform = jax.devices()[0].platform
         backend = "pallas" if platform in ("tpu", "axon") else "reference"
         attention_backend.set_attention_backend(backend)
+        if backend == "pallas":
+            # See models/llama.py: unrolled layers on TPU (traced-layer-index
+            # DMA offsets hung Mosaic compilation on v5e).
+            self.model.scan_layers = False
         logger.info("attention backend: %s (platform %s)", backend, platform)
 
         self._load_weights()

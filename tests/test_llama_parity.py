@@ -15,13 +15,17 @@ from semi_pd_tpu.mem.pool import KVCache, KVCacheSpec
 from semi_pd_tpu.model_loader.loader import load_params
 from semi_pd_tpu.models.llama import LlamaForCausalLM
 from semi_pd_tpu.ops.sampling import SamplingArrays
-from semi_pd_tpu.runtime.forward_batch import ForwardArrays
+from semi_pd_tpu.runtime.forward_batch import ForwardArrays, build_attn_meta
 
 PAGE = 4
 
 
-def _mk_fb(input_ids, q_req_idx, q_pos, out_slots, page_table, kv_lens, logits_idx):
+def _mk_fb(input_ids, q_req_idx, q_pos, out_slots, page_table, kv_lens, logits_idx,
+           q_lens=None):
     B = len(kv_lens)
+    T = len(input_ids)
+    if q_lens is None:  # decode-style: one token per req
+        q_lens = [1] * B
     return ForwardArrays(
         input_ids=jnp.asarray(input_ids, jnp.int32),
         q_req_idx=jnp.asarray(q_req_idx, jnp.int32),
@@ -41,6 +45,9 @@ def _mk_fb(input_ids, q_req_idx, q_pos, out_slots, page_table, kv_lens, logits_i
         ),
         rng_key=jax.random.PRNGKey(0),
         num_reqs=jnp.asarray(B, jnp.int32),
+        attn_meta=build_attn_meta(
+            np.asarray(q_lens, np.int64), np.asarray(kv_lens, np.int64), T
+        ),
     )
 
 
@@ -106,6 +113,7 @@ def test_prefill_and_decode_parity(hf_and_ours):
         page_table=page_table,
         kv_lens=[n],
         logits_idx=[n - 1],
+        q_lens=[n],
     )
     logits, kv = model.forward(params, fb, cache.arrays)
     np.testing.assert_allclose(
@@ -158,7 +166,7 @@ def test_batched_mixed_prefill_parity(hf_and_ours):
     req = [0] * 5 + [1] * 7 + [0] * (T - 12)
     posn = list(range(5)) + list(range(7)) + [0] * (T - 12)
     slots = [slot(0, i) for i in range(5)] + [slot(1, i) for i in range(7)] + [0] * (T - 12)
-    fb = _mk_fb(ids, req, posn, slots, pt, [5, 7], [4, 11])
+    fb = _mk_fb(ids, req, posn, slots, pt, [5, 7], [4, 11], q_lens=[5, 7])
     logits, _ = model.forward(params, fb, cache.arrays)
     np.testing.assert_allclose(np.asarray(logits[0]), l1, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(logits[1]), l2, rtol=2e-4, atol=2e-4)

@@ -1,0 +1,123 @@
+"""Pallas ragged paged attention vs jnp reference (interpret mode on CPU).
+
+Reference test analog: test/srt/test_triton_attention_kernels.py — optimized
+attention kernels validated against the framework-native baseline."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from semi_pd_tpu.ops.attention.ragged_paged_attention import (
+    ragged_paged_attention,
+)
+from semi_pd_tpu.ops.attention.reference import ragged_paged_attention_reference
+from semi_pd_tpu.runtime.forward_batch import build_attn_meta
+
+
+def _setup(rng, B, q_lens, kv_lens, Hq=4, Hkv=2, D=32, page_size=8, L=2, layer=1):
+    """Random cache + page tables for B seqs with given lens."""
+    maxP = max((kv + page_size - 1) // page_size for kv in kv_lens) + 1
+    num_pages = B * maxP + 2
+    S = num_pages * page_size
+    kv_cache = jnp.asarray(rng.normal(size=(L, 2, S, Hkv, D)).astype(np.float32))
+
+    page_table = np.zeros((B, maxP), np.int32)
+    next_page = 1
+    for b in range(B):
+        n = (kv_lens[b] + page_size - 1) // page_size
+        page_table[b, :n] = np.arange(next_page, next_page + n)
+        next_page += n
+
+    T = sum(q_lens)
+    q = jnp.asarray(rng.normal(size=(T, Hq, D)).astype(np.float32))
+    q_req_idx = np.concatenate(
+        [np.full(n, b, np.int32) for b, n in enumerate(q_lens)]
+    ) if T else np.zeros(0, np.int32)
+    q_pos = np.concatenate(
+        [np.arange(kv_lens[b] - q_lens[b], kv_lens[b], dtype=np.int32)
+         for b in range(B)]
+    ) if T else np.zeros(0, np.int32)
+
+    return q, kv_cache, jnp.asarray(page_table), jnp.asarray(q_req_idx), \
+        jnp.asarray(q_pos), jnp.asarray(np.asarray(kv_lens, np.int32)), layer, page_size
+
+
+def _compare(rng, B, q_lens, kv_lens, pad_T=None, pad_B=None, **kw):
+    q, kvc, pt, qri, qp, kvl, layer, ps = _setup(rng, B, q_lens, kv_lens, **{
+        k_: v_ for k_, v_ in kw.items() if k_ in ("Hq", "Hkv", "D", "page_size")
+    })
+    ps = kw.get("page_size", 8)
+    sw = kw.get("sliding_window")
+    cap = kw.get("logit_cap")
+    scale = 0.25
+
+    T = q.shape[0]
+    # Optional padding to emulate bucket shapes
+    if pad_T and pad_T > T:
+        q = jnp.pad(q, ((0, pad_T - T), (0, 0), (0, 0)))
+        qri = jnp.pad(qri, (0, pad_T - T))
+        qp = jnp.pad(qp, (0, pad_T - T))
+    if pad_B and pad_B > B:
+        pt = jnp.pad(pt, ((0, pad_B - B), (0, 0)))
+        kvl = jnp.pad(kvl, (0, pad_B - B))
+
+    Tt = q.shape[0]
+    Bt = pt.shape[0]
+    q_lens_np = np.zeros(Bt, np.int64)
+    q_lens_np[:B] = q_lens
+    kv_np = np.zeros(Bt, np.int64)
+    kv_np[:B] = kv_lens
+    meta = build_attn_meta(q_lens_np, kv_np, Tt)
+
+    ref = ragged_paged_attention_reference(
+        q, kvc, layer, pt, qri, qp, kvl, page_size=ps, scale=scale,
+        logit_cap=cap, sliding_window=sw,
+    )
+    out = ragged_paged_attention(
+        q, kvc, layer, pt, kvl, meta, page_size=ps, scale=scale,
+        logit_cap=cap, sliding_window=sw, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:T], np.asarray(ref)[:T], rtol=2e-5, atol=2e-5
+    )
+
+
+def test_decode_batch():
+    rng = np.random.default_rng(0)
+    _compare(rng, B=4, q_lens=[1, 1, 1, 1], kv_lens=[9, 17, 8, 40])
+
+
+def test_decode_padded_batch():
+    rng = np.random.default_rng(1)
+    _compare(rng, B=3, q_lens=[1, 1, 1], kv_lens=[5, 30, 12], pad_T=8, pad_B=8)
+
+
+def test_extend_single_long():
+    rng = np.random.default_rng(2)
+    # One seq, long prefill spanning several q and kv blocks (QBLK=128/KVBLK=256)
+    _compare(rng, B=1, q_lens=[300], kv_lens=[300])
+
+
+def test_extend_mixed_with_prefix():
+    rng = np.random.default_rng(3)
+    # Chunked continuation: q covers only the tail of the kv history
+    _compare(rng, B=3, q_lens=[40, 130, 7], kv_lens=[90, 130, 57], pad_T=256)
+
+
+def test_gqa_and_mha():
+    rng = np.random.default_rng(4)
+    _compare(rng, B=2, q_lens=[20, 5], kv_lens=[33, 5], Hq=8, Hkv=8)
+    _compare(rng, B=2, q_lens=[20, 5], kv_lens=[33, 5], Hq=8, Hkv=1)
+
+
+def test_logit_cap_and_window():
+    rng = np.random.default_rng(5)
+    _compare(rng, B=2, q_lens=[1, 1], kv_lens=[70, 18], logit_cap=30.0)
+    _compare(rng, B=2, q_lens=[60, 1], kv_lens=[60, 50], sliding_window=16)
+
+
+def test_page_size_16():
+    rng = np.random.default_rng(6)
+    _compare(rng, B=2, q_lens=[1, 33], kv_lens=[77, 33], page_size=16)

@@ -65,6 +65,7 @@ class ModelConfig:
     first_k_dense_replace: int = 0
     n_group: Optional[int] = None  # deepseek grouped routing
     topk_group: Optional[int] = None
+    topk_method: Optional[str] = None  # greedy | group_limited_greedy | noaux_tc
     routed_scaling_factor: float = 1.0
     norm_topk_prob: bool = False
     scoring_func: str = "softmax"  # softmax | sigmoid (deepseek v3)
@@ -112,8 +113,18 @@ class ModelConfig:
         quantization: Optional[str] = None,
     ) -> "ModelConfig":
         g = lambda k, d=None: getattr(hf_config, k, d)
-        arch_list = g("architectures") or ["LlamaForCausalLM"]
-        arch = arch_list[0]
+        arch_list = g("architectures")
+        if arch_list:
+            arch = arch_list[0]
+        else:
+            # Constructed configs (tests) often lack `architectures`; infer
+            # from the config class name (FooConfig -> FooForCausalLM).
+            cls_name = type(hf_config).__name__
+            arch = (
+                cls_name[: -len("Config")] + "ForCausalLM"
+                if cls_name.endswith("Config") and cls_name != "Config"
+                else "LlamaForCausalLM"
+            )
 
         num_heads = g("num_attention_heads", 32)
         hidden = g("hidden_size", 4096)
@@ -166,6 +177,7 @@ class ModelConfig:
             cfg.moe_layer_freq = g("moe_layer_freq", 1)
             cfg.n_group = g("n_group")
             cfg.topk_group = g("topk_group")
+            cfg.topk_method = g("topk_method")
             cfg.routed_scaling_factor = g("routed_scaling_factor", 1.0)
             cfg.norm_topk_prob = g("norm_topk_prob", False)
             cfg.scoring_func = g("scoring_func", "softmax")

@@ -77,3 +77,41 @@ def paged_attention(
             logit_cap=logit_cap, sliding_window=sliding_window,
         )
     return out, kv_cache
+
+
+def paged_attention_mla(
+    q: jax.Array,  # [T, Hq, Dlat] = [q_absorbed | q_pe]
+    latent_new: jax.Array,  # [T, Dlat] = [c_kv | k_pe] for this step's tokens
+    kv_cache: jax.Array,  # [L, 1, S, 1, Dlat] latent pool
+    layer_idx,
+    fb: ForwardArrays,
+    page_size: int,
+    scale: float,
+    v_dim: int,  # = kv_lora_rank; V is the latent prefix of K
+) -> Tuple[jax.Array, jax.Array]:
+    """MLA (absorbed) attention over the compressed latent pool (reference
+    DeepseekV2AttentionMLA.forward_absorb deepseek_v2.py:633 +
+    MLATokenToKVPool memory_pool.py:379). Returns ([T, Hq, v_dim], cache')."""
+    kv_cache = kv_cache.at[layer_idx, 0, fb.out_slots, 0].set(
+        latent_new.astype(kv_cache.dtype)
+    )
+    if _BACKEND == "pallas":
+        from semi_pd_tpu.ops.attention.ragged_paged_attention import (
+            ragged_paged_attention,
+        )
+
+        out = ragged_paged_attention(
+            q, kv_cache, layer_idx, fb.page_table, fb.kv_lens,
+            fb.attn_meta, page_size=page_size, scale=scale, v_dim=v_dim,
+        )
+    else:
+        from semi_pd_tpu.ops.attention.reference import (
+            ragged_paged_attention_reference,
+        )
+
+        out = ragged_paged_attention_reference(
+            q, kv_cache, layer_idx, fb.page_table, fb.q_req_idx,
+            fb.q_pos, fb.kv_lens, page_size=page_size, scale=scale,
+            v_dim=v_dim,
+        )
+    return out, kv_cache

@@ -96,9 +96,11 @@ def iterate_hf_weights(model_path: str) -> Iterator[Tuple[str, np.ndarray]]:
 
 
 def _get_path(tree: Dict[str, Any], dotted: str):
+    """Traverse a pytree path; integer-like parts index lists (models with
+    heterogeneous per-layer dicts, e.g. deepseek_v2, keep layers as a list)."""
     node = tree
     for part in dotted.split("."):
-        node = node[part]
+        node = node[int(part)] if part.isdigit() else node[part]
     return node
 
 
@@ -147,14 +149,29 @@ def load_params(
             m = rx.match(name)
             if not m:
                 continue
-            arr = _TRANSFORMS[transform](_to_numpy(tensor))
-            dest = _get_path(host, path)
             gd = m.groupdict()
+            rpath = path
+            for key in ("L", "E"):
+                if key in gd:
+                    rpath = rpath.replace("{%s}" % key, gd[key])
+            if transform not in _TRANSFORMS:
+                # Model-specific postprocess (e.g. deepseek kv_b -> absorbed
+                # w_uk/w_uv split) returns {leaf_name: array} under rpath.
+                pieces = model.postprocess_weight(transform, _to_numpy(tensor))
+                dest = _get_path(host, rpath)
+                for leaf, a in pieces.items():
+                    dest[leaf][...] = a.astype(dest[leaf].dtype)
+                matched.add(tmpl)
+                break
+            arr = _TRANSFORMS[transform](_to_numpy(tensor))
+            dest = _get_path(host, rpath)
+            # Indices not consumed by path substitution index stacked leading
+            # dims of the destination array ([L, ...] stacked layers, [E, ...]
+            # stacked experts).
             target = dest
-            if "L" in gd:
-                target = target[int(gd["L"])]
-            if "E" in gd:
-                target = target[int(gd["E"])]
+            for key in ("L", "E"):
+                if key in gd and ("{%s}" % key) not in path:
+                    target = target[int(gd[key])]
             if out_slice is not None:
                 start, size = out_slice
                 target[..., start : start + size] = arr.astype(target.dtype)

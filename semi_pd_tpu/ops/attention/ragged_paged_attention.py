@@ -125,6 +125,8 @@ def _rpa_kernel(
     scale: float,
     logit_cap: Optional[float],
     sliding_window: Optional[int],
+    ncomp: int,
+    v_dim: Optional[int],
 ):
     i = pl.program_id(0)
     ki = pl.program_id(1)
@@ -132,8 +134,8 @@ def _rpa_kernel(
     ppb = KVBLK // page_size
     layer = layer_ref[0]
     S = num_slots_ref[0]
-    k_base = (layer * 2 + 0) * S
-    v_base = (layer * 2 + 1) * S
+    k_base = (layer * ncomp + 0) * S
+    v_base = (layer * ncomp + 1) * S if ncomp == 2 else k_base
     b = block_seq_ref[i]
     bsafe = jnp.maximum(b, 0)
     row0 = block_row_ref[i]
@@ -167,10 +169,11 @@ def _rpa_kernel(
                 kv_hbm.at[pl.ds(k_base + page * page_size, page_size)],
                 k_buf.at[slot, dst], kv_sems.at[slot, 0],
             ).start()
-            pltpu.make_async_copy(
-                kv_hbm.at[pl.ds(v_base + page * page_size, page_size)],
-                v_buf.at[slot, dst], kv_sems.at[slot, 1],
-            ).start()
+            if v_dim is None:
+                pltpu.make_async_copy(
+                    kv_hbm.at[pl.ds(v_base + page * page_size, page_size)],
+                    v_buf.at[slot, dst], kv_sems.at[slot, 1],
+                ).start()
 
     def wait_kv_dma(slot):
         for p in range(ppb):
@@ -179,10 +182,11 @@ def _rpa_kernel(
                 kv_hbm.at[pl.ds(0, page_size)], k_buf.at[slot, dst],
                 kv_sems.at[slot, 0],
             ).wait()
-            pltpu.make_async_copy(
-                kv_hbm.at[pl.ds(0, page_size)], v_buf.at[slot, dst],
-                kv_sems.at[slot, 1],
-            ).wait()
+            if v_dim is None:
+                pltpu.make_async_copy(
+                    kv_hbm.at[pl.ds(0, page_size)], v_buf.at[slot, dst],
+                    kv_sems.at[slot, 1],
+                ).wait()
 
     slot = jax.lax.rem(ki, 2)
 
@@ -213,7 +217,8 @@ def _rpa_kernel(
 
         q = q_buf[...].astype(jnp.float32)  # [QBLK, Hq, D]
         k = k_buf[slot].astype(jnp.float32)  # [KVBLK, Hkv, D]
-        v = v_buf[slot].astype(jnp.float32)
+        # MLA: V is the latent prefix of K (v_dim must be lane-aligned).
+        v = k[..., :v_dim] if v_dim is not None else v_buf[slot].astype(jnp.float32)
 
         # Mask shared by all kv heads: [QG, KVBLK] (q rows replicated per G)
         kv_pos = kv_blk_start + jax.lax.broadcasted_iota(jnp.int32, (QG, KVBLK), 1)
@@ -247,7 +252,7 @@ def _rpa_kernel(
                 p, v[:, h, :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [QG, D]
+            )  # [QG, Dv]
             acc_scr[h] = acc_scr[h] * corr + pv
             m_scr[h, :] = m_new[:, 0]
             l_scr[h, :] = l_new[:, 0]
@@ -256,12 +261,13 @@ def _rpa_kernel(
     def _():
         QBLK_, Hq, D = q_buf.shape
         Hkv = k_buf.shape[2]
+        Dv = v_dim if v_dim is not None else D
         G = Hq // Hkv
         l = l_scr[...]  # [Hkv, QG]
         l_safe = jnp.where(l <= 0.0, 1.0, l)
-        normed = acc_scr[...] / l_safe[:, :, None]  # [Hkv, QG, D]
+        normed = acc_scr[...] / l_safe[:, :, None]  # [Hkv, QG, Dv]
         out = (
-            normed.reshape(Hkv, QBLK_, G, D).transpose(1, 0, 2, 3).reshape(QBLK_, Hq, D)
+            normed.reshape(Hkv, QBLK_, G, Dv).transpose(1, 0, 2, 3).reshape(QBLK_, Hq, Dv)
         )
         o_buf[...] = out.astype(o_buf.dtype)
         cp = pltpu.make_async_copy(o_buf, out_hbm.at[pl.ds(row0, QBLK_)], o_sem)
@@ -281,13 +287,15 @@ def ragged_paged_attention(
     scale: float,
     logit_cap: Optional[float] = None,
     sliding_window: Optional[int] = None,
+    v_dim: Optional[int] = None,
     q_block: Optional[int] = None,
     kv_block: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
     T, Hq, D = q.shape
     B, maxP = page_table.shape
-    L, _, S, Hkv, _ = kv_cache.shape
+    L, ncomp, S, Hkv, _ = kv_cache.shape
+    Dv = v_dim if v_dim is not None else D
     max_kv = maxP * page_size
 
     is_decode = T == B
@@ -324,11 +332,14 @@ def ragged_paged_attention(
         scratch_shapes=[
             pltpu.VMEM((QBLK, Hq, D), q.dtype),
             pltpu.VMEM((2, KVBLK, Hkv, D), kv_cache.dtype),
-            pltpu.VMEM((2, KVBLK, Hkv, D), kv_cache.dtype),
-            pltpu.VMEM((QBLK, Hq, D), q.dtype),
+            pltpu.VMEM(
+                (2, KVBLK, Hkv, D) if v_dim is None else (1, 8, 1, 128),
+                kv_cache.dtype,
+            ),
+            pltpu.VMEM((QBLK, Hq, Dv), q.dtype),
             pltpu.VMEM((Hkv, QG), jnp.float32),
             pltpu.VMEM((Hkv, QG), jnp.float32),
-            pltpu.VMEM((Hkv, QG, D), jnp.float32),
+            pltpu.VMEM((Hkv, QG, Dv), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA(()),
@@ -343,15 +354,17 @@ def ragged_paged_attention(
         scale=scale,
         logit_cap=logit_cap,
         sliding_window=sliding_window,
+        ncomp=ncomp,
+        v_dim=v_dim,
     )
 
     layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
-    kv_flat = kv_cache.reshape(L * 2 * S, Hkv, kv_cache.shape[-1])
+    kv_flat = kv_cache.reshape(L * ncomp * S, Hkv, kv_cache.shape[-1])
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Tpad, Hq, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((Tpad, Hq, Dv), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),

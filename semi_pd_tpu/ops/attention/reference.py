@@ -38,10 +38,14 @@ def ragged_paged_attention_reference(
     scale: float,
     logit_cap: Optional[float] = None,
     sliding_window: Optional[int] = None,
+    v_dim: Optional[int] = None,
 ) -> jax.Array:
+    """``v_dim``: MLA mode — the cache has one component (the latent
+    [c_kv | k_pe] row); V is the first v_dim dims of K (reference
+    MLATokenToKVPool memory_pool.py:379 + DeepseekV2AttentionMLA
+    forward_absorb deepseek_v2.py:633)."""
     T, Hq, D = q.shape
     Hkv = kv_cache.shape[3]
-    Dv = D
     B, maxP = page_table.shape
     max_kv = maxP * page_size
     group = Hq // Hkv
@@ -52,7 +56,12 @@ def ragged_paged_attention_reference(
         + jnp.arange(page_size, dtype=jnp.int32)[None, None, :]
     ).reshape(B, max_kv)
     k = kv_cache[layer_idx, 0][slot_ids].astype(jnp.float32)
-    v = kv_cache[layer_idx, 1][slot_ids].astype(jnp.float32)
+    if v_dim is not None:
+        v = k[..., :v_dim]
+        Dv = v_dim
+    else:
+        v = kv_cache[layer_idx, 1][slot_ids].astype(jnp.float32)
+        Dv = D
 
     # Per-query-token views of its request's KV: [T, max_kv, Hkv, D]
     k_t = k[q_req_idx]

@@ -39,6 +39,7 @@ def route_topk(
     topk_group: Optional[int] = None,
     routed_scaling_factor: float = 1.0,
     e_score_bias: Optional[jax.Array] = None,  # [E] deepseek-v3 gate bias
+    group_score_func: str = "top2",  # "top2" (v3 noaux_tc) | "max" (v2 group_limited)
 ):
     """Returns (weights [T, K] f32, expert_idx [T, K] i32)."""
     T, E = router_logits.shape
@@ -53,8 +54,10 @@ def route_topk(
     if n_group and topk_group and n_group > 1:
         # DeepSeek grouped routing: keep only top `topk_group` groups
         gs = select_scores.reshape(T, n_group, E // n_group)
-        # group score = sum of top-2 in group (v3) — fall back to max for top-1
-        top2 = jax.lax.top_k(gs, min(2, E // n_group))[0].sum(-1)  # [T, G]
+        if group_score_func == "max":  # v2 group_limited_greedy
+            top2 = gs.max(-1)  # [T, G]
+        else:  # v3 noaux_tc: sum of top-2 per group
+            top2 = jax.lax.top_k(gs, min(2, E // n_group))[0].sum(-1)
         grp_thresh = jax.lax.top_k(top2, topk_group)[0][:, -1:]  # [T, 1]
         grp_mask = top2 >= grp_thresh  # [T, G]
         mask = jnp.repeat(grp_mask, E // n_group, axis=1)

@@ -10,12 +10,13 @@ sliced modules: qkv/gate-up weights are sharded on dout over the ``tp`` mesh
 axis, o/down on din, and XLA inserts the all-reduces the reference performs
 manually after o_proj/down_proj (llama.py:204 etc.).
 
-Quantized layouts (reference: srt/layers/quantization/*):
-- fp8:  ``w`` float8_e4m3fn, ``ws`` per-channel scale [dout] f32
-- int8: ``w`` int8, ``ws`` per-channel scale
-- awq_int4: ``w`` int8-storing-4bit [din, dout], ``ws`` group scales
-  [din/g, dout], ``wz`` group zeros [din/g, dout]
-- blockwise_fp8: ``w`` fp8, ``ws`` [din/128, dout/128] block scales
+Quantized layouts (dispatch by dtype + scale rank; reference:
+srt/layers/quantization/*):
+- fp8 per-channel: ``w`` float8_e4m3fn, ``ws`` [dout] f32
+- fp8 blockwise:   ``w`` float8_e4m3fn, ``ws`` [din/b, dout/b] f32 (b=128)
+- int8 w8-only:    ``w`` int8, ``ws`` [dout] f32
+- awq int4:        ``w`` int8 (unpacked 4-bit), ``ws`` [din/g, dout] f32,
+                   ``wz`` int8 [din/g, dout] zeros
 """
 
 from __future__ import annotations
@@ -29,11 +30,21 @@ import jax.numpy as jnp
 def apply_linear(p: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
     w = p["w"]
     if w.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
-        out = _fp8_matmul(x, w, p["ws"], p.get("block_size"))
+        ws = p["ws"]
+        if ws.ndim == w.ndim:  # blockwise — the format is always 128x128
+            from semi_pd_tpu.ops.quant.fp8 import blockwise_fp8_matmul
+
+            out = blockwise_fp8_matmul(x, w, ws, 128)
+        else:  # per-channel
+            out = jnp.dot(
+                x, w.astype(x.dtype), preferred_element_type=jnp.float32
+            )
+            out = (out * ws.astype(jnp.float32)[None, :]).astype(x.dtype)
     elif w.dtype == jnp.int8 and "wz" in p:
-        out = _awq_int4_matmul(x, w, p["ws"], p["wz"], p.get("group_size", 128))
+        out = _awq_int4_matmul(x, w, p["ws"], p["wz"])
     elif w.dtype == jnp.int8:
-        out = _int8_matmul(x, w, p["ws"])
+        out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+        out = (out * p["ws"].astype(jnp.float32)[None, :]).astype(x.dtype)
     else:
         out = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
     if "b" in p and p["b"] is not None:
@@ -41,31 +52,11 @@ def apply_linear(p: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
     return out
 
 
-def _fp8_matmul(x, w, ws, block_size=None):
-    """FP8 weight matmul (reference: sgl-kernel fp8_gemm_kernel.cu per-channel
-    path; fp8_blockwise_gemm_kernel.cu for 128x128 blocks). The jnp fallback
-    dequantizes through bf16; the Pallas kernel (ops/quant/fp8.py) replaces
-    this on the hot path."""
-    if block_size:
-        from semi_pd_tpu.ops.quant.fp8 import blockwise_fp8_matmul
-
-        return blockwise_fp8_matmul(x, w, ws, block_size)
-    out = jnp.dot(
-        x, w.astype(x.dtype), preferred_element_type=jnp.float32
-    )
-    return (out * ws.astype(jnp.float32)[None, :]).astype(x.dtype)
-
-
-def _int8_matmul(x, w, ws):
-    out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
-    return (out * ws.astype(jnp.float32)[None, :]).astype(x.dtype)
-
-
-def _awq_int4_matmul(x, w, ws, wz, group_size: int):
+def _awq_int4_matmul(x, w, ws, wz):
     """AWQ int4 weight-only (reference: awq_kernel.cu dequant + gemm).
     w holds unpacked 4-bit values in int8 [din, dout]; per-group scale/zero."""
     din, dout = w.shape
-    g = din // ws.shape[0]
+    g = din // ws.shape[-2]
     wf = w.astype(jnp.float32).reshape(din // g, g, dout)
     deq = (wf - wz.astype(jnp.float32)[:, None, :]) * ws.astype(jnp.float32)[:, None, :]
     deq = deq.reshape(din, dout).astype(x.dtype)

@@ -1,0 +1,83 @@
+"""Post-load weight quantization.
+
+Reference: srt/layers/torchao_utils.py (post-load quant) + the quantization
+registry's on-the-fly paths. Walks the param pytree and replaces eligible
+linear leaves with quantized (w, ws[, wz]) dicts; runs as a jitted device
+program so sharded weights quantize in place without a host round trip.
+
+Eligible leaves: 2D (or stacked [L, din, dout]) matmul weights under the
+standard projection names. Embedding/lm_head/norms/router stay high
+precision (accuracy-critical, reference does the same); MoE expert stacks
+are quantized blockwise when requested (ragged_dot consumes dequantized
+tiles — Pallas grouped dequant GEMM is the follow-up).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from semi_pd_tpu.ops.quant.fp8 import (
+    quantize_fp8_blockwise,
+    quantize_fp8_per_channel,
+)
+
+logger = logging.getLogger(__name__)
+
+QUANT_LEAF_NAMES = {
+    "qkv_proj", "o_proj", "gate_up", "down", "q_proj", "q_a", "q_b", "kv_a",
+}
+
+
+def _quant_one(w: jax.Array, method: str):
+    """Quantize a [.., din, dout] weight (leading dims = stacked layers)."""
+    lead = w.shape[:-2]
+    w2 = w.reshape((-1,) + w.shape[-2:])
+
+    if method == "fp8":
+        wq, ws = jax.vmap(quantize_fp8_per_channel)(w2)
+    elif method == "blockwise_fp8":
+        wq, ws = jax.vmap(quantize_fp8_blockwise)(w2)
+    elif method == "int8":
+        absmax = jnp.max(jnp.abs(w2.astype(jnp.float32)), axis=1)
+        ws = jnp.maximum(absmax / 127.0, 1e-12)
+        wq = jnp.clip(
+            jnp.round(w2.astype(jnp.float32) / ws[:, None, :]), -127, 127
+        ).astype(jnp.int8)
+    else:
+        raise ValueError(f"unknown quantization {method!r}")
+    return (
+        wq.reshape(lead + wq.shape[1:]),
+        ws.reshape(lead + ws.shape[1:]).astype(jnp.float32),
+    )
+
+
+def quantize_params(params: Dict[str, Any], method: str) -> Dict[str, Any]:
+    n_quant = [0]
+
+    def rec(node, name):
+        if isinstance(node, dict):
+            if (
+                name in QUANT_LEAF_NAMES
+                and "w" in node
+                and getattr(node["w"], "ndim", 0) >= 2
+                and node["w"].dtype in (jnp.bfloat16, jnp.float32, jnp.float16)
+            ):
+                wq, ws = jax.jit(_quant_one, static_argnums=1, donate_argnums=0)(
+                    node["w"], method
+                )
+                n_quant[0] += 1
+                out = dict(node)
+                out["w"], out["ws"] = wq, ws
+                return out
+            return {k: rec(v, k) for k, v in node.items()}
+        if isinstance(node, list):
+            return [rec(v, name) for v in node]
+        return node
+
+    out = rec(params, "")
+    logger.info("quantized %d linear weights to %s", n_quant[0], method)
+    return out

@@ -59,6 +59,10 @@ class LlamaForCausalLM:
             dtype=self.dtype,
         )
         self.act = ACT2FN[c.hidden_act]
+        # Qwen3-style per-head q/k RMSNorm (applied on head_dim before rope)
+        self.use_qk_norm = c.architecture in (
+            "Qwen3ForCausalLM", "Qwen3MoeForCausalLM",
+        )
         # Set by the runner before tracing (static under jit): property of the
         # memory pool, not the checkpoint.
         self.page_size = 16
@@ -83,6 +87,9 @@ class LlamaForCausalLM:
         }
         if c.attention_bias:
             layer["qkv_proj"]["b"] = jax.ShapeDtypeStruct((L, qkv_out), d)
+        if self.use_qk_norm:
+            layer["q_norm"] = jax.ShapeDtypeStruct((L, self.head_dim), d)
+            layer["k_norm"] = jax.ShapeDtypeStruct((L, self.head_dim), d)
         specs = {
             "embed": {"w": jax.ShapeDtypeStruct((c.vocab_size, H), d)},
             "layers": layer,
@@ -104,6 +111,9 @@ class LlamaForCausalLM:
         }
         if c.attention_bias:
             layer["qkv_proj"]["b"] = P(None, "tp")
+        if self.use_qk_norm:
+            layer["q_norm"] = P()
+            layer["k_norm"] = P()
         specs = {
             "embed": {"w": P("tp", None)},
             "layers": layer,
@@ -150,6 +160,9 @@ class LlamaForCausalLM:
                 "model.layers.{L}.self_attn.k_proj.bias": ("layers.qkv_proj.b", (self.q_size, self.kv_size), "none"),
                 "model.layers.{L}.self_attn.v_proj.bias": ("layers.qkv_proj.b", (self.q_size + self.kv_size, self.kv_size), "none"),
             })
+        if self.use_qk_norm:
+            plan["model.layers.{L}.self_attn.q_norm.weight"] = ("layers.q_norm", None, "none")
+            plan["model.layers.{L}.self_attn.k_norm.weight"] = ("layers.k_norm", None, "none")
         if not self.config.tie_word_embeddings:
             plan["lm_head.weight"] = ("lm_head.w", None, "t")
         return plan
@@ -198,6 +211,9 @@ class LlamaForCausalLM:
         q = q.reshape(T, self.num_heads, self.head_dim)
         k = k.reshape(T, self.num_kv_heads, self.head_dim)
         v = v.reshape(T, self.num_kv_heads, self.head_dim)
+        if self.use_qk_norm:
+            q = rms_norm(q, lp["q_norm"], c.rms_norm_eps)
+            k = rms_norm(k, lp["k_norm"], c.rms_norm_eps)
         q, k = self.rope(fb.q_pos, q, k)
 
         sliding = c.sliding_window

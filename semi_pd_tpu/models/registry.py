@@ -44,30 +44,28 @@ def _ensure_populated():
     _populated = True
     from semi_pd_tpu.models.llama import LlamaForCausalLM
 
+    # Archs whose weights/blocks genuinely map onto the llama implementation
+    # (verified: qkv/gate-up naming, rmsnorm, rope; qwen2 differs only by qkv
+    # bias which ModelConfig detects). Do NOT add llama-lookalikes with
+    # different weight naming here (internlm2's fused wqkv, exaone's c_fc...).
     for arch in (
         "LlamaForCausalLM",
         "MistralForCausalLM",
         "Qwen2ForCausalLM",
-        "InternLM2ForCausalLM",
-        "ExaoneForCausalLM",
-        "GraniteForCausalLM",
-        "StableLmForCausalLM",
-        "Olmo2ForCausalLM",
+        "Qwen3ForCausalLM",
     ):
         _REGISTRY.setdefault(arch, LlamaForCausalLM)
 
-    try:
-        from semi_pd_tpu.models.qwen2_moe import Qwen2MoeForCausalLM, MixtralForCausalLM
+    from semi_pd_tpu.models.qwen2_moe import Qwen2MoeForCausalLM, MixtralForCausalLM
 
-        _REGISTRY.setdefault("Qwen2MoeForCausalLM", Qwen2MoeForCausalLM)
-        _REGISTRY.setdefault("MixtralForCausalLM", MixtralForCausalLM)
-    except ImportError:
-        pass
+    _REGISTRY.setdefault("Qwen2MoeForCausalLM", Qwen2MoeForCausalLM)
+    _REGISTRY.setdefault("MixtralForCausalLM", MixtralForCausalLM)
 
-    try:
-        from semi_pd_tpu.models.deepseek_v2 import DeepseekV2ForCausalLM
+    from semi_pd_tpu.models.deepseek_v2 import DeepseekV2ForCausalLM
 
-        _REGISTRY.setdefault("DeepseekV2ForCausalLM", DeepseekV2ForCausalLM)
-        _REGISTRY.setdefault("DeepseekV3ForCausalLM", DeepseekV2ForCausalLM)
-    except ImportError:
-        pass
+    _REGISTRY.setdefault("DeepseekV2ForCausalLM", DeepseekV2ForCausalLM)
+    _REGISTRY.setdefault("DeepseekV3ForCausalLM", DeepseekV2ForCausalLM)
+
+    from semi_pd_tpu.models.gemma2 import Gemma2ForCausalLM
+
+    _REGISTRY.setdefault("Gemma2ForCausalLM", Gemma2ForCausalLM)

@@ -55,10 +55,15 @@ def sample(
     logits: jax.Array,  # [B, V] any float dtype
     params: SamplingArrays,
     key: jax.Array,
+    vocab_mask: Optional[jax.Array] = None,  # [B, V] bool — grammar constraint
 ) -> jax.Array:
     """Returns sampled token ids [B] int32."""
     B, V = logits.shape
     logits = logits.astype(jnp.float32)
+    if vocab_mask is not None:
+        # Grammar-constrained decoding (reference: apply_vocab_mask,
+        # srt/constrained/base_grammar_backend.py:30-110)
+        logits = jnp.where(vocab_mask, logits, -jnp.inf)
 
     greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 

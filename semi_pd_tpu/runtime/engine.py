@@ -60,6 +60,16 @@ class Engine:
         self.scheduler = Scheduler(server_args, self.runner)
         self._eos_ids = self._resolve_eos()
         self._lock = threading.Lock()
+        self._grammar_compiler = None  # lazy: vocab string table is costly
+
+    def _get_grammar_compiler(self):
+        if self._grammar_compiler is None:
+            if self.tokenizer is None:
+                raise ValueError("grammar-constrained decoding needs a tokenizer")
+            from semi_pd_tpu.constrained.grammar import GrammarCompiler
+
+            self._grammar_compiler = GrammarCompiler(self.tokenizer, self._eos_ids)
+        return self._grammar_compiler
 
     def _resolve_eos(self) -> List[int]:
         eos = []
@@ -91,7 +101,7 @@ class Engine:
         if input_ids is None:
             assert prompt is not None and self.tokenizer is not None
             input_ids = self.tokenizer.encode(prompt)
-        return Req(
+        req = Req(
             rid=rid or uuid.uuid4().hex,
             input_ids=list(input_ids),
             sampling_params=sampling_params,
@@ -99,6 +109,16 @@ class Engine:
             stream=stream,
             return_logprob=return_logprob,
         )
+        sp = sampling_params
+        if sp.json_schema or sp.regex or sp.ebnf:
+            gc = self._get_grammar_compiler()
+            if sp.regex:
+                req.grammar = gc.matcher("regex", sp.regex)
+            elif sp.json_schema:
+                req.grammar = gc.matcher("json_schema", sp.json_schema)
+            else:
+                req.grammar = gc.matcher("ebnf", sp.ebnf)
+        return req
 
     def generate(
         self,

@@ -98,6 +98,11 @@ class ModelRunner:
             self.params = load_params(
                 self.model, model_path=self.server_args.model_path, mesh=self.mesh
             )
+        q = self.server_args.quantization
+        if q in ("fp8", "int8", "blockwise_fp8"):
+            from semi_pd_tpu.model_loader.quantize import quantize_params
+
+            self.params = quantize_params(self.params, q)
         n_bytes = sum(
             x.size * x.dtype.itemsize for x in jax.tree.leaves(self.params)
         )
@@ -178,27 +183,42 @@ class ModelRunner:
     def _build_step_fns(self):
         model = self.model
 
-        def _step(params, kv, fb: ForwardArrays):
+        def _step(params, kv, fb: ForwardArrays, vocab_mask=None):
             logits, kv = model.forward(params, fb, kv)
             new_key, sample_key = jax.random.split(fb.rng_key)
-            next_tokens = sampling_ops.sample(logits, fb.sampling, sample_key)
+            next_tokens = sampling_ops.sample(
+                logits, fb.sampling, sample_key, vocab_mask
+            )
             logprobs = sampling_ops.compute_logprobs(logits, next_tokens)
             return next_tokens, logprobs, new_key, kv
 
         # donate kv buffers: in-place updates on the unified storage
         self.step_fn = _step  # unjitted (graft entry / tests)
         self._step_jit = jax.jit(_step, donate_argnums=(1,))
+        self._step_masked_jit = jax.jit(_step, donate_argnums=(1,))
 
-    def step(self, fb: ForwardArrays) -> Tuple[jax.Array, jax.Array]:
+    def step(
+        self, fb: ForwardArrays, vocab_mask=None
+    ) -> Tuple[jax.Array, jax.Array]:
         """Dispatch one (prefill or decode) step. Returns device arrays
         (next_tokens [B], logprobs [B]); KV buffers and RNG key are threaded
-        internally. Non-blocking (JAX async dispatch)."""
+        internally. Non-blocking (JAX async dispatch). ``vocab_mask``
+        [B, V] bool applies grammar constraints (separate compiled variant so
+        unconstrained batches pay nothing)."""
         fb = fb._replace(rng_key=self.rng_key)
         if self._replicated is not None:
             fb = jax.device_put(fb, self._replicated)
-        next_tokens, logprobs, new_key, kv = self._step_jit(
-            self.params, self.kv_cache.arrays, fb
-        )
+        if vocab_mask is None:
+            next_tokens, logprobs, new_key, kv = self._step_jit(
+                self.params, self.kv_cache.arrays, fb
+            )
+        else:
+            mask = jnp.asarray(vocab_mask)
+            if self._replicated is not None:
+                mask = jax.device_put(mask, self._replicated)
+            next_tokens, logprobs, new_key, kv = self._step_masked_jit(
+                self.params, self.kv_cache.arrays, fb, mask
+            )
         self.kv_cache.update(kv)
         self.rng_key = new_key
         return next_tokens, logprobs

@@ -264,6 +264,20 @@ class Scheduler:
             req.pages.extend(pages.tolist())
         return True
 
+    def _vocab_mask(self, reqs: List[Req], B: int):
+        """Dense [B, V] grammar mask, or None when no request is constrained
+        (the unconstrained step variant then runs mask-free)."""
+        if not any(r.grammar is not None for r in reqs):
+            return None
+        V = self.runner.model_config.vocab_size
+        mask = np.ones((B, V), dtype=bool)
+        for i, r in enumerate(reqs):
+            if r.grammar is not None and not r.grammar.finished:
+                m = r.grammar.vocab_mask()
+                mask[i, : len(m)] = m
+                mask[i, len(m):] = False
+        return mask
+
     def _run_extend(self, admitted: List[Tuple[Req, int]]) -> List[Tuple[Req, int]]:
         hb = build_extend_batch(
             admitted,
@@ -273,7 +287,8 @@ class Scheduler:
             self.b_buckets,
             self.p_buckets,
         )
-        tokens, logprobs = self.runner.step(hb.to_device(self.runner.rng_key))
+        mask = self._vocab_mask([r for r, _ in admitted], hb.B)
+        tokens, logprobs = self.runner.step(hb.to_device(self.runner.rng_key), mask)
         tokens = np.asarray(tokens)
         logprobs = np.asarray(logprobs)
         self.n_prefill_tokens += sum(n for _, n in admitted)
@@ -284,6 +299,8 @@ class Scheduler:
             if req.prefilled_len >= req.prompt_len:
                 tok = int(tokens[i])
                 req.output_ids.append(tok)
+                if req.grammar is not None:
+                    req.grammar.accept_token(tok)
                 if req.return_logprob:
                     req.output_logprobs.append(float(logprobs[i]))
                 if req.first_token_time is None:
@@ -313,7 +330,8 @@ class Scheduler:
             self.b_buckets,
             self.p_buckets,
         )
-        tokens, logprobs = self.runner.step(hb.to_device(self.runner.rng_key))
+        mask = self._vocab_mask(self.running, hb.B)
+        tokens, logprobs = self.runner.step(hb.to_device(self.runner.rng_key), mask)
         tokens = np.asarray(tokens)
         logprobs = np.asarray(logprobs)
         self.n_decode_tokens += len(self.running)
@@ -323,6 +341,8 @@ class Scheduler:
         for i, req in enumerate(self.running):
             tok = int(tokens[i])
             req.output_ids.append(tok)
+            if req.grammar is not None:
+                req.grammar.accept_token(tok)
             if req.return_logprob:
                 req.output_logprobs.append(float(logprobs[i]))
             req.check_finished()

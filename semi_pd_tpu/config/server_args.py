@@ -50,6 +50,7 @@ class ServerArgs:
 
     # Scheduling
     schedule_policy: str = "lpm"  # lpm | fcfs | lof | random
+    disable_overlap_schedule: bool = False  # overlap decode pipeline
     schedule_conservativeness: float = 1.0
     chunked_prefill_size: int = 2048
     disable_radix_cache: bool = False

@@ -19,15 +19,21 @@ Two deliberate differences:
 from __future__ import annotations
 
 import heapq
-import time
+import itertools
 from collections import defaultdict
 from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
 
+# Logical LRU clock: deterministic tie-free ordering (and no syscall per
+# touch); the native tree (csrc/radix_tree.cpp) uses the same scheme.
+_CLOCK = itertools.count()
+
+
 class TreeNode:
-    __slots__ = ("children", "parent", "key", "pages", "lock_ref", "last_access_time", "id")
+    __slots__ = ("children", "parent", "key", "pages", "lock_ref",
+                 "last_access_time", "id", "detached")
     _id_counter = 0
 
     def __init__(self):
@@ -36,7 +42,8 @@ class TreeNode:
         self.key: Tuple[int, ...] = ()  # token ids, len % page_size == 0
         self.pages: np.ndarray = np.empty((0,), dtype=np.int32)
         self.lock_ref = 0
-        self.last_access_time = time.monotonic()
+        self.detached = False  # set on eviction: stale handles must no-op
+        self.last_access_time = next(_CLOCK)
         self.id = TreeNode._id_counter
         TreeNode._id_counter += 1
 
@@ -72,7 +79,7 @@ class RadixCache:
             child = node.children.get(key[:P])
             if child is None:
                 break
-            child.last_access_time = time.monotonic()
+            child.last_access_time = next(_CLOCK)
             match = _shared_page_prefix_len(child.key, key, P)
             if match < len(child.key):
                 if match == 0:
@@ -111,7 +118,7 @@ class RadixCache:
                 node.children[key[:P]] = new
                 self.evictable_pages += len(new.pages)
                 return matched_pages, new
-            child.last_access_time = time.monotonic()
+            child.last_access_time = next(_CLOCK)
             match = _shared_page_prefix_len(child.key, key, P)
             if match < len(child.key):
                 child = self._split_node(child, match)
@@ -141,6 +148,8 @@ class RadixCache:
 
     # ------------------------------------------------------------- locking
     def inc_lock_ref(self, node: TreeNode):
+        if node is None or node.detached:
+            return
         while node is not self.root and node is not None:
             if node.lock_ref == 0:
                 self.evictable_pages -= len(node.pages)
@@ -149,6 +158,8 @@ class RadixCache:
             node = node.parent
 
     def dec_lock_ref(self, node: TreeNode):
+        if node is None or node.detached:
+            return
         while node is not self.root and node is not None:
             node.lock_ref -= 1
             if node.lock_ref == 0:
@@ -170,6 +181,7 @@ class RadixCache:
             self.free_pages_fn(node.pages)
             freed += len(node.pages)
             self.evictable_pages -= len(node.pages)
+            node.detached = True
             parent = node.parent
             del parent.children[node.key[: self.page_size]]
             if (

@@ -21,6 +21,21 @@ import jax
 import jax.numpy as jnp
 
 
+class PenaltyArrays(NamedTuple):
+    """Compact per-request token histogram shipped with penalized batches
+    (reference: srt/sampling/penaltylib/ cumulated [B, V] tensors — here the
+    dense counts are rebuilt on device from a bucketed (ids, counts) list so
+    the host never transfers [B, V]).
+
+    hist_ids: [B, H] i32 token ids (-1 pad); hist_counts: [B, H] i32 counts
+    of that token among *generated* tokens; hist_prompt: [B, H] bool — token
+    appears in the prompt (repetition penalty covers prompt tokens too)."""
+
+    hist_ids: jax.Array
+    hist_counts: jax.Array
+    hist_prompt: jax.Array
+
+
 class SamplingArrays(NamedTuple):
     """Per-request sampling parameters, batch-aligned [B]."""
 
@@ -56,10 +71,24 @@ def sample(
     params: SamplingArrays,
     key: jax.Array,
     vocab_mask: Optional[jax.Array] = None,  # [B, V] bool — grammar constraint
+    penalties: Optional[PenaltyArrays] = None,
 ) -> jax.Array:
     """Returns sampled token ids [B] int32."""
     B, V = logits.shape
     logits = logits.astype(jnp.float32)
+    if penalties is not None:
+        safe_ids = jnp.maximum(penalties.hist_ids, 0)
+        valid = penalties.hist_ids >= 0
+        rows = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], safe_ids.shape
+        )
+        counts = jnp.zeros((B, V), jnp.int32).at[rows, safe_ids].add(
+            jnp.where(valid, penalties.hist_counts, 0)
+        )
+        prompt_mask = jnp.zeros((B, V), bool).at[rows, safe_ids].max(
+            valid & penalties.hist_prompt
+        )
+        logits = apply_penalties(logits, counts, prompt_mask, params)
     if vocab_mask is not None:
         # Grammar-constrained decoding (reference: apply_vocab_mask,
         # srt/constrained/base_grammar_backend.py:30-110)

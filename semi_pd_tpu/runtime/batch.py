@@ -166,12 +166,18 @@ def build_decode_batch(
     page_size: int,
     b_buckets: Sequence[int],
     p_buckets: Sequence[int],
+    lag: int = 0,
 ) -> HostBatch:
     """One new token per request; the token to embed is the last sampled one.
-    Pages for the new token were allocated by the scheduler already."""
+    Pages for the new token were allocated by the scheduler already.
+
+    ``lag=1`` builds the batch one step AHEAD of host bookkeeping (overlap
+    scheduling: the previous step's sampled tokens haven't been read back;
+    input_ids placeholders are replaced by the device token array — the role
+    of the reference's future-token-ids trick, tp_worker_overlap_thread.py:44)."""
     B = bucket_of(len(reqs), b_buckets)
     T = B
-    need_pages = max((r.kv_len + page_size) // page_size for r in reqs)
+    need_pages = max((r.kv_len + lag + page_size) // page_size for r in reqs)
     maxP = bucket_of(need_pages, p_buckets)
 
     input_ids = np.zeros(T, np.int32)
@@ -182,15 +188,16 @@ def build_decode_batch(
     logits_idx = np.arange(B, dtype=np.int32)
 
     for i, r in enumerate(reqs):
-        pos = r.kv_len  # writing token at index kv_len (0-based)
-        input_ids[i] = r.output_ids[-1] if r.output_ids else r.input_ids[-1]
+        pos = r.kv_len + lag  # writing token at this index (0-based)
+        if lag == 0:
+            input_ids[i] = r.output_ids[-1] if r.output_ids else r.input_ids[-1]
         q_req_idx[i] = i
         q_pos[i] = pos
         out_slots[i] = r.pages[pos // page_size] * page_size + pos % page_size
         kv_lens[i] = pos + 1
 
     return HostBatch(
-        mode=ForwardMode.DECODE, reqs=reqs,
+        mode=ForwardMode.DECODE, reqs=list(reqs),  # snapshot: caller's list mutates
         input_ids=input_ids, q_req_idx=q_req_idx, q_pos=q_pos,
         out_slots=out_slots,
         page_table=_page_table_block(reqs, B, maxP, page_table_host),

@@ -183,22 +183,24 @@ class ModelRunner:
     def _build_step_fns(self):
         model = self.model
 
-        def _step(params, kv, fb: ForwardArrays, vocab_mask=None):
+        def _step(params, kv, fb: ForwardArrays, vocab_mask=None, penalties=None):
             logits, kv = model.forward(params, fb, kv)
             new_key, sample_key = jax.random.split(fb.rng_key)
             next_tokens = sampling_ops.sample(
-                logits, fb.sampling, sample_key, vocab_mask
+                logits, fb.sampling, sample_key, vocab_mask, penalties
             )
             logprobs = sampling_ops.compute_logprobs(logits, next_tokens)
             return next_tokens, logprobs, new_key, kv
 
-        # donate kv buffers: in-place updates on the unified storage
+        # donate kv buffers: in-place updates on the unified storage.
+        # Three compiled variants so the common unconstrained/unpenalized
+        # path carries no [B,V] mask or histogram work.
         self.step_fn = _step  # unjitted (graft entry / tests)
         self._step_jit = jax.jit(_step, donate_argnums=(1,))
         self._step_masked_jit = jax.jit(_step, donate_argnums=(1,))
 
     def step(
-        self, fb: ForwardArrays, vocab_mask=None
+        self, fb: ForwardArrays, vocab_mask=None, penalties=None
     ) -> Tuple[jax.Array, jax.Array]:
         """Dispatch one (prefill or decode) step. Returns device arrays
         (next_tokens [B], logprobs [B]); KV buffers and RNG key are threaded
@@ -208,16 +210,16 @@ class ModelRunner:
         fb = fb._replace(rng_key=self.rng_key)
         if self._replicated is not None:
             fb = jax.device_put(fb, self._replicated)
-        if vocab_mask is None:
+        if vocab_mask is None and penalties is None:
             next_tokens, logprobs, new_key, kv = self._step_jit(
                 self.params, self.kv_cache.arrays, fb
             )
         else:
-            mask = jnp.asarray(vocab_mask)
+            extras = [vocab_mask, penalties]
             if self._replicated is not None:
-                mask = jax.device_put(mask, self._replicated)
+                extras = jax.device_put(extras, self._replicated)
             next_tokens, logprobs, new_key, kv = self._step_masked_jit(
-                self.params, self.kv_cache.arrays, fb, mask
+                self.params, self.kv_cache.arrays, fb, extras[0], extras[1]
             )
         self.kv_cache.update(kv)
         self.rng_key = new_key

@@ -26,8 +26,8 @@ class FinishReason(enum.Enum):
     ABORT = "abort"
 
 
-@dataclasses.dataclass
-class Req:
+@dataclasses.dataclass(eq=False)  # identity semantics: scheduler compares
+class Req:  # batch membership by object, and dicts key on rid
     rid: str
     input_ids: List[int]
     sampling_params: SamplingParams

@@ -70,7 +70,14 @@ class Scheduler:
         if server_args.disable_radix_cache:
             self.tree_cache = ChunkCache(self.page_size, alloc.free)
         else:
-            self.tree_cache = RadixCache(self.page_size, alloc.free)
+            # Native C++ tree on the admission hot path (csrc/radix_tree.cpp);
+            # pure-python fallback when no compiler is available.
+            try:
+                from semi_pd_tpu.mem.radix_native import NativeRadixCache
+
+                self.tree_cache = NativeRadixCache(self.page_size, alloc.free)
+            except RuntimeError:
+                self.tree_cache = RadixCache(self.page_size, alloc.free)
 
         # Bucket tables
         self.t_buckets = server_args.prefill_token_buckets
@@ -87,6 +94,15 @@ class Scheduler:
         self._prefill_cost_per_token = 50e-6
         self._decode_cost = 5e-3
         self._ewma = lambda old, new: 0.8 * old + 0.2 * new
+
+        # Overlap pipeline: the in-flight decode step awaiting host read
+        # (hb, dev_tokens, dev_logprobs). TPU-native version of the
+        # reference's overlap thread + future-token-ids
+        # (tp_worker_overlap_thread.py:44-50,142): step N+1 is dispatched
+        # with step N's sampled tokens still on device, so the host never
+        # sits between consecutive decode steps.
+        self._pending = None
+        self.enable_overlap = not server_args.disable_overlap_schedule
 
         # Stats
         self.n_finished = 0
@@ -117,7 +133,7 @@ class Scheduler:
                 self._release_finished(req)
 
     def has_work(self) -> bool:
-        return bool(self.waiting or self.running)
+        return bool(self.waiting or self.running or self._pending is not None)
 
     def finish_stream_req(self, req: Req) -> None:
         """Release a request finished by a host-side condition (stop string
@@ -137,21 +153,21 @@ class Scheduler:
     def _tick_colocated(self) -> List[Tuple[Req, int]]:
         """Reference event_loop_normal: run a prefill batch when one can form,
         else a decode batch — a long prefill stalls decode for its duration."""
-        out = []
         extend = self._form_extend_batch(self.args.chunked_prefill_size)
         if extend is not None:
+            out = self._process_pending()  # in-flight decode results still land
             out += self._run_extend(extend)
             return out
-        if self.running:
-            out += self._run_decode()
-        return out
+        if self.running or self._pending is not None:
+            return self._run_decode()
+        return []
 
     def _tick_semi_pd(self) -> List[Tuple[Req, int]]:
         """Decode first (cadence guaranteed), then one SLO-bounded prefill
         chunk on the same unified storage."""
         out = []
-        if self.running:
-            t0 = time.monotonic()
+        t0 = time.monotonic()
+        if self.running or self._pending is not None:
             out += self._run_decode()
             self._decode_cost = self._ewma(self._decode_cost, time.monotonic() - t0)
 
@@ -264,6 +280,38 @@ class Scheduler:
             req.pages.extend(pages.tolist())
         return True
 
+    PENALTY_HIST = 512  # token-histogram bucket (oldest truncated beyond)
+
+    def _penalty_arrays(self, reqs: List[Req], B: int):
+        """Compact per-request token histograms for penalized batches, or
+        None when no request uses penalties (the common case)."""
+        if not any(r.sampling_params.needs_penalties for r in reqs):
+            return None
+        from collections import Counter
+
+        from semi_pd_tpu.ops.sampling import PenaltyArrays
+        import jax.numpy as jnp
+
+        H = self.PENALTY_HIST
+        ids = np.full((B, H), -1, np.int32)
+        counts = np.zeros((B, H), np.int32)
+        in_prompt = np.zeros((B, H), bool)
+        for i, r in enumerate(reqs):
+            if not r.sampling_params.needs_penalties:
+                continue
+            out_c = Counter(r.full_output_ids())
+            prompt_set = set(r.input_ids[: r.origin_prompt_len])
+            toks = list(dict.fromkeys(list(out_c.keys()) + list(prompt_set)))[:H]
+            for j, t in enumerate(toks):
+                ids[i, j] = t
+                counts[i, j] = out_c.get(t, 0)
+                in_prompt[i, j] = t in prompt_set
+        return PenaltyArrays(
+            hist_ids=jnp.asarray(ids),
+            hist_counts=jnp.asarray(counts),
+            hist_prompt=jnp.asarray(in_prompt),
+        )
+
     def _vocab_mask(self, reqs: List[Req], B: int):
         """Dense [B, V] grammar mask, or None when no request is constrained
         (the unconstrained step variant then runs mask-free)."""
@@ -287,8 +335,12 @@ class Scheduler:
             self.b_buckets,
             self.p_buckets,
         )
-        mask = self._vocab_mask([r for r, _ in admitted], hb.B)
-        tokens, logprobs = self.runner.step(hb.to_device(self.runner.rng_key), mask)
+        reqs_only = [r for r, _ in admitted]
+        mask = self._vocab_mask(reqs_only, hb.B)
+        pen = self._penalty_arrays(reqs_only, hb.B)
+        tokens, logprobs = self.runner.step(
+            hb.to_device(self.runner.rng_key), mask, pen
+        )
         tokens = np.asarray(tokens)
         logprobs = np.asarray(logprobs)
         self.n_prefill_tokens += sum(n for _, n in admitted)
@@ -321,8 +373,24 @@ class Scheduler:
 
     # ================================================================ decode
     def _run_decode(self) -> List[Tuple[Req, int]]:
-        if not self._prepare_decode_pages():
-            return []
+        """Overlap pipeline: (a) when the running batch is unchanged since the
+        in-flight step, dispatch the NEXT step chained to its on-device
+        tokens; (b) read + process the in-flight step; (c) if nothing could
+        be chained, dispatch fresh from host state (its results are read next
+        tick). A decode result is produced every tick either way."""
+        chained = self._try_dispatch_chained() if self.enable_overlap else None
+        out = self._process_pending()
+        if chained is not None:
+            self._pending = chained
+        elif self.running:
+            self._pending = self._dispatch_decode()
+        return out
+
+    def _dispatch_decode(self):
+        """Build + dispatch a decode step from host state (inputs = last
+        sampled tokens known on host)."""
+        if not self._prepare_decode_pages(lag=0):
+            return None
         hb = build_decode_batch(
             self.running,
             self.runner.req_pool.page_table,
@@ -331,16 +399,58 @@ class Scheduler:
             self.p_buckets,
         )
         mask = self._vocab_mask(self.running, hb.B)
-        tokens, logprobs = self.runner.step(hb.to_device(self.runner.rng_key), mask)
+        pen = self._penalty_arrays(self.running, hb.B)
+        tokens, logprobs = self.runner.step(
+            hb.to_device(self.runner.rng_key), mask, pen
+        )
+        return (hb, tokens, logprobs)
+
+    def _try_dispatch_chained(self):
+        """Dispatch step N+1 with step N's device tokens as inputs. Only when
+        the batch is provably identical and unconstrained (grammar/penalty
+        masks depend on token N, which the host hasn't read)."""
+        if self._pending is None or not self.running:
+            return None
+        hb_prev, dev_tokens, _ = self._pending
+        if hb_prev.mode != ForwardMode.DECODE or hb_prev.reqs != self.running:
+            return None
+        if any(
+            r.grammar is not None or r.sampling_params.needs_penalties
+            for r in self.running
+        ):
+            return None
+        if not self._prepare_decode_pages(lag=1, allow_retract=False):
+            return None
+        hb = build_decode_batch(
+            self.running,
+            self.runner.req_pool.page_table,
+            self.page_size,
+            self.b_buckets,
+            self.p_buckets,
+            lag=1,
+        )
+        if hb.B != hb_prev.B:
+            return None
+        fb = hb.to_device(self.runner.rng_key)
+        fb = fb._replace(input_ids=dev_tokens)
+        tokens, logprobs = self.runner.step(fb)
+        return (hb, tokens, logprobs)
+
+    def _process_pending(self) -> List[Tuple[Req, int]]:
+        if self._pending is None:
+            return []
+        hb, tokens, logprobs = self._pending
+        self._pending = None
         tokens = np.asarray(tokens)
         logprobs = np.asarray(logprobs)
-        self.n_decode_tokens += len(self.running)
 
         out = []
-        still_running = []
-        for i, req in enumerate(self.running):
+        for i, req in enumerate(hb.reqs):
+            if req.finished:
+                continue  # finished at N; its N+1 token is discarded
             tok = int(tokens[i])
             req.output_ids.append(tok)
+            self.n_decode_tokens += 1
             if req.grammar is not None:
                 req.grammar.accept_token(tok)
             if req.return_logprob:
@@ -348,13 +458,12 @@ class Scheduler:
             req.check_finished()
             out.append((req, tok))
             if req.finished:
+                if req in self.running:
+                    self.running.remove(req)
                 self._release_finished(req)
-            else:
-                still_running.append(req)
-        self.running = still_running
         return out
 
-    def _prepare_decode_pages(self) -> bool:
+    def _prepare_decode_pages(self, lag: int = 0, allow_retract: bool = True) -> bool:
         """Allocate the page each request needs for its next token; on
         exhaustion retract newest requests back to waiting (reference
         update_running_batch semi_pd_decode_scheduler.py:90-151 +
@@ -362,8 +471,8 @@ class Scheduler:
         while self.running:
             need_idx = [
                 i for i, r in enumerate(self.running)
-                if r.kv_len % self.page_size == 0
-                and len(r.pages) * self.page_size <= r.kv_len
+                if (r.kv_len + lag) % self.page_size == 0
+                and len(r.pages) * self.page_size <= r.kv_len + lag
             ]
             if not need_idx:
                 return True
@@ -376,6 +485,8 @@ class Scheduler:
                     )
                     r.pages.append(int(pages[j]))
                 return True
+            if not allow_retract:
+                return False
             # Retract the newest request (LIFO — oldest keep making progress).
             victim = self.running.pop()
             self._retract(victim)
@@ -419,7 +530,7 @@ class Scheduler:
         (reference radix_cache.py:168 cache_finished_req)."""
         self.n_finished += 1
         req.finish_time = time.monotonic()
-        if isinstance(self.tree_cache, RadixCache):
+        if not isinstance(self.tree_cache, ChunkCache):
             kv_tokens = req.kv_len
             n_full = kv_tokens // self.page_size
             tokens = req.all_token_ids()[: n_full * self.page_size]

@@ -204,3 +204,72 @@ def build_decode_batch(
         kv_lens=kv_lens, logits_idx=logits_idx,
         sampling=_sampling_arrays(reqs, B), T=T, B=B, maxP=maxP,
     )
+
+
+def build_spec_verify_batch(
+    reqs: List[Req],
+    drafts: List[List[int]],
+    gamma: int,
+    page_table_host: np.ndarray,
+    page_size: int,
+    b_buckets: Sequence[int],
+    p_buckets: Sequence[int],
+) -> Tuple[HostBatch, np.ndarray, np.ndarray]:
+    """Speculative verify batch: each request contributes exactly gamma+1
+    query rows = [last sampled token, draft_1..draft_d, padding...]. Returns
+    (HostBatch, drafts_padded [B, gamma], draft_lens [B]). Padding rows write
+    to the dump page and their outputs are ignored on device.
+
+    Reference analog: ForwardMode.TARGET_VERIFY batches
+    (forward_batch_info.py:53-110)."""
+    B = bucket_of(len(reqs), b_buckets)
+    W = gamma + 1
+    T = B * W
+    need_pages = max(
+        (r.kv_len + 1 + len(d) + page_size - 1) // page_size + 1
+        for r, d in zip(reqs, drafts)
+    )
+    maxP = bucket_of(need_pages, p_buckets)
+
+    input_ids = np.zeros(T, np.int32)
+    q_req_idx = np.zeros(T, np.int32)
+    q_pos = np.zeros(T, np.int32)
+    out_slots = np.zeros(T, np.int32)
+    kv_lens = np.zeros(B, np.int32)
+    logits_idx = np.arange(T, dtype=np.int32)
+    drafts_padded = np.full((B, gamma), -1, np.int32)
+    draft_lens = np.zeros(B, np.int32)
+
+    for i, (r, d) in enumerate(zip(reqs, drafts)):
+        base = i * W
+        last_tok = r.output_ids[-1] if r.output_ids else r.input_ids[-1]
+        window = [last_tok] + list(d)
+        start_pos = r.kv_len
+        for j in range(W):
+            row = base + j
+            q_req_idx[row] = i
+            if j < len(window):
+                input_ids[row] = window[j]
+                pos = start_pos + j
+            else:
+                input_ids[row] = 0
+                pos = start_pos + len(window) - 1  # harmless duplicate pos
+            q_pos[row] = pos
+            out_slots[row] = (
+                r.pages[pos // page_size] * page_size + pos % page_size
+                if j < len(window) else 0  # dump page
+            )
+        kv_lens[i] = start_pos + len(window)
+        drafts_padded[i, : len(d)] = d
+        draft_lens[i] = len(d)
+
+    hb = HostBatch(
+        mode=ForwardMode.EXTEND, reqs=list(reqs),
+        extend_lens=[W] * len(reqs),
+        input_ids=input_ids, q_req_idx=q_req_idx, q_pos=q_pos,
+        out_slots=out_slots,
+        page_table=_page_table_block(reqs, B, maxP, page_table_host),
+        kv_lens=kv_lens, logits_idx=logits_idx,
+        sampling=_sampling_arrays(reqs, B), T=T, B=B, maxP=maxP,
+    )
+    return hb, drafts_padded, draft_lens

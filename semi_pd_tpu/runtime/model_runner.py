@@ -199,6 +199,20 @@ class ModelRunner:
         self._step_jit = jax.jit(_step, donate_argnums=(1,))
         self._step_masked_jit = jax.jit(_step, donate_argnums=(1,))
 
+        def _spec_step(params, kv, fb: ForwardArrays, drafts, draft_lens, gamma):
+            from semi_pd_tpu.runtime.speculative import verify_and_accept
+
+            logits, kv = model.forward(params, fb, kv)  # logits_idx covers all rows
+            new_key, sub = jax.random.split(fb.rng_key)
+            accept_len, next_tok = verify_and_accept(
+                logits, drafts, draft_lens, fb.sampling, sub, gamma
+            )
+            return accept_len, next_tok, new_key, kv
+
+        self._spec_step_jit = jax.jit(
+            _spec_step, donate_argnums=(1,), static_argnums=(5,)
+        )
+
     def step(
         self, fb: ForwardArrays, vocab_mask=None, penalties=None
     ) -> Tuple[jax.Array, jax.Array]:
@@ -224,6 +238,21 @@ class ModelRunner:
         self.kv_cache.update(kv)
         self.rng_key = new_key
         return next_tokens, logprobs
+
+    def spec_step(self, fb: ForwardArrays, drafts, draft_lens, gamma: int):
+        """Speculative verify step (runtime/speculative.py). Returns device
+        (accept_len [B], next_token [B])."""
+        fb = fb._replace(rng_key=self.rng_key)
+        args = [jnp.asarray(drafts), jnp.asarray(draft_lens)]
+        if self._replicated is not None:
+            fb = jax.device_put(fb, self._replicated)
+            args = jax.device_put(args, self._replicated)
+        accept_len, next_tok, new_key, kv = self._spec_step_jit(
+            self.params, self.kv_cache.arrays, fb, args[0], args[1], gamma
+        )
+        self.kv_cache.update(kv)
+        self.rng_key = new_key
+        return accept_len, next_tok
 
     # ------------------------------------------------------------- misc
     def update_weights(self, weights_iter) -> None:

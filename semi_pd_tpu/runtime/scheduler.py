@@ -47,6 +47,7 @@ from semi_pd_tpu.runtime.batch import (
     HostBatch,
     build_decode_batch,
     build_extend_batch,
+    build_spec_verify_batch,
 )
 from semi_pd_tpu.runtime.forward_batch import ForwardMode
 from semi_pd_tpu.runtime.model_runner import ModelRunner
@@ -103,6 +104,13 @@ class Scheduler:
         # sits between consecutive decode steps.
         self._pending = None
         self.enable_overlap = not server_args.disable_overlap_schedule
+        # NGRAM speculative decoding (runtime/speculative.py)
+        self.spec_gamma = (
+            server_args.speculative_num_draft_tokens
+            if server_args.speculative_algorithm == "NGRAM" else 0
+        )
+        self.n_spec_steps = 0
+        self.n_spec_accepted = 0
 
         # Stats
         self.n_finished = 0
@@ -378,12 +386,81 @@ class Scheduler:
         tokens; (b) read + process the in-flight step; (c) if nothing could
         be chained, dispatch fresh from host state (its results are read next
         tick). A decode result is produced every tick either way."""
+        if self.spec_gamma > 0:
+            out = self._process_pending()
+            if self.running:
+                out += self._run_spec_decode()
+            return out
         chained = self._try_dispatch_chained() if self.enable_overlap else None
         out = self._process_pending()
         if chained is not None:
             self._pending = chained
         elif self.running:
             self._pending = self._dispatch_decode()
+        return out
+
+    def _run_spec_decode(self) -> List[Tuple[Req, int]]:
+        """NGRAM speculative step: draft, verify in one forward, accept up to
+        gamma+1 tokens per request (reference: EAGLEWorker
+        forward_batch_speculative_generation, eagle_worker.py:162 — chain
+        drafts, no tree, no draft model)."""
+        from semi_pd_tpu.runtime.speculative import ngram_draft
+
+        g = self.spec_gamma
+        if any(
+            r.grammar is not None or r.sampling_params.needs_penalties
+            for r in self.running
+        ):
+            # masks depend on each accepted token: fall back to plain decode
+            out = []
+            d = self._dispatch_decode()
+            if d is not None:
+                self._pending = d
+                out = self._process_pending()
+            return out
+
+        drafts = [ngram_draft(r, g) for r in self.running]
+        # Allocate pages covering last token + drafts per request
+        for r, d in zip(self.running, drafts):
+            target = r.kv_len + 1 + len(d)
+            need = (target + self.page_size - 1) // self.page_size - len(r.pages)
+            if need > 0:
+                pages = self._alloc_pages(need)
+                if pages is None:
+                    d.clear()
+                    continue
+                self.runner.req_pool.write(r.req_slot, len(r.pages), pages)
+                r.pages.extend(pages.tolist())
+
+        hb, drafts_np, draft_lens = build_spec_verify_batch(
+            self.running, drafts, g,
+            self.runner.req_pool.page_table, self.page_size,
+            self.b_buckets, self.p_buckets,
+        )
+        accept_len, next_tok = self.runner.spec_step(
+            hb.to_device(self.runner.rng_key), drafts_np, draft_lens, g
+        )
+        accept_len = np.asarray(accept_len)
+        next_tok = np.asarray(next_tok)
+
+        out = []
+        still = []
+        for i, req in enumerate(hb.reqs):
+            toks = drafts[i][: int(accept_len[i])] + [int(next_tok[i])]
+            self.n_spec_steps += 1
+            self.n_spec_accepted += int(accept_len[i])
+            for tok in toks:
+                req.output_ids.append(tok)
+                self.n_decode_tokens += 1
+                req.check_finished()
+                out.append((req, tok))
+                if req.finished:
+                    break
+            if req.finished:
+                self._release_finished(req)
+            else:
+                still.append(req)
+        self.running = still
         return out
 
     def _dispatch_decode(self):

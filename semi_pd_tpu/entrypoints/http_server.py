@@ -43,6 +43,10 @@ def build_app(async_engine: AsyncEngine) -> web.Application:
         web.get("/get_server_info", get_server_info),
         web.get("/metrics", metrics),
         web.post("/generate", generate),
+        web.post("/encode", encode),
+        web.post("/open_session", open_session),
+        web.post("/close_session", close_session),
+        web.post("/v1/embeddings", v1_embeddings),
         web.post("/flush_cache", flush_cache),
         web.post("/abort_request", abort_request),
         web.post("/update_weights_from_disk", update_weights_from_disk),
@@ -131,6 +135,62 @@ async def generate(request: web.Request) -> web.StreamResponse:
     if out is None or "error" in (out or {}):
         return web.json_response({"error": (out or {}).get("error", "unknown")}, status=500)
     return web.json_response(out)
+
+
+async def encode(request: web.Request) -> web.Response:
+    """Embedding extraction (reference http_server.py /encode)."""
+    ae: AsyncEngine = request.app["engine"]
+    body = await _json_body(request)
+    try:
+        emb = ae.engine.encode(
+            prompt=body.get("text"), input_ids=body.get("input_ids")
+        )
+        return web.json_response({"embedding": emb})
+    except (ValueError, AssertionError) as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+
+
+async def open_session(request: web.Request) -> web.Response:
+    ae: AsyncEngine = request.app["engine"]
+    body = await _json_body(request)
+    sid = ae.engine.open_session(body.get("capacity_of_str_len", -1))
+    return web.json_response({"session_id": sid})
+
+
+async def close_session(request: web.Request) -> web.Response:
+    ae: AsyncEngine = request.app["engine"]
+    body = await _json_body(request)
+    ok = ae.engine.close_session(body.get("session_id", ""))
+    return web.json_response({"success": ok})
+
+
+async def v1_embeddings(request: web.Request) -> web.Response:
+    """OpenAI embeddings API (reference openai_api/adapter.py:1622)."""
+    ae: AsyncEngine = request.app["engine"]
+    body = await _json_body(request)
+    inp = body.get("input", "")
+    if isinstance(inp, str):
+        inputs = [inp]
+    elif inp and isinstance(inp[0], int):
+        inputs = None
+        token_inputs = [inp]
+    else:
+        inputs = list(inp)
+    try:
+        if inputs is not None:
+            embs = ae.engine.encode(prompt=inputs)
+        else:
+            embs = ae.engine.encode(input_ids=token_inputs)
+    except (ValueError, AssertionError) as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+    data = [
+        {"object": "embedding", "index": i, "embedding": e}
+        for i, e in enumerate(embs)
+    ]
+    return web.json_response({
+        "object": "list", "data": data, "model": body.get("model", ""),
+        "usage": {"prompt_tokens": 0, "total_tokens": 0},
+    })
 
 
 async def flush_cache(request: web.Request) -> web.Response:

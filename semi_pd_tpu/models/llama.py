@@ -201,6 +201,35 @@ class LlamaForCausalLM:
         logits = lm_head_logits(last_h, head, c.logit_softcap)
         return logits, (kv_cache,)
 
+    def forward_embedding(self, params, fb: ForwardArrays, kv):
+        """Pooled sequence embedding (reference: layers/pooler.py LAST
+        pooling + llama_embedding.py): normalized last-token hidden state."""
+        c = self.config
+        (kv_cache,) = kv
+        h = jnp.take(params["embed"]["w"], fb.input_ids, axis=0)
+        if self.scan_layers:
+            layer_ids = jnp.arange(c.num_hidden_layers, dtype=jnp.int32)
+
+            def body(carry, xs):
+                h, kv_cache = carry
+                lp, lid = xs
+                h, kv_cache = self._layer(lp, lid, h, kv_cache, fb)
+                return (h, kv_cache), None
+
+            (h, kv_cache), _ = jax.lax.scan(
+                body, (h, kv_cache), (params["layers"], layer_ids)
+            )
+        else:
+            for l in range(c.num_hidden_layers):
+                lp = jax.tree.map(lambda x: x[l], params["layers"])
+                h, kv_cache = self._layer(lp, l, h, kv_cache, fb)
+        h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
+        emb = h[fb.logits_idx].astype(jnp.float32)  # [B, H] last-token pool
+        emb = emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
+        )
+        return emb, (kv_cache,)
+
     def _layer(self, lp, layer_idx, h, kv_cache, fb: ForwardArrays):
         c = self.config
         T = h.shape[0]

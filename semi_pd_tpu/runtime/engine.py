@@ -199,6 +199,73 @@ class Engine:
             },
         }
 
+    def encode(self, prompt=None, input_ids=None):
+        """Embedding extraction (reference engine.py encode / Pooler LAST +
+        /encode endpoint). Returns list of normalized [hidden] vectors."""
+        import jax.numpy as jnp
+
+        from semi_pd_tpu.runtime.batch import build_extend_batch
+
+        single = False
+        if prompt is not None and isinstance(prompt, str):
+            prompt, single = [prompt], True
+        if input_ids is not None and input_ids and isinstance(input_ids[0], int):
+            input_ids, single = [input_ids], True
+        if input_ids is None:
+            input_ids = [self.tokenizer.encode(p) for p in prompt]
+
+        sched = self.scheduler
+        reqs = []
+        with self._lock:
+            for ids in input_ids:
+                r = self.make_request(input_ids=ids, sampling_params=SamplingParams(max_new_tokens=0))
+                slot = self.runner.req_pool.alloc()
+                n_pages = -(-len(ids) // sched.page_size)
+                pages = sched._alloc_pages(n_pages)
+                assert slot is not None and pages is not None, "OOM for encode"
+                r.req_slot = slot
+                r.pages = pages.tolist()
+                self.runner.req_pool.write(slot, 0, pages)
+                reqs.append(r)
+            admitted = [(r, r.prompt_len) for r in reqs]
+            hb = build_extend_batch(
+                admitted, self.runner.req_pool.page_table, sched.page_size,
+                sched.t_buckets, sched.b_buckets, sched.p_buckets,
+            )
+            emb = self.runner.encode_step(hb.to_device(self.runner.rng_key))
+            import numpy as _np
+
+            out = [_np.asarray(emb[i]).tolist() for i in range(len(reqs))]
+            for r in reqs:
+                sched._free_req_memory(r)
+        return out[0] if single else out
+
+    # ---------------------------------------------------------- sessions
+    def open_session(self, capacity_of_str_len: int = -1) -> str:
+        """Multi-turn sessions (reference: srt/managers/session_controller.py
+        + /open_session). Session KV reuse falls out of the radix cache —
+        follow-up turns re-match the shared prefix pages."""
+        sid = uuid.uuid4().hex
+        if not hasattr(self, "_sessions"):
+            self._sessions = {}
+        self._sessions[sid] = []
+        return sid
+
+    def close_session(self, sid: str) -> bool:
+        return hasattr(self, "_sessions") and self._sessions.pop(sid, None) is not None
+
+    def session_generate(self, sid: str, prompt=None, input_ids=None,
+                         sampling_params=None):
+        hist = self._sessions.get(sid)
+        if hist is None:
+            raise ValueError(f"unknown session {sid}")
+        if input_ids is None:
+            input_ids = self.tokenizer.encode(prompt)
+        full = hist + list(input_ids)
+        out = self.generate(input_ids=full, sampling_params=sampling_params)
+        self._sessions[sid] = full + out["output_ids"]
+        return out
+
     # ---------------------------------------------------------- maintenance
     def flush_cache(self) -> bool:
         """Reference scheduler.py flush_cache_wrapped: only when idle."""
@@ -212,6 +279,13 @@ class Engine:
         from semi_pd_tpu.model_loader.loader import iterate_hf_weights
 
         self.runner.update_weights(iterate_hf_weights(model_path))
+        return True
+
+    def update_weights_from_tensor(self, named_tensors) -> bool:
+        """Live weight update from in-memory tensors (reference
+        model_runner.py:878 update_weights_from_tensor — RL loops). Both
+        phases see the new weights atomically (single params pytree)."""
+        self.runner.update_weights(named_tensors)
         return True
 
     def get_server_info(self) -> Dict[str, Any]:

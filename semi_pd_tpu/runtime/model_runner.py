@@ -239,6 +239,24 @@ class ModelRunner:
         self.rng_key = new_key
         return next_tokens, logprobs
 
+    def encode_step(self, fb: ForwardArrays):
+        """Embedding forward: returns [B, H] normalized pooled embeddings
+        (reference: /encode path, Pooler LAST)."""
+        if not hasattr(self, "_encode_jit"):
+            model = self.model
+
+            def _encode(params, kv, fb):
+                emb, kv = model.forward_embedding(params, fb, kv)
+                return emb, kv
+
+            self._encode_jit = jax.jit(_encode, donate_argnums=(1,))
+        fb = fb._replace(rng_key=self.rng_key)
+        if self._replicated is not None:
+            fb = jax.device_put(fb, self._replicated)
+        emb, kv = self._encode_jit(self.params, self.kv_cache.arrays, fb)
+        self.kv_cache.update(kv)
+        return emb
+
     def spec_step(self, fb: ForwardArrays, drafts, draft_lens, gamma: int):
         """Speculative verify step (runtime/speculative.py). Returns device
         (accept_len [B], next_token [B])."""

@@ -234,8 +234,15 @@ class LlamaForCausalLM:
         c = self.config
         T = h.shape[0]
 
+        lora = lp.get("lora") if isinstance(lp, dict) else None
+        li = fb.lora_idx
+
         attn_in = rms_norm(h, lp["input_norm"], c.rms_norm_eps)
         qkv = apply_linear(lp["qkv_proj"], attn_in)
+        if lora is not None and li is not None:
+            from semi_pd_tpu.ops.moe import grouped_apply
+
+            qkv = qkv + grouped_apply(attn_in, lora["qkv_a"], lora["qkv_b"], li)
         q, k, v = jnp.split(qkv, [self.q_size, self.q_size + self.kv_size], axis=-1)
         q = q.reshape(T, self.num_heads, self.head_dim)
         k = k.reshape(T, self.num_kv_heads, self.head_dim)
@@ -251,11 +258,30 @@ class LlamaForCausalLM:
             page_size=self.page_size, scale=self.scale,
             logit_cap=c.attn_logit_softcap, sliding_window=sliding,
         )
-        attn_out = apply_linear(lp["o_proj"], attn_out.reshape(T, self.q_size))
+        attn_flat = attn_out.reshape(T, self.q_size)
+        attn_out = apply_linear(lp["o_proj"], attn_flat)
+        if lora is not None and li is not None:
+            from semi_pd_tpu.ops.moe import grouped_apply
+
+            attn_out = attn_out + grouped_apply(
+                attn_flat, lora["o_a"], lora["o_b"], li
+            )
         h = h + attn_out
 
         mlp_in = rms_norm(h, lp["post_norm"], c.rms_norm_eps)
-        return h + self._mlp(lp, mlp_in), kv_cache
+        if lora is not None and li is not None:
+            from semi_pd_tpu.ops.moe import grouped_apply
+
+            gu = apply_linear(lp["gate_up"], mlp_in) + grouped_apply(
+                mlp_in, lora["gate_up_a"], lora["gate_up_b"], li
+            )
+            act = self.act(gu)
+            mlp = apply_linear(lp["down"], act) + grouped_apply(
+                act, lora["down_a"], lora["down_b"], li
+            )
+        else:
+            mlp = self._mlp(lp, mlp_in)
+        return h + mlp, kv_cache
 
     # ------------------------------------------------- MLP hooks (overridable
     # by MoE subclasses: qwen2_moe.py, deepseek_v2.py)

@@ -104,3 +104,24 @@ def moe_ffn(
         out_rows * w_rows[:, None]
     )
     return out.astype(x.dtype)
+
+
+def grouped_apply(
+    x: jax.Array,  # [T, din]
+    a: jax.Array,  # [N, din, r]
+    b: jax.Array,  # [N, r, dout]
+    idx: jax.Array,  # [T] i32 group index per token
+) -> jax.Array:
+    """Per-token low-rank delta: out[t] = x[t] @ a[idx[t]] @ b[idx[t]].
+
+    Sort-by-group + ragged_dot, the same machinery as MoE dispatch (here for
+    multi-adapter LoRA; reference srt/lora/ uses batched SGemm Triton
+    kernels). Group 0 is conventionally the zero adapter."""
+    T, din = x.shape
+    N = a.shape[0]
+    order = jnp.argsort(idx)
+    xs = x[order]
+    group_sizes = jnp.bincount(idx, length=N).astype(jnp.int32)
+    u = jax.lax.ragged_dot(xs.astype(a.dtype), a, group_sizes)  # [T, r]
+    y = jax.lax.ragged_dot(u, b, group_sizes)  # [T, dout]
+    return jnp.zeros_like(y).at[order].set(y).astype(x.dtype)

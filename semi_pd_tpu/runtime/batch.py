@@ -56,6 +56,8 @@ class HostBatch:
     B: int = 0
     maxP: int = 0
 
+    lora_idx: np.ndarray = None
+
     def to_device(self, rng_key) -> ForwardArrays:
         if self.mode == ForwardMode.DECODE:
             q_lens = np.ones(self.B, np.int64)
@@ -75,6 +77,9 @@ class HostBatch:
             rng_key=rng_key,
             num_reqs=jnp.asarray(len(self.reqs), jnp.int32),
             attn_meta=build_attn_meta(q_lens, self.kv_lens.astype(np.int64), self.T),
+            lora_idx=(
+                jnp.asarray(self.lora_idx) if self.lora_idx is not None else None
+            ),
         )
 
 
@@ -134,8 +139,14 @@ def build_extend_batch(
     kv_lens = np.zeros(B, np.int32)
     logits_idx = np.zeros(B, np.int32)
 
+    lora_idx = None
+    if any(getattr(r, "lora_id", 0) for r in reqs):
+        lora_idx = np.zeros(T, np.int32)
+
     t = 0
     for i, (r, n) in enumerate(admitted):
+        if lora_idx is not None:
+            lora_idx[t : t + n] = r.lora_id
         start = r.prefilled_len
         toks = r.input_ids[start : start + n]
         input_ids[t : t + n] = toks
@@ -156,6 +167,7 @@ def build_extend_batch(
         page_table=_page_table_block(reqs, B, maxP, page_table_host),
         kv_lens=kv_lens, logits_idx=logits_idx,
         sampling=_sampling_arrays(reqs, B), T=T, B=B, maxP=maxP,
+        lora_idx=lora_idx,
     )
     return hb
 
@@ -187,7 +199,13 @@ def build_decode_batch(
     kv_lens = np.zeros(B, np.int32)
     logits_idx = np.arange(B, dtype=np.int32)
 
+    lora_idx = None
+    if any(getattr(r, "lora_id", 0) for r in reqs):
+        lora_idx = np.zeros(T, np.int32)
+
     for i, r in enumerate(reqs):
+        if lora_idx is not None:
+            lora_idx[i] = r.lora_id
         pos = r.kv_len + lag  # writing token at this index (0-based)
         if lag == 0:
             input_ids[i] = r.output_ids[-1] if r.output_ids else r.input_ids[-1]
@@ -203,6 +221,7 @@ def build_decode_batch(
         page_table=_page_table_block(reqs, B, maxP, page_table_host),
         kv_lens=kv_lens, logits_idx=logits_idx,
         sampling=_sampling_arrays(reqs, B), T=T, B=B, maxP=maxP,
+        lora_idx=lora_idx,
     )
 
 

@@ -61,6 +61,27 @@ class Engine:
         self._eos_ids = self._resolve_eos()
         self._lock = threading.Lock()
         self._grammar_compiler = None  # lazy: vocab string table is costly
+        self.lora_manager = None
+        if server_args.lora_paths:
+            for spec in server_args.lora_paths:
+                name, path = spec.split("=", 1) if "=" in spec else (spec, spec)
+                self.register_lora_adapter(name, path=path)
+
+    def register_lora_adapter(self, name: str, path: Optional[str] = None,
+                              state_dict=None, rank=None, alpha=None) -> int:
+        """Load/register a LoRA adapter (reference LoRAManager load/swap).
+        Recompiles the step on next use (params tree changes)."""
+        from semi_pd_tpu.lora.manager import LoRAManager
+
+        if self.lora_manager is None:
+            self.lora_manager = LoRAManager(
+                self.runner.model, self.server_args.max_loras_per_batch
+            )
+        idx = self.lora_manager.load_adapter(
+            name, path=path, state_dict=state_dict, rank=rank, alpha=alpha
+        )
+        self.runner.params["layers"]["lora"] = self.lora_manager.lora_params
+        return idx
 
     def _get_grammar_compiler(self):
         if self._grammar_compiler is None:
@@ -94,6 +115,7 @@ class Engine:
         rid: Optional[str] = None,
         stream: bool = False,
         return_logprob: bool = False,
+        lora_path: Optional[str] = None,
     ) -> Req:
         if isinstance(sampling_params, dict):
             sampling_params = SamplingParams.from_dict(sampling_params)
@@ -109,6 +131,10 @@ class Engine:
             stream=stream,
             return_logprob=return_logprob,
         )
+        if lora_path:
+            if self.lora_manager is None:
+                raise ValueError("no LoRA adapters loaded")
+            req.lora_id = self.lora_manager.adapter_index(lora_path)
         sp = sampling_params
         if sp.json_schema or sp.regex or sp.ebnf:
             gc = self._get_grammar_compiler()
@@ -126,6 +152,7 @@ class Engine:
         input_ids: Optional[Union[List[int], List[List[int]]]] = None,
         sampling_params: Optional[Union[SamplingParams, Dict]] = None,
         return_logprob: bool = False,
+        lora_path: Optional[Union[str, List[str]]] = None,
     ) -> Union[Dict, List[Dict]]:
         """Synchronous batch generation (reference engine.py:122 generate)."""
         single = False
@@ -137,12 +164,14 @@ class Engine:
         reqs = []
         n = len(prompt) if prompt is not None else len(input_ids)
         for i in range(n):
+            lp = lora_path[i] if isinstance(lora_path, list) else lora_path
             reqs.append(
                 self.make_request(
                     prompt=prompt[i] if prompt else None,
                     input_ids=input_ids[i] if input_ids else None,
                     sampling_params=sampling_params,
                     return_logprob=return_logprob,
+                    lora_path=lp,
                 )
             )
         with self._lock:

@@ -51,6 +51,7 @@ class ForwardArrays(NamedTuple):
     rng_key: jax.Array  # PRNG key for sampling
     num_reqs: jax.Array  # [] i32 — actual (unpadded) request count
     attn_meta: AttnMeta  # ragged-attention work list (pallas backend)
+    lora_idx: Optional[jax.Array] = None  # [T] i32 adapter index (0 = none)
 
 
 def build_attn_meta(q_lens_np: np.ndarray, kv_lens_np: np.ndarray, T: int) -> AttnMeta:

@@ -69,6 +69,9 @@ class Req:  # batch membership by object, and dicts key on rid
     # json_schema/regex/ebnf; reference srt/constrained/)
     grammar: Any = None
 
+    # LoRA adapter slot (0 = base model; reference GenerateReqInput.lora_path)
+    lora_id: int = 0
+
     # Original prompt length (input_ids grows when retraction folds generated
     # tokens back into the prefill input; reference keeps origin_input_ids
     # separate from fill_ids the same way).

@@ -249,6 +249,11 @@ class Scheduler:
         scheduler.py:1075 get_new_batch_prefill → match_prefix)."""
         if req.req_slot is not None or req.prefilled_len > 0 or req.pages:
             return len(req.pages)
+        if req.lora_id:
+            # KV depends on the adapter; the tree is adapter-blind, so LoRA
+            # requests bypass prefix caching (reference: radix keys would
+            # need the lora id folded in — future per-adapter trees).
+            return 0
         pages, node = self.tree_cache.match_prefix(req.input_ids)
         # Must leave >= 1 uncached token to produce logits (reference
         # schedule_policy.py same cap).
@@ -607,7 +612,7 @@ class Scheduler:
         (reference radix_cache.py:168 cache_finished_req)."""
         self.n_finished += 1
         req.finish_time = time.monotonic()
-        if not isinstance(self.tree_cache, ChunkCache):
+        if not isinstance(self.tree_cache, ChunkCache) and not req.lora_id:
             kv_tokens = req.kv_len
             n_full = kv_tokens // self.page_size
             tokens = req.all_token_ids()[: n_full * self.page_size]

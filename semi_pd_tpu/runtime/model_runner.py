@@ -79,6 +79,10 @@ class ModelRunner:
         self._load_weights()
         self._init_memory_pool()
         self._build_step_fns()
+        self.draft_model = None
+        self.draft_kv = None
+        if server_args.speculative_algorithm == "EAGLE":
+            self._init_eagle()
         self.rng_key = jax.random.PRNGKey(server_args.seed)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -256,6 +260,91 @@ class ModelRunner:
         emb, kv = self._encode_jit(self.params, self.kv_cache.arrays, fb)
         self.kv_cache.update(kv)
         return emb
+
+    def _init_eagle(self):
+        """EAGLE draft net + draft KV pool sharing the target's slot space
+        (speculative/eagle.py)."""
+        from semi_pd_tpu.mem.pool import KVCache, KVCacheSpec
+        from semi_pd_tpu.model_loader.loader import device_put_params, load_params
+        from semi_pd_tpu.speculative.eagle import EagleDraftModel, eagle_round
+
+        mc = self.model_config
+        self.draft_model = EagleDraftModel(mc)
+        self.draft_model.page_size = self.server_args.page_size
+        path = self.server_args.speculative_draft_model_path
+        if path:
+            self.draft_params = load_params(
+                self.draft_model, model_path=path, mesh=self.mesh
+            )
+        else:
+            host = self.draft_model.init_params(self.server_args.seed + 1)
+            self.draft_params = device_put_params(host, self.draft_model, self.mesh)
+        dspec = KVCacheSpec(
+            num_layers=1,
+            num_pages=self.kv_spec.num_pages,
+            page_size=self.kv_spec.page_size,
+            num_kv_heads=mc.num_key_value_heads,
+            head_dim=mc.head_dim,
+            dtype=self.kv_spec.dtype,
+        )
+        self.draft_kv = KVCache(dspec)
+        model = self.model
+        draft = self.draft_model
+
+        def _eagle(params, dparams, kv, dkv, fb, prev_hidden, gamma):
+            return eagle_round(
+                model, draft, params, dparams, kv, dkv, fb, prev_hidden, gamma
+            )
+
+        self._eagle_jit = jax.jit(
+            _eagle, donate_argnums=(2, 3), static_argnums=(6,)
+        )
+
+    def eagle_step(self, fb: ForwardArrays, prev_hidden, gamma: int):
+        """Fused EAGLE round. Returns device (accept_len, next_tok,
+        drafts [B, gamma], next_hidden [B, H])."""
+        fb = fb._replace(rng_key=self.rng_key)
+        ph = jnp.asarray(prev_hidden, dtype=self.model.dtype)
+        if self._replicated is not None:
+            fb = jax.device_put(fb, self._replicated)
+            ph = jax.device_put(ph, self._replicated)
+        (accept_len, next_tok, drafts, next_hidden, new_key, kv, dkv) = (
+            self._eagle_jit(
+                self.params, self.draft_params, self.kv_cache.arrays,
+                self.draft_kv.arrays[0], fb, ph, gamma,
+            )
+        )
+        self.kv_cache.update(kv)
+        self.draft_kv.update((dkv,))
+        self.rng_key = new_key
+        return accept_len, next_tok, drafts, next_hidden
+
+    def step_with_hidden(self, fb: ForwardArrays, vocab_mask=None):
+        """Like step() but also returns the last-token hidden states [B, H]
+        (seeds the EAGLE draft after prefill)."""
+        model = self.model
+        if not hasattr(self, "_step_hidden_jit"):
+            def _steph(params, kv, fb, vocab_mask=None):
+                logits, kv, hidden = model.forward(
+                    params, fb, kv, return_hidden=True
+                )
+                new_key, sample_key = jax.random.split(fb.rng_key)
+                next_tokens = sampling_ops.sample(
+                    logits, fb.sampling, sample_key, vocab_mask
+                )
+                logprobs = sampling_ops.compute_logprobs(logits, next_tokens)
+                return next_tokens, logprobs, hidden, new_key, kv
+
+            self._step_hidden_jit = jax.jit(_steph, donate_argnums=(1,))
+        fb = fb._replace(rng_key=self.rng_key)
+        if self._replicated is not None:
+            fb = jax.device_put(fb, self._replicated)
+        next_tokens, logprobs, hidden, new_key, kv = self._step_hidden_jit(
+            self.params, self.kv_cache.arrays, fb, vocab_mask
+        )
+        self.kv_cache.update(kv)
+        self.rng_key = new_key
+        return next_tokens, logprobs, hidden
 
     def spec_step(self, fb: ForwardArrays, drafts, draft_lens, gamma: int):
         """Speculative verify step (runtime/speculative.py). Returns device

@@ -72,6 +72,10 @@ class Req:  # batch membership by object, and dicts key on rid
     # LoRA adapter slot (0 = base model; reference GenerateReqInput.lora_path)
     lora_id: int = 0
 
+    # EAGLE: target hidden state of the latest accepted token (np [H]) — the
+    # draft net's recurrent input (reference eagle_worker hidden_states)
+    spec_hidden: Any = None
+
     # Original prompt length (input_ids grows when retraction folds generated
     # tokens back into the prefill input; reference keeps origin_input_ids
     # separate from fill_ids the same way).
@@ -152,6 +156,7 @@ class Req:  # batch membership by object, and dicts key on rid
         self.surr_offset = 0
         self.read_offset = 0
         self.prefilled_len = 0
+        self.spec_hidden = None
         self.pages = []
         self.n_prefix_pages = 0
         self.req_slot = None

@@ -104,10 +104,12 @@ class Scheduler:
         # sits between consecutive decode steps.
         self._pending = None
         self.enable_overlap = not server_args.disable_overlap_schedule
-        # NGRAM speculative decoding (runtime/speculative.py)
+        # Speculative decoding (NGRAM: runtime/speculative.py; EAGLE:
+        # speculative/eagle.py fused program)
+        self.spec_algo = server_args.speculative_algorithm
         self.spec_gamma = (
             server_args.speculative_num_draft_tokens
-            if server_args.speculative_algorithm == "NGRAM" else 0
+            if self.spec_algo in ("NGRAM", "EAGLE") else 0
         )
         self.n_spec_steps = 0
         self.n_spec_accepted = 0
@@ -351,9 +353,16 @@ class Scheduler:
         reqs_only = [r for r, _ in admitted]
         mask = self._vocab_mask(reqs_only, hb.B)
         pen = self._penalty_arrays(reqs_only, hb.B)
-        tokens, logprobs = self.runner.step(
-            hb.to_device(self.runner.rng_key), mask, pen
-        )
+        hidden = None
+        if self.spec_algo == "EAGLE" and pen is None:
+            tokens, logprobs, hidden = self.runner.step_with_hidden(
+                hb.to_device(self.runner.rng_key), mask
+            )
+            hidden = np.asarray(hidden)
+        else:
+            tokens, logprobs = self.runner.step(
+                hb.to_device(self.runner.rng_key), mask, pen
+            )
         tokens = np.asarray(tokens)
         logprobs = np.asarray(logprobs)
         self.n_prefill_tokens += sum(n for _, n in admitted)
@@ -364,6 +373,8 @@ class Scheduler:
             if req.prefilled_len >= req.prompt_len:
                 tok = int(tokens[i])
                 req.output_ids.append(tok)
+                if hidden is not None:
+                    req.spec_hidden = hidden[i]
                 if req.grammar is not None:
                     req.grammar.accept_token(tok)
                 if req.return_logprob:
@@ -394,7 +405,10 @@ class Scheduler:
         if self.spec_gamma > 0:
             out = self._process_pending()
             if self.running:
-                out += self._run_spec_decode()
+                if self.spec_algo == "EAGLE":
+                    out += self._run_eagle_decode()
+                else:
+                    out += self._run_spec_decode()
             return out
         chained = self._try_dispatch_chained() if self.enable_overlap else None
         out = self._process_pending()
@@ -403,6 +417,78 @@ class Scheduler:
         elif self.running:
             self._pending = self._dispatch_decode()
         return out
+
+    def _run_eagle_decode(self) -> List[Tuple[Req, int]]:
+        """Fused EAGLE round (speculative/eagle.py). Same batch geometry as
+        the NGRAM verify window; drafts are generated on device."""
+        g = self.spec_gamma
+        if any(
+            r.grammar is not None or r.sampling_params.needs_penalties
+            or getattr(r, "spec_hidden", None) is None
+            for r in self.running
+        ):
+            out = []
+            d = self._dispatch_decode()
+            if d is not None:
+                self._pending = d
+                out = self._process_pending()
+            return out
+
+        drafts_dummy = [[0] * g for _ in self.running]
+        for r in self.running:
+            target = r.kv_len + 1 + g
+            need = (target + self.page_size - 1) // self.page_size - len(r.pages)
+            if need > 0:
+                pages = self._alloc_pages(need)
+                if pages is None:
+                    return self._fallback_plain_decode()
+                self.runner.req_pool.write(r.req_slot, len(r.pages), pages)
+                r.pages.extend(pages.tolist())
+
+        hb, _, _ = build_spec_verify_batch(
+            self.running, drafts_dummy, g,
+            self.runner.req_pool.page_table, self.page_size,
+            self.b_buckets, self.p_buckets,
+        )
+        H = self.runner.model_config.hidden_size
+        prev_hidden = np.zeros((hb.B, H), np.float32)
+        for i, r in enumerate(hb.reqs):
+            prev_hidden[i] = r.spec_hidden
+        accept_len, next_tok, drafts, next_hidden = self.runner.eagle_step(
+            hb.to_device(self.runner.rng_key), prev_hidden, g
+        )
+        accept_len = np.asarray(accept_len)
+        next_tok = np.asarray(next_tok)
+        drafts = np.asarray(drafts)
+        next_hidden = np.asarray(next_hidden)
+
+        out = []
+        still = []
+        for i, req in enumerate(hb.reqs):
+            toks = drafts[i][: int(accept_len[i])].tolist() + [int(next_tok[i])]
+            self.n_spec_steps += 1
+            self.n_spec_accepted += int(accept_len[i])
+            req.spec_hidden = next_hidden[i]
+            for tok in toks:
+                req.output_ids.append(tok)
+                self.n_decode_tokens += 1
+                req.check_finished()
+                out.append((req, tok))
+                if req.finished:
+                    break
+            if req.finished:
+                self._release_finished(req)
+            else:
+                still.append(req)
+        self.running = still
+        return out
+
+    def _fallback_plain_decode(self) -> List[Tuple[Req, int]]:
+        d = self._dispatch_decode()
+        if d is None:
+            return []
+        self._pending = d
+        return self._process_pending()
 
     def _run_spec_decode(self) -> List[Tuple[Req, int]]:
         """NGRAM speculative step: draft, verify in one forward, accept up to

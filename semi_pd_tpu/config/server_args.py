@@ -54,6 +54,8 @@ class ServerArgs:
     schedule_conservativeness: float = 1.0
     chunked_prefill_size: int = 2048
     disable_radix_cache: bool = False
+    enable_hierarchical_cache: bool = False  # host-RAM KV tier (mem/hicache.py)
+    hicache_max_bytes: int = 8 << 30
     retract_decode_steps: int = 20  # new tokens to reserve headroom for on retract
 
     # Semi-PD (phase-disaggregated computation, unified storage)

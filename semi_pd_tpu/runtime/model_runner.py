@@ -361,6 +361,53 @@ class ModelRunner:
         self.rng_key = new_key
         return accept_len, next_tok
 
+    # -------------------------------------------------- hierarchical cache
+    def download_pages(self, page_ids: np.ndarray) -> list:
+        """Read whole KV pages to host numpy (write-through to the host
+        tier). Returns one [L, ncomp, page_size, H, D] array per page."""
+        if not hasattr(self, "_dl_jit"):
+            P = self.kv_spec.page_size
+
+            def _dl(kv, pages):
+                pool = kv[0]
+                slots = (
+                    pages[:, None] * P + jnp.arange(P, dtype=jnp.int32)[None, :]
+                ).reshape(-1)
+                return pool[:, :, slots]  # [L, nc, n*P, H, D]
+
+            self._dl_jit = jax.jit(_dl)
+        data = np.asarray(
+            self._dl_jit(self.kv_cache.arrays, jnp.asarray(page_ids, jnp.int32))
+        )
+        P = self.kv_spec.page_size
+        n = len(page_ids)
+        data = data.reshape(data.shape[0], data.shape[1], n, P, *data.shape[3:])
+        return [np.ascontiguousarray(data[:, :, i]) for i in range(n)]
+
+    def upload_pages(self, page_ids: np.ndarray, bufs: list) -> None:
+        """Write host page buffers into freshly allocated device pages."""
+        if not hasattr(self, "_ul_jit"):
+            P = self.kv_spec.page_size
+
+            def _ul(kv, pages, data):
+                pool = kv[0]
+                n = pages.shape[0]
+                slots = (
+                    pages[:, None] * P + jnp.arange(P, dtype=jnp.int32)[None, :]
+                ).reshape(-1)
+                # data: [n, L, nc, P, H, D] -> [L, nc, n*P, H, D]
+                d = jnp.moveaxis(data, 0, 2)  # [L, nc, n, P, H, D]
+                d = d.reshape(d.shape[0], d.shape[1], n * P, *d.shape[4:])
+                return (pool.at[:, :, slots].set(d.astype(pool.dtype)),)
+
+            self._ul_jit = jax.jit(_ul, donate_argnums=(0,))
+        stacked = jnp.asarray(np.stack(bufs))  # [n, L, nc, P, H, D]
+        self.kv_cache.update(
+            self._ul_jit(
+                self.kv_cache.arrays, jnp.asarray(page_ids, jnp.int32), stacked
+            )
+        )
+
     # ------------------------------------------------------------- misc
     def update_weights(self, weights_iter) -> None:
         """Live weight update (reference model_runner.py:733

@@ -80,6 +80,15 @@ class Scheduler:
             except RuntimeError:
                 self.tree_cache = RadixCache(self.page_size, alloc.free)
 
+        # Hierarchical (host) KV tier
+        self.host_cache = None
+        if server_args.enable_hierarchical_cache and not server_args.disable_radix_cache:
+            from semi_pd_tpu.mem.hicache import HostKVStore
+
+            self.host_cache = HostKVStore(
+                self.page_size, server_args.hicache_max_bytes
+            )
+
         # Bucket tables
         self.t_buckets = server_args.prefill_token_buckets
         self.b_buckets = server_args.decode_bs_buckets
@@ -261,6 +270,10 @@ class Scheduler:
         # schedule_policy.py same cap).
         max_pages = (req.prompt_len - 1) // self.page_size
         n = min(len(pages), max_pages)
+        if self.host_cache is not None and n < max_pages:
+            n = self._try_host_prefix(req, pages, n, max_pages) or n
+            if req.pages:  # host path fully set the req up
+                return len(req.pages)
         if n > 0:
             req.pages = pages[:n].tolist()
             req.n_prefix_pages = n
@@ -272,6 +285,39 @@ class Scheduler:
         else:
             req.last_node = node
         return n
+
+    def _try_host_prefix(self, req, dev_pages, n_dev, max_pages):
+        """Device-tree miss tail: extend the prefix from the host tier by
+        uploading host pages into fresh device pages (reference
+        hiradix_cache load path)."""
+        bufs, n_host_tokens = self.host_cache.match(req.input_ids)
+        n_host = min(len(bufs), max_pages)
+        if n_host <= n_dev:
+            return None
+        new_pages = self._alloc_pages(n_host - n_dev)
+        if new_pages is None:
+            return None
+        self.runner.upload_pages(
+            new_pages, bufs[n_dev:n_host]
+        )
+        all_pages = np.concatenate(
+            [dev_pages[:n_dev].astype(np.int32), new_pages]
+        )
+        # Insert the combined prefix into the device tree so it is shared and
+        # owned there; lock it for this request.
+        tokens = req.input_ids[: n_host * self.page_size]
+        dup, node = self.tree_cache.insert(tokens, all_pages)
+        if dup > n_dev:
+            # racing duplicates: free ours that were already present
+            self.runner.page_allocator.free(all_pages[n_dev:dup])
+        req.pages = all_pages.tolist()
+        req.n_prefix_pages = n_host
+        req.prefilled_len = n_host * self.page_size
+        req.cached_tokens = req.prefilled_len
+        req.last_node = node
+        self.tree_cache.inc_lock_ref(node)
+        self.n_cached_prefix_tokens += req.prefilled_len
+        return n_host
 
     def _allocate_for_extend(self, req: Req, n_tokens: int) -> bool:
         if req.req_slot is None:
@@ -703,6 +749,13 @@ class Scheduler:
             n_full = kv_tokens // self.page_size
             tokens = req.all_token_ids()[: n_full * self.page_size]
             pages = np.asarray(req.pages[:n_full], dtype=np.int32)
+            if self.host_cache is not None and n_full > 0:
+                # write-through to the host tier (whole cached prefix)
+                try:
+                    bufs = self.runner.download_pages(pages)
+                    self.host_cache.insert(tokens, bufs)
+                except Exception:  # noqa: BLE001
+                    logger.exception("host-tier write-through failed")
             dup, node = self.tree_cache.insert(tokens, pages)
             # pages[:n_prefix] were always the tree's; pages[n_prefix:dup] are
             # ours but identical content was inserted meanwhile — free ours.

@@ -112,6 +112,23 @@ class ModelConfig:
         dtype: str = "bfloat16",
         quantization: Optional[str] = None,
     ) -> "ModelConfig":
+        # VLM configs wrap a text_config; build from the inner config but
+        # keep the outer architecture + full config for the model wrapper.
+        inner = getattr(hf_config, "text_config", None)
+        if inner is not None and hasattr(inner, "num_hidden_layers"):
+            cfg = cls.from_hf_config(
+                inner, model_path=model_path, context_length=context_length,
+                dtype=dtype, quantization=quantization,
+            )
+            cfg.is_multimodal = True
+            cfg.hf_config = hf_config
+            outer = getattr(hf_config, "architectures", None)
+            if outer:
+                cfg.architecture = outer[0]
+            elif type(hf_config).__name__ == "LlavaConfig":
+                cfg.architecture = "LlavaForConditionalGeneration"
+            return cfg
+
         g = lambda k, d=None: getattr(hf_config, k, d)
         arch_list = g("architectures")
         if arch_list:
@@ -212,14 +229,7 @@ class ModelConfig:
         hf_config = AutoConfig.from_pretrained(
             model_path, trust_remote_code=trust_remote_code
         )
-        # Unwrap text config for VLMs
-        inner = getattr(hf_config, "text_config", None)
-        use = inner if inner is not None and hasattr(inner, "num_hidden_layers") else hf_config
-        cfg = cls.from_hf_config(
-            use, model_path=model_path, context_length=context_length,
+        return cls.from_hf_config(
+            hf_config, model_path=model_path, context_length=context_length,
             dtype=dtype, quantization=quantization,
         )
-        if use is not hf_config:
-            cfg.is_multimodal = True
-            cfg.hf_config = hf_config
-        return cfg

@@ -34,6 +34,32 @@ class AsyncEngine:
     def start(self, loop: asyncio.AbstractEventLoop) -> None:
         self.loop = loop
         self._thread.start()
+        # Watchdog (reference scheduler.py:1455 watchdog_thread): if a tick
+        # wedges past --watchdog-timeout while work exists, dump state and
+        # abort everything rather than hang clients forever.
+        t = threading.Thread(target=self._watchdog, daemon=True)
+        t.start()
+
+    def _watchdog(self) -> None:
+        timeout = self.engine.server_args.watchdog_timeout
+        while not self._stop:
+            time.sleep(min(timeout / 4, 30))
+            if not self.engine.scheduler.has_work():
+                continue
+            if time.monotonic() - self.last_step_time > timeout:
+                import faulthandler, sys
+
+                logger.error(
+                    "watchdog: no scheduler progress for %.0fs "
+                    "(running=%d waiting=%d) — dumping stacks and failing "
+                    "in-flight requests",
+                    timeout,
+                    len(self.engine.scheduler.running),
+                    len(self.engine.scheduler.waiting),
+                )
+                faulthandler.dump_traceback(file=sys.stderr)
+                self._fail_all()
+                self.last_step_time = time.monotonic()
 
     def shutdown(self) -> None:
         self._stop = True
@@ -92,10 +118,13 @@ class AsyncEngine:
         stream: bool = False,
         rid: Optional[str] = None,
         return_logprob: bool = False,
+        image_data=None,
+        lora_path: Optional[str] = None,
     ) -> AsyncIterator[Dict[str, Any]]:
         req = self.engine.make_request(
             prompt=prompt, input_ids=input_ids, sampling_params=sampling_params,
             rid=rid, stream=stream, return_logprob=return_logprob,
+            image_data=image_data, lora_path=lora_path,
         )
         q: asyncio.Queue = asyncio.Queue()
         with self._lock:

@@ -117,6 +117,8 @@ async def generate(request: web.Request) -> web.StreamResponse:
         sampling_params=body.get("sampling_params") or {},
         rid=body.get("rid"),
         return_logprob=bool(body.get("return_logprob", False)),
+        image_data=body.get("image_data"),
+        lora_path=body.get("lora_path"),
     )
     try:
         if body.get("stream"):

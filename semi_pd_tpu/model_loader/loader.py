@@ -33,6 +33,7 @@ logger = logging.getLogger(__name__)
 _TRANSFORMS = {
     "none": lambda a: a,
     "t": lambda a: np.ascontiguousarray(a.T),  # torch [dout,din] -> x@w layout
+    "conv": lambda a: np.ascontiguousarray(a.transpose(2, 3, 1, 0)),  # OIHW->HWIO
 }
 
 

@@ -178,6 +178,11 @@ class LlamaForCausalLM:
         c = self.config
         (kv_cache,) = kv
         h = jnp.take(params["embed"]["w"], fb.input_ids, axis=0)
+        if fb.embed_override is not None:
+            # multimodal splice: image-patch features replace token embeds
+            h = jnp.where(
+                fb.embed_mask[:, None], fb.embed_override.astype(h.dtype), h
+            )
 
         if self.scan_layers:
             layer_ids = jnp.arange(c.num_hidden_layers, dtype=jnp.int32)

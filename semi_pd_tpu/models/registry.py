@@ -69,3 +69,7 @@ def _ensure_populated():
     from semi_pd_tpu.models.gemma2 import Gemma2ForCausalLM
 
     _REGISTRY.setdefault("Gemma2ForCausalLM", Gemma2ForCausalLM)
+
+    from semi_pd_tpu.models.llava import LlavaForConditionalGeneration
+
+    _REGISTRY.setdefault("LlavaForConditionalGeneration", LlavaForConditionalGeneration)

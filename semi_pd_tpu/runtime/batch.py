@@ -57,6 +57,8 @@ class HostBatch:
     maxP: int = 0
 
     lora_idx: np.ndarray = None
+    embed_override: np.ndarray = None
+    embed_mask: np.ndarray = None
 
     def to_device(self, rng_key) -> ForwardArrays:
         if self.mode == ForwardMode.DECODE:
@@ -79,6 +81,14 @@ class HostBatch:
             attn_meta=build_attn_meta(q_lens, self.kv_lens.astype(np.int64), self.T),
             lora_idx=(
                 jnp.asarray(self.lora_idx) if self.lora_idx is not None else None
+            ),
+            embed_override=(
+                jnp.asarray(self.embed_override)
+                if self.embed_override is not None else None
+            ),
+            embed_mask=(
+                jnp.asarray(self.embed_mask)
+                if self.embed_mask is not None else None
             ),
         )
 
@@ -142,11 +152,27 @@ def build_extend_batch(
     lora_idx = None
     if any(getattr(r, "lora_id", 0) for r in reqs):
         lora_idx = np.zeros(T, np.int32)
+    embed_override = embed_mask = None
+    if any(getattr(r, "mm_embeds", None) is not None for r in reqs):
+        H = next(
+            r.mm_embeds.shape[1] for r in reqs
+            if getattr(r, "mm_embeds", None) is not None
+        )
+        embed_override = np.zeros((T, H), np.float32)
+        embed_mask = np.zeros(T, bool)
 
     t = 0
     for i, (r, n) in enumerate(admitted):
         if lora_idx is not None:
             lora_idx[t : t + n] = r.lora_id
+        if embed_override is not None and getattr(r, "mm_embeds", None) is not None:
+            # rows of this chunk covering prompt positions [start, start+n)
+            for j in range(n):
+                pos = r.prefilled_len + j
+                k = r.mm_positions.get(pos) if r.mm_positions else None
+                if k is not None:
+                    embed_override[t + j] = r.mm_embeds[k]
+                    embed_mask[t + j] = True
         start = r.prefilled_len
         toks = r.input_ids[start : start + n]
         input_ids[t : t + n] = toks
@@ -167,7 +193,7 @@ def build_extend_batch(
         page_table=_page_table_block(reqs, B, maxP, page_table_host),
         kv_lens=kv_lens, logits_idx=logits_idx,
         sampling=_sampling_arrays(reqs, B), T=T, B=B, maxP=maxP,
-        lora_idx=lora_idx,
+        lora_idx=lora_idx, embed_override=embed_override, embed_mask=embed_mask,
     )
     return hb
 

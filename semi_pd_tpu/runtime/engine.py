@@ -116,6 +116,7 @@ class Engine:
         stream: bool = False,
         return_logprob: bool = False,
         lora_path: Optional[str] = None,
+        image_data=None,
     ) -> Req:
         if isinstance(sampling_params, dict):
             sampling_params = SamplingParams.from_dict(sampling_params)
@@ -123,6 +124,8 @@ class Engine:
         if input_ids is None:
             assert prompt is not None and self.tokenizer is not None
             input_ids = self.tokenizer.encode(prompt)
+        if image_data is not None:
+            input_ids = self._expand_image_tokens(list(input_ids))
         req = Req(
             rid=rid or uuid.uuid4().hex,
             input_ids=list(input_ids),
@@ -131,6 +134,8 @@ class Engine:
             stream=stream,
             return_logprob=return_logprob,
         )
+        if image_data is not None:
+            self._attach_images(req, image_data)
         if lora_path:
             if self.lora_manager is None:
                 raise ValueError("no LoRA adapters loaded")
@@ -146,6 +151,60 @@ class Engine:
                 req.grammar = gc.matcher("ebnf", sp.ebnf)
         return req
 
+    def _expand_image_tokens(self, ids):
+        """Replace each <image> placeholder with n_patches copies so the
+        prompt length matches the spliced embeddings (reference
+        multi_modality_padding.py pad_input_ids)."""
+        model = self.runner.model
+        tok_id = model.image_token_index
+        n = model.n_image_tokens
+        out = []
+        for t in ids:
+            out.extend([tok_id] * n if t == tok_id else [t])
+        return out
+
+    def _load_image(self, item):
+        """base64 string / bytes / PIL image / raw [3, H, W] array ->
+        normalized pixel array via the HF image processor when needed."""
+        if isinstance(item, np.ndarray):
+            return item.astype(np.float32)
+        import base64, io
+
+        from PIL import Image
+
+        if isinstance(item, str):
+            item = base64.b64decode(item)
+        if isinstance(item, (bytes, bytearray)):
+            item = Image.open(io.BytesIO(item)).convert("RGB")
+        if not hasattr(self, "_image_processor"):
+            from transformers import AutoImageProcessor
+
+            self._image_processor = AutoImageProcessor.from_pretrained(
+                self.server_args.model_path,
+                trust_remote_code=self.server_args.trust_remote_code,
+            )
+        out = self._image_processor(images=item, return_tensors="np")
+        return out["pixel_values"][0].astype(np.float32)
+
+    def _attach_images(self, req: Req, image_data) -> None:
+        """image_data: np [3, H, W], base64/bytes/PIL, or a list thereof."""
+        model = self.runner.model
+        if not getattr(model, "is_multimodal", False):
+            raise ValueError("model is not multimodal")
+        imgs = image_data if isinstance(image_data, list) else [image_data]
+        px = np.stack([self._load_image(i) for i in imgs])
+        embeds = self.runner.encode_images(px)  # [N, n_patches, H]
+        flat = embeds.reshape(-1, embeds.shape[-1])
+        tok_id = model.image_token_index
+        positions = {}
+        k = 0
+        for pos, t in enumerate(req.input_ids):
+            if t == tok_id and k < len(flat):
+                positions[pos] = k
+                k += 1
+        req.mm_embeds = flat
+        req.mm_positions = positions
+
     def generate(
         self,
         prompt: Optional[Union[str, List[str]]] = None,
@@ -153,6 +212,7 @@ class Engine:
         sampling_params: Optional[Union[SamplingParams, Dict]] = None,
         return_logprob: bool = False,
         lora_path: Optional[Union[str, List[str]]] = None,
+        image_data=None,
     ) -> Union[Dict, List[Dict]]:
         """Synchronous batch generation (reference engine.py:122 generate)."""
         single = False
@@ -165,6 +225,7 @@ class Engine:
         n = len(prompt) if prompt is not None else len(input_ids)
         for i in range(n):
             lp = lora_path[i] if isinstance(lora_path, list) else lora_path
+            img = image_data[i] if isinstance(image_data, list) and not single else image_data
             reqs.append(
                 self.make_request(
                     prompt=prompt[i] if prompt else None,
@@ -172,6 +233,7 @@ class Engine:
                     sampling_params=sampling_params,
                     return_logprob=return_logprob,
                     lora_path=lp,
+                    image_data=img,
                 )
             )
         with self._lock:

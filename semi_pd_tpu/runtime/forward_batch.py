@@ -52,6 +52,11 @@ class ForwardArrays(NamedTuple):
     num_reqs: jax.Array  # [] i32 — actual (unpadded) request count
     attn_meta: AttnMeta  # ragged-attention work list (pallas backend)
     lora_idx: Optional[jax.Array] = None  # [T] i32 adapter index (0 = none)
+    # Multimodal: replaces the token embedding at masked rows (image patch
+    # features spliced into the prompt; reference ImageInputs +
+    # multi_modality_padding)
+    embed_override: Optional[jax.Array] = None  # [T, H]
+    embed_mask: Optional[jax.Array] = None  # [T] bool
 
 
 def build_attn_meta(q_lens_np: np.ndarray, kv_lens_np: np.ndarray, T: int) -> AttnMeta:

@@ -187,8 +187,18 @@ class ModelRunner:
     def _build_step_fns(self):
         model = self.model
 
+        nan_check = self.server_args.enable_nan_detection
+
         def _step(params, kv, fb: ForwardArrays, vocab_mask=None, penalties=None):
             logits, kv = model.forward(params, fb, kv)
+            if nan_check:
+                # reference model_runner.py:157 enable_nan_detection
+                logits = jax.lax.cond(
+                    jnp.any(jnp.isnan(logits)),
+                    lambda l: jnp.full_like(l, -1e30).at[:, 0].set(0.0),
+                    lambda l: l,
+                    logits,
+                )
             new_key, sample_key = jax.random.split(fb.rng_key)
             next_tokens = sampling_ops.sample(
                 logits, fb.sampling, sample_key, vocab_mask, penalties
@@ -360,6 +370,20 @@ class ModelRunner:
         self.kv_cache.update(kv)
         self.rng_key = new_key
         return accept_len, next_tok
+
+    # ------------------------------------------------------------- vision
+    def encode_images(self, pixel_values: np.ndarray) -> np.ndarray:
+        """Multimodal: [N, 3, H, W] -> projected patch embeddings (np)."""
+        if not hasattr(self, "_img_jit"):
+            model = self.model
+
+            def _enc(params, px):
+                return model.encode_images(params, px)
+
+            self._img_jit = jax.jit(_enc)
+        return np.asarray(
+            self._img_jit(self.params, jnp.asarray(pixel_values, jnp.float32))
+        )
 
     # -------------------------------------------------- hierarchical cache
     def download_pages(self, page_ids: np.ndarray) -> list:

@@ -76,6 +76,11 @@ class Req:  # batch membership by object, and dicts key on rid
     # draft net's recurrent input (reference eagle_worker hidden_states)
     spec_hidden: Any = None
 
+    # Multimodal (reference ImageInputs schedule_batch.py:142): precomputed
+    # image-patch embeddings [n_mm, H] + prompt position -> row map
+    mm_embeds: Any = None
+    mm_positions: Any = None
+
     # Original prompt length (input_ids grows when retraction folds generated
     # tokens back into the prefill input; reference keeps origin_input_ids
     # separate from fill_ids the same way).

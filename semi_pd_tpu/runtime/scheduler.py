@@ -124,6 +124,7 @@ class Scheduler:
         self.n_spec_accepted = 0
 
         # Stats
+        self._last_stats_log = time.monotonic()
         self.n_finished = 0
         self.n_retracted = 0
         self.n_cached_prefix_tokens = 0
@@ -165,6 +166,20 @@ class Scheduler:
     def tick(self) -> List[Tuple[Req, int]]:
         """One scheduler iteration. Returns (req, new_token) pairs produced
         this tick (token == -1 for non-final prefill chunks)."""
+        now = time.monotonic()
+        if now - self._last_stats_log > 10 and self.running:
+            # reference log_decode_stats (scheduler.py:925-980)
+            alloc = self.runner.page_allocator
+            total = alloc.num_pages - 1
+            used = total - alloc.available_pages()
+            logger.info(
+                "decode stats: #running=%d #queue=%d kv=%.1f%% "
+                "gen=%d prefill=%d cached=%d retracted=%d",
+                len(self.running), len(self.waiting), 100 * used / max(total, 1),
+                self.n_decode_tokens, self.n_prefill_tokens,
+                self.n_cached_prefix_tokens, self.n_retracted,
+            )
+            self._last_stats_log = now
         if self.args.enable_semi_pd:
             return self._tick_semi_pd()
         return self._tick_colocated()

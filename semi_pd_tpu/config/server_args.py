@@ -68,6 +68,10 @@ class ServerArgs:
     tp_size: int = 1
     dp_size: int = 1
     ep_size: int = 1  # expert parallel; folded onto the tp axis
+    # Per-rank EP dispatch capacity = ceil(cf * T*K / ep_size) rows; routing
+    # skew beyond it drops assignments (GShard-style). Raise toward ep_size
+    # for exactness at the cost of redundant compute per rank.
+    ep_capacity_factor: float = 2.0
     nnodes: int = 1
     node_rank: int = 0
 

@@ -59,13 +59,21 @@ class MixtralForCausalLM(LlamaForCausalLM):
 
     def _mlp_pspecs(self) -> Dict[str, Any]:
         c = self.config
-        specs = {
-            "router": {"w": P()},
+        if getattr(self, "use_ep", False):
+            # expert parallel: shard the expert axis (reference EPMoE)
+            expert_specs = {
+                "gate_up": P(None, "tp", None, None),
+                "down": P(None, "tp", None, None),
+            }
+        else:
             # expert-TP: shard the expert FFN width over "tp"
-            "experts": {
+            expert_specs = {
                 "gate_up": P(None, None, None, "tp"),
                 "down": P(None, None, "tp", None),
-            },
+            }
+        specs = {
+            "router": {"w": P()},
+            "experts": expert_specs,
         }
         if c.num_shared_experts:
             specs["shared"] = {
@@ -96,7 +104,16 @@ class MixtralForCausalLM(LlamaForCausalLM):
             c.num_experts_per_tok,
             norm_topk_prob=c.norm_topk_prob if self.NORM_TOPK_FROM_CONFIG else True,
         )
-        out = moe_ffn(x, lp["experts"]["gate_up"], lp["experts"]["down"], weights, idx)
+        if getattr(self, "use_ep", False):
+            from semi_pd_tpu.ops.moe import moe_ffn_ep
+
+            out = moe_ffn_ep(
+                x, lp["experts"]["gate_up"], lp["experts"]["down"],
+                weights, idx, self.mesh,
+                capacity_factor=getattr(self, "ep_capacity_factor", 2.0),
+            )
+        else:
+            out = moe_ffn(x, lp["experts"]["gate_up"], lp["experts"]["down"], weights, idx)
         if c.num_shared_experts and "shared" in lp:
             sh = apply_linear(
                 lp["shared"]["down"],

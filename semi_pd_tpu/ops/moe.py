@@ -25,6 +25,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from semi_pd_tpu.ops.elementwise import silu_and_mul
 
@@ -125,3 +126,89 @@ def grouped_apply(
     u = jax.lax.ragged_dot(xs.astype(a.dtype), a, group_sizes)  # [T, r]
     y = jax.lax.ragged_dot(u, b, group_sizes)  # [T, dout]
     return jnp.zeros_like(y).at[order].set(y).astype(x.dtype)
+
+
+def moe_ffn_ep(
+    x: jax.Array,  # [T, d] (replicated across the ep axis)
+    gate_up: jax.Array,  # [E, d, 2f] sharded on E over `axis`
+    down: jax.Array,  # [E, f, d] sharded on E
+    weights: jax.Array,  # [T, K]
+    expert_idx: jax.Array,  # [T, K]
+    mesh,
+    axis: str = "tp",
+    capacity_factor: float = 2.0,
+):
+    """Expert-parallel MoE (reference EPMoE, layers/moe/ep_moe/layer.py:106:
+    experts split across ranks + grouped GEMM). TPU-native: shard_map over the
+    mesh axis; every rank sees the (replicated) token activations, sorts rows
+    by expert, takes the contiguous slice that belongs to its local experts
+    (static capacity C = ceil(T*K/n) * capacity_factor so shapes stay
+    static), computes the local grouped GEMM, and the partial outputs are
+    psum-combined. Rows beyond a rank's capacity are dropped (standard
+    capacity-based MoE semantics; capacity_factor sizes the safety margin —
+    uniform routing never drops at >= 1.0).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    T, d = x.shape
+    E = gate_up.shape[0]
+    K = weights.shape[1]
+    TK = T * K
+    n = mesh.shape[axis]
+    E_local = E // n
+    C = min(int(np.ceil(TK / n * capacity_factor)), TK)
+    C_PAD = C
+
+    flat_e = expert_idx.reshape(TK)
+    order = jnp.argsort(flat_e)  # stable
+    # pad by C so per-rank dynamic slices never clamp (padding rows carry an
+    # out-of-range expert id and zero weight -> masked in the shard)
+    sorted_e = jnp.pad(flat_e[order], (0, C_PAD), constant_values=E)
+    token_of = jnp.pad(order // K, (0, C_PAD))
+    w_flat = jnp.pad(weights.reshape(TK)[order], (0, C_PAD))
+    # start offset of each rank's expert range within the sorted rows
+    counts = jnp.bincount(flat_e, length=E)
+    starts = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)])
+
+    def local(x, gu, dn, sorted_e, token_of, w_flat, starts):
+        r = jax.lax.axis_index(axis)
+        e_lo = r * E_local
+        begin = starts[e_lo]
+        end = starts[e_lo + E_local]
+        n_rows = jnp.minimum(end - begin, C)
+        begin = begin.astype(jnp.int32)
+
+        rows_tok = jax.lax.dynamic_slice_in_dim(token_of, begin, C)
+        rows_e = jax.lax.dynamic_slice_in_dim(sorted_e, begin, C)
+        rows_w = jax.lax.dynamic_slice_in_dim(w_flat, begin, C)
+        valid = jnp.arange(C) < n_rows
+        rows_w = jnp.where(valid, rows_w, 0.0)
+        xs = x[rows_tok]  # [C, d]
+
+        local_e = jnp.clip(rows_e - e_lo, 0, E_local - 1)
+        # rows are sorted; local group sizes via bincount of clipped ids over
+        # valid rows only
+        gsz = jnp.bincount(
+            jnp.where(valid, local_e, E_local), length=E_local + 1
+        )[:E_local].astype(jnp.int32)
+        # pad the remainder rows into the last group (weights are zeroed)
+        gsz = gsz.at[E_local - 1].add(C - jnp.sum(gsz))
+
+        h = jax.lax.ragged_dot(xs.astype(gu.dtype), gu[0:E_local], gsz)
+        h = silu_and_mul(h)
+        out_rows = jax.lax.ragged_dot(h, dn[0:E_local], gsz)  # [C, d]
+        out = jnp.zeros((T, d), out_rows.dtype).at[rows_tok].add(
+            out_rows * rows_w[:, None].astype(out_rows.dtype)
+        )
+        return jax.lax.psum(out, axis)
+
+    other = tuple(a for a in mesh.axis_names if a != axis)
+    out = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(), P(), P(), P()),
+        out_specs=P(),
+        check_rep=False,
+    )(x, gate_up, down, sorted_e, token_of, w_flat, starts)
+    return out.astype(x.dtype)

@@ -74,6 +74,11 @@ class ModelRunner:
             # See models/llama.py: unrolled layers on TPU (traced-layer-index
             # DMA offsets hung Mosaic compilation on v5e).
             self.model.scan_layers = False
+        # Expert parallelism: shard expert stacks over the tp axis and use
+        # the shard_map EP path (ops/moe.py moe_ffn_ep)
+        self.model.mesh = mesh
+        self.model.use_ep = bool(mesh is not None and server_args.ep_size > 1)
+        self.model.ep_capacity_factor = server_args.ep_capacity_factor
         logger.info("attention backend: %s (platform %s)", backend, platform)
 
         self._load_weights()
@@ -149,7 +154,8 @@ class ModelRunner:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             axis = "tp" if (not mc.use_mla and mc.num_kv_heads_total % self.mesh.shape["tp"] == 0 and mc.num_kv_heads_total >= self.mesh.shape["tp"]) else None
-            kv_sharding = NamedSharding(self.mesh, P(None, None, axis, None))
+            # pool layout [L, comp, S, H, D] — shard the kv-head axis
+            kv_sharding = NamedSharding(self.mesh, P(None, None, None, axis, None))
         self.kv_cache = KVCache(self.kv_spec, sharding=kv_sharding)
         self.page_allocator = PageAllocator(num_pages, page_size)
         self.req_pool = ReqToPagePool(self.max_running_requests, max_context, page_size)

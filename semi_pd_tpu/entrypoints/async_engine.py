@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import queue
 import threading
 import time
 from typing import Any, AsyncIterator, Dict, Optional
@@ -29,6 +30,9 @@ class AsyncEngine:
         self._stop = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._lock = threading.Lock()
+        # jobs the tick thread runs between ticks (score/encode need the
+        # runner but must not race the scheduler loop)
+        self._jobs: "queue.Queue" = queue.Queue()
         self.last_step_time = time.monotonic()
 
     def start(self, loop: asyncio.AbstractEventLoop) -> None:
@@ -69,6 +73,13 @@ class AsyncEngine:
     def _run(self) -> None:
         sched = self.engine.scheduler
         while not self._stop:
+            while not self._jobs.empty():
+                fn, fut, loop = self._jobs.get()
+                try:
+                    res = fn()
+                    loop.call_soon_threadsafe(fut.set_result, res)
+                except Exception as e:  # noqa: BLE001
+                    loop.call_soon_threadsafe(fut.set_exception, e)
             if not sched.has_work():
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
@@ -136,6 +147,14 @@ class AsyncEngine:
             yield item
             if item.get("finished"):
                 return
+
+    async def run_job(self, fn):
+        """Run a callable on the tick thread (serialized with scheduling)."""
+        loop = asyncio.get_running_loop()
+        fut = loop.create_future()
+        self._jobs.put((fn, fut, loop))
+        self._wake.set()
+        return await fut
 
     async def generate_full(self, **kw) -> Dict[str, Any]:
         last = None

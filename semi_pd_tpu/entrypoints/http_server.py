@@ -111,6 +111,24 @@ async def _json_body(request: web.Request) -> Dict[str, Any]:
 async def generate(request: web.Request) -> web.StreamResponse:
     ae: AsyncEngine = request.app["engine"]
     body = await _json_body(request)
+    sp = body.get("sampling_params") or {}
+    if body.get("return_logprob") and sp.get("max_new_tokens") == 0:
+        # prompt-scoring mode (reference io_struct.py: return_logprob +
+        # logprob_start_len with no generation -> input_token_logprobs)
+        try:
+            lps = await ae.run_job(lambda: ae.engine.score(
+                prompt=body.get("text"), input_ids=body.get("input_ids"),
+                logprob_start_len=int(body.get("logprob_start_len", 0)),
+            ))
+        except (ValueError, AssertionError) as e:
+            return web.json_response({"error": {"message": str(e)}}, status=400)
+        single = isinstance(body.get("text"), str) or (
+            body.get("input_ids") and isinstance(body["input_ids"][0], int)
+        )
+        mk = lambda l: {"text": "", "output_ids": [],
+                        "meta_info": {"input_token_logprobs": l,
+                                      "prompt_tokens": len(l)}}
+        return web.json_response(mk(lps) if single else [mk(l) for l in lps])
     kwargs = dict(
         prompt=body.get("text"),
         input_ids=body.get("input_ids"),

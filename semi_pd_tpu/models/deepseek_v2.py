@@ -240,18 +240,21 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         return {"w_uk": w_uk, "w_uv": w_uv}
 
     # --------------------------------------------------------------- forward
-    def forward(self, params, fb: ForwardArrays, kv):
+    def forward(self, params, fb: ForwardArrays, kv, return_hidden: bool = False,
+                all_logits: bool = False):
         c = self.config
         (kv_cache,) = kv
         h = jnp.take(params["embed"]["w"], fb.input_ids, axis=0)
         for l in range(c.num_hidden_layers):
             h, kv_cache = self._ds_layer(params["layers"][l], l, h, kv_cache, fb)
         h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
-        last_h = h[fb.logits_idx]
+        last_h = h if all_logits else h[fb.logits_idx]
         head = params.get("lm_head") or {"w": params["embed"]["w"].T}
         from semi_pd_tpu.layers.linear import lm_head_logits
 
         logits = lm_head_logits(last_h, head, c.logit_softcap)
+        if return_hidden:
+            return logits, (kv_cache,), last_h
         return logits, (kv_cache,)
 
     def _ds_layer(self, lp, l, h, kv_cache, fb: ForwardArrays):

@@ -87,7 +87,8 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
         plan.update(self._mlp_weight_plan())
         return plan
 
-    def forward(self, params, fb: ForwardArrays, kv):
+    def forward(self, params, fb: ForwardArrays, kv, return_hidden: bool = False,
+                all_logits: bool = False):
         c = self.config
         (kv_cache,) = kv
         h = jnp.take(params["embed"]["w"], fb.input_ids, axis=0)
@@ -96,10 +97,12 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
             lp = jax.tree.map(lambda x: x[l], params["layers"])
             h, kv_cache = self._g2_layer(lp, l, h, kv_cache, fb)
         h = _gemma_rms(h, params["final_norm"], c.rms_norm_eps)
-        last_h = h[fb.logits_idx]
+        last_h = h if all_logits else h[fb.logits_idx]
         from semi_pd_tpu.layers.linear import lm_head_logits
 
         logits = lm_head_logits(last_h, {"w": params["embed"]["w"].T}, c.logit_softcap)
+        if return_hidden:
+            return logits, (kv_cache,), last_h
         return logits, (kv_cache,)
 
     def _g2_layer(self, lp, l, h, kv_cache, fb: ForwardArrays):

@@ -174,6 +174,7 @@ class LlamaForCausalLM:
         fb: ForwardArrays,
         kv: Tuple[jax.Array, ...],
         return_hidden: bool = False,
+        all_logits: bool = False,
     ):
         c = self.config
         (kv_cache,) = kv
@@ -202,7 +203,9 @@ class LlamaForCausalLM:
                 h, kv_cache = self._layer(lp, l, h, kv_cache, fb)
 
         h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
-        last_h = h[fb.logits_idx]  # [B, H]
+        # all_logits: logits for every flat token row (input-logprob scoring,
+        # reference: return_logprob + logprob_start_len in io_struct.py)
+        last_h = h if all_logits else h[fb.logits_idx]  # [T|B, H]
         head = params.get("lm_head") or {"w": params["embed"]["w"].T}
         logits = lm_head_logits(last_h, head, c.logit_softcap)
         if return_hidden:

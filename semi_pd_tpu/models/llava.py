@@ -133,8 +133,9 @@ class LlavaForConditionalGeneration:
         x = jax.nn.gelu(x, approximate=False)
         return x @ params["proj"]["fc2"]["w"] + params["proj"]["fc2"]["b"]
 
-    def forward(self, params, fb, kv, return_hidden: bool = False):
-        return self.lm.forward(params["lm"], fb, kv, return_hidden)
+    def forward(self, params, fb, kv, return_hidden: bool = False,
+                all_logits: bool = False):
+        return self.lm.forward(params["lm"], fb, kv, return_hidden, all_logits)
 
     def forward_embedding(self, params, fb, kv):
         return self.lm.forward_embedding(params["lm"], fb, kv)

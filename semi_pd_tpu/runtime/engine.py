@@ -215,6 +215,14 @@ class Engine:
         image_data=None,
     ) -> Union[Dict, List[Dict]]:
         """Synchronous batch generation (reference engine.py:122 generate)."""
+        sp = sampling_params
+        mnt = sp.get("max_new_tokens") if isinstance(sp, dict) else getattr(sp, "max_new_tokens", None)
+        if return_logprob and mnt == 0:
+            lps = self.score(prompt=prompt, input_ids=input_ids)
+            mk = lambda l: {"text": "", "output_ids": [],
+                            "meta_info": {"input_token_logprobs": l}}
+            return mk(lps) if (isinstance(prompt, str) or (
+                input_ids and isinstance(input_ids[0], int))) else [mk(l) for l in lps]
         single = False
         if prompt is not None and isinstance(prompt, str):
             prompt, single = [prompt], True
@@ -328,6 +336,72 @@ class Engine:
 
             out = [_np.asarray(emb[i]).tolist() for i in range(len(reqs))]
             for r in reqs:
+                sched._free_req_memory(r)
+        return out[0] if single else out
+
+    def score(self, prompt=None, input_ids=None, logprob_start_len: int = 0):
+        """Teacher-forced input-token logprobs (reference: /generate with
+        return_logprob + logprob_start_len + max_new_tokens=0, io_struct.py).
+        Returns per request a list of (logprob, token_id) for input positions
+        >= logprob_start_len (position 0 has no logprob; start is clamped to
+        1). Powers lang.select and the OpenAI echo+logprobs path."""
+        import numpy as _np
+
+        from semi_pd_tpu.runtime.batch import build_extend_batch
+
+        single = False
+        if prompt is not None and isinstance(prompt, str):
+            prompt, single = [prompt], True
+        if input_ids is not None and input_ids and isinstance(input_ids[0], int):
+            input_ids, single = [input_ids], True
+        if input_ids is None:
+            input_ids = [self.tokenizer.encode(p) for p in prompt]
+
+        sched = self.scheduler
+        reqs = []
+        with self._lock:
+            for ids in input_ids:
+                r = self.make_request(
+                    input_ids=ids, sampling_params=SamplingParams(max_new_tokens=0)
+                )
+                slot = self.runner.req_pool.alloc()
+                n_pages = -(-len(ids) // sched.page_size)
+                pages = sched._alloc_pages(n_pages)
+                assert slot is not None and pages is not None, "OOM for score"
+                r.req_slot = slot
+                r.pages = pages.tolist()
+                self.runner.req_pool.write(slot, 0, pages)
+                reqs.append(r)
+            admitted = [(r, r.prompt_len) for r in reqs]
+            hb = build_extend_batch(
+                admitted, self.runner.req_pool.page_table, sched.page_size,
+                sched.t_buckets, sched.b_buckets, sched.p_buckets,
+            )
+            # targets[t] = next input token in the same request (row layout is
+            # the concatenation of requests in admitted order)
+            T = len(hb.input_ids)
+            targets = _np.zeros(T, _np.int32)
+            off = 0
+            for r in reqs:
+                n = r.prompt_len
+                targets[off : off + n - 1] = r.input_ids[1:]
+                off += n
+            lp = _np.asarray(
+                self.runner.score_step(hb.to_device(self.runner.rng_key), targets)
+            )
+            out = []
+            off = 0
+            for r in reqs:
+                n = r.prompt_len
+                start = max(1, logprob_start_len)
+                # logprob of token at position i sits at row off+i-1
+                out.append(
+                    [
+                        (float(lp[off + i - 1]), int(r.input_ids[i]))
+                        for i in range(start, n)
+                    ]
+                )
+                off += n
                 sched._free_req_memory(r)
         return out[0] if single else out
 

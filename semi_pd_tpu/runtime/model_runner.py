@@ -259,6 +259,31 @@ class ModelRunner:
         self.rng_key = new_key
         return next_tokens, logprobs
 
+    def score_step(self, fb: ForwardArrays, targets):
+        """Teacher-forced input logprobs: log p(targets[t] | tokens <= t) for
+        every flat row t of an extend batch (reference: return_logprob +
+        logprob_start_len path, scheduler_output_processor_mixin.py
+        input_token_logprobs). Rows whose target is the next request's first
+        token (or padding) are discarded host-side."""
+        if not hasattr(self, "_score_jit"):
+            model = self.model
+
+            def _score(params, kv, fb, targets):
+                logits, kv = model.forward(params, fb, kv, all_logits=True)
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                tok_lp = jnp.take_along_axis(lp, targets[:, None], axis=1)[:, 0]
+                return tok_lp, kv
+
+            self._score_jit = jax.jit(_score, donate_argnums=(1,))
+        fb = fb._replace(rng_key=self.rng_key)
+        targets = jnp.asarray(targets, jnp.int32)
+        if self._replicated is not None:
+            fb = jax.device_put(fb, self._replicated)
+            targets = jax.device_put(targets, self._replicated)
+        lp, kv = self._score_jit(self.params, self.kv_cache.arrays, fb, targets)
+        self.kv_cache.update(kv)
+        return lp
+
     def encode_step(self, fb: ForwardArrays):
         """Embedding forward: returns [B, H] normalized pooled embeddings
         (reference: /encode path, Pooler LAST)."""

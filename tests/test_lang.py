@@ -1,0 +1,114 @@
+"""Frontend DSL (reference: python/sglang/lang/ — test/lang/test_srt_backend.py
+rows: gen, select, fork, roles, run_batch)."""
+
+import numpy as np
+import pytest
+
+from semi_pd_tpu import lang as sgl
+from semi_pd_tpu.config.model_config import ModelConfig
+from semi_pd_tpu.config.server_args import ServerArgs
+from semi_pd_tpu.runtime.engine import Engine
+
+
+class _CharTok:
+    """Char-level tokenizer over ASCII (ids = ord - 32)."""
+
+    eos_token_id = 97
+    vocab_size = 128
+
+    def encode(self, s):
+        return [ord(c) - 32 for c in s if 32 <= ord(c) < 127]
+
+    def decode(self, ids, **kw):
+        return "".join(chr(i + 32) for i in ids if 0 <= i < 95)
+
+    def convert_ids_to_tokens(self, ids):
+        return [chr(i + 32) if 0 <= i < 95 else "<s>" for i in ids]
+
+
+@pytest.fixture(scope="module")
+def backend():
+    from transformers import LlamaConfig
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, tie_word_embeddings=False,
+    )
+    cfg.architectures = ["LlamaForCausalLM"]
+    mc = ModelConfig.from_hf_config(cfg, dtype="float32")
+    eng = Engine(
+        server_args=ServerArgs(model_path="", random_weights=True, page_size=4,
+                               max_total_tokens=2048, dtype="float32"),
+        model_config=mc, tokenizer=_CharTok(),
+    )
+    return sgl.EngineBackend(eng)
+
+
+def test_gen_and_roles(backend):
+    @sgl.function
+    def f(s, q):
+        s += sgl.system("be terse")
+        s += sgl.user(q)
+        with s.assistant():
+            s += "A: " + sgl.gen("ans", max_tokens=5, temperature=0.0)
+
+    st = f.run(q="hi", backend=backend)
+    assert len(st["ans"]) > 0
+    assert "<|system|>" in st.text() and "<|user|>" in st.text()
+    assert st.text().endswith(st["ans"] + "\n")
+
+
+def test_select_picks_argmax_and_is_deterministic(backend):
+    @sgl.function
+    def f(s):
+        s += "pick: " + sgl.select("c", ["alpha", "beta", "gamma"])
+
+    st1 = f.run(backend=backend)
+    st2 = f.run(backend=backend)
+    assert st1["c"] in ("alpha", "beta", "gamma")
+    assert st1["c"] == st2["c"]
+    scores = st1.meta["c__scores"]
+    assert len(scores) == 3
+    assert st1["c"] == ["alpha", "beta", "gamma"][int(np.argmax(scores))]
+
+
+def test_fork_shares_prefix(backend):
+    @sgl.function
+    def f(s):
+        s += "story: "
+
+    st = f.run(backend=backend)
+    forks = st.fork(3)
+    for i, fk in enumerate(forks):
+        fk += f"v{i}: " + sgl.gen("out", max_tokens=4, temperature=0.0)
+    assert all("out" in fk for fk in forks)
+    # parent untouched
+    assert "out" not in st
+    assert forks[0].text().startswith("story: v0: ")
+
+
+def test_run_batch(backend):
+    @sgl.function
+    def f(s, x):
+        s += x + sgl.gen("y", max_tokens=3, temperature=0.0)
+
+    sts = f.run_batch([{"x": "a"}, {"x": "b"}], backend=backend)
+    assert len(sts) == 2 and all("y" in s for s in sts)
+
+
+def test_default_backend_and_errors(backend):
+    @sgl.function
+    def f(s):
+        s += sgl.gen("z", max_tokens=2)
+
+    sgl.set_default_backend(None)
+    with pytest.raises(ValueError):
+        f.run()
+    sgl.set_default_backend(backend)
+    try:
+        assert "z" in f.run()
+    finally:
+        sgl.set_default_backend(None)
+    with pytest.raises(ValueError):
+        sgl.select("n", [])

@@ -127,3 +127,40 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
         y = _gemma_rms(h, lp["pre_ffw_norm"], c.rms_norm_eps)
         mlp = apply_linear(lp["down"], gelu_and_mul(apply_linear(lp["gate_up"], y)))
         return h + _gemma_rms(mlp, lp["post_ffw_norm"], c.rms_norm_eps), kv_cache
+
+
+class GemmaForCausalLM(Gemma2ForCausalLM):
+    """Gemma-1 (reference srt/models/gemma.py): llama block structure with the
+    gemma conventions — (1+w) rmsnorm, sqrt(hidden) embedding scale, GeGLU,
+    tied embeddings — but none of gemma-2's sandwich norms, softcaps, or
+    alternating sliding windows."""
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        config.attn_logit_softcap = None
+        config.logit_softcap = None
+        self._sliding_window = None
+        self.layer_sliding = [False] * config.num_hidden_layers
+        self.norm_fn = _gemma_rms
+        self.embed_scale = math.sqrt(config.hidden_size)
+        self.scan_layers = True  # homogeneous layers again
+
+    # gemma-1 uses the plain llama layer (with the hooks set above), not the
+    # sandwich-norm gemma-2 block
+    def _g2_layer(self, lp, l, h, kv_cache, fb):
+        return LlamaForCausalLM._layer(self, lp, l, h, kv_cache, fb)
+
+    def _mlp_specs(self):
+        return LlamaForCausalLM._mlp_specs(self)
+
+    def _mlp_pspecs(self):
+        return LlamaForCausalLM._mlp_pspecs(self)
+
+    def _mlp_weight_plan(self):
+        return LlamaForCausalLM._mlp_weight_plan(self)
+
+    def hf_weight_plan(self):
+        # undo the gemma-2 remap: post_attention_layernorm is the ordinary
+        # pre-MLP norm here
+        plan = LlamaForCausalLM.hf_weight_plan(self)
+        return plan

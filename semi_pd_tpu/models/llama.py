@@ -63,6 +63,14 @@ class LlamaForCausalLM:
         self.use_qk_norm = c.architecture in (
             "Qwen3ForCausalLM", "Qwen3MoeForCausalLM",
         )
+        # OLMoE-style full-projection q/k norm (over q_size/kv_size, pre-split)
+        self.qk_norm_full = False
+        # Family hooks consumed by subclasses (gemma: (1+w) rmsnorm + embed
+        # scaling; granite: scalar multipliers)
+        self.norm_fn = rms_norm
+        self.embed_scale = None
+        self.residual_mult = None
+        self.logits_div = None
         # Set by the runner before tracing (static under jit): property of the
         # memory pool, not the checkpoint.
         self.page_size = 16
@@ -88,8 +96,10 @@ class LlamaForCausalLM:
         if c.attention_bias:
             layer["qkv_proj"]["b"] = jax.ShapeDtypeStruct((L, qkv_out), d)
         if self.use_qk_norm:
-            layer["q_norm"] = jax.ShapeDtypeStruct((L, self.head_dim), d)
-            layer["k_norm"] = jax.ShapeDtypeStruct((L, self.head_dim), d)
+            qn = self.q_size if self.qk_norm_full else self.head_dim
+            kn = self.kv_size if self.qk_norm_full else self.head_dim
+            layer["q_norm"] = jax.ShapeDtypeStruct((L, qn), d)
+            layer["k_norm"] = jax.ShapeDtypeStruct((L, kn), d)
         specs = {
             "embed": {"w": jax.ShapeDtypeStruct((c.vocab_size, H), d)},
             "layers": layer,
@@ -179,6 +189,8 @@ class LlamaForCausalLM:
         c = self.config
         (kv_cache,) = kv
         h = jnp.take(params["embed"]["w"], fb.input_ids, axis=0)
+        if self.embed_scale is not None:
+            h = h * jnp.asarray(self.embed_scale, h.dtype)
         if fb.embed_override is not None:
             # multimodal splice: image-patch features replace token embeds
             h = jnp.where(
@@ -202,12 +214,14 @@ class LlamaForCausalLM:
                 lp = jax.tree.map(lambda x: x[l], params["layers"])
                 h, kv_cache = self._layer(lp, l, h, kv_cache, fb)
 
-        h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
+        h = self.norm_fn(h, params["final_norm"], c.rms_norm_eps)
         # all_logits: logits for every flat token row (input-logprob scoring,
         # reference: return_logprob + logprob_start_len in io_struct.py)
         last_h = h if all_logits else h[fb.logits_idx]  # [T|B, H]
         head = params.get("lm_head") or {"w": params["embed"]["w"].T}
         logits = lm_head_logits(last_h, head, c.logit_softcap)
+        if self.logits_div is not None:
+            logits = logits / jnp.asarray(self.logits_div, logits.dtype)
         if return_hidden:
             return logits, (kv_cache,), last_h
         return logits, (kv_cache,)
@@ -234,7 +248,7 @@ class LlamaForCausalLM:
             for l in range(c.num_hidden_layers):
                 lp = jax.tree.map(lambda x: x[l], params["layers"])
                 h, kv_cache = self._layer(lp, l, h, kv_cache, fb)
-        h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
+        h = self.norm_fn(h, params["final_norm"], c.rms_norm_eps)
         emb = h[fb.logits_idx].astype(jnp.float32)  # [B, H] last-token pool
         emb = emb / jnp.maximum(
             jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
@@ -248,19 +262,22 @@ class LlamaForCausalLM:
         lora = lp.get("lora") if isinstance(lp, dict) else None
         li = fb.lora_idx
 
-        attn_in = rms_norm(h, lp["input_norm"], c.rms_norm_eps)
+        attn_in = self.norm_fn(h, lp["input_norm"], c.rms_norm_eps)
         qkv = apply_linear(lp["qkv_proj"], attn_in)
         if lora is not None and li is not None:
             from semi_pd_tpu.ops.moe import grouped_apply
 
             qkv = qkv + grouped_apply(attn_in, lora["qkv_a"], lora["qkv_b"], li)
         q, k, v = jnp.split(qkv, [self.q_size, self.q_size + self.kv_size], axis=-1)
+        if self.use_qk_norm and self.qk_norm_full:
+            q = self.norm_fn(q, lp["q_norm"], c.rms_norm_eps)
+            k = self.norm_fn(k, lp["k_norm"], c.rms_norm_eps)
         q = q.reshape(T, self.num_heads, self.head_dim)
         k = k.reshape(T, self.num_kv_heads, self.head_dim)
         v = v.reshape(T, self.num_kv_heads, self.head_dim)
-        if self.use_qk_norm:
-            q = rms_norm(q, lp["q_norm"], c.rms_norm_eps)
-            k = rms_norm(k, lp["k_norm"], c.rms_norm_eps)
+        if self.use_qk_norm and not self.qk_norm_full:
+            q = self.norm_fn(q, lp["q_norm"], c.rms_norm_eps)
+            k = self.norm_fn(k, lp["k_norm"], c.rms_norm_eps)
         q, k = self.rope(fb.q_pos, q, k)
 
         sliding = c.sliding_window
@@ -277,9 +294,11 @@ class LlamaForCausalLM:
             attn_out = attn_out + grouped_apply(
                 attn_flat, lora["o_a"], lora["o_b"], li
             )
+        if self.residual_mult is not None:
+            attn_out = attn_out * jnp.asarray(self.residual_mult, attn_out.dtype)
         h = h + attn_out
 
-        mlp_in = rms_norm(h, lp["post_norm"], c.rms_norm_eps)
+        mlp_in = self.norm_fn(h, lp["post_norm"], c.rms_norm_eps)
         if lora is not None and li is not None:
             from semi_pd_tpu.ops.moe import grouped_apply
 
@@ -292,6 +311,8 @@ class LlamaForCausalLM:
             )
         else:
             mlp = self._mlp(lp, mlp_in)
+        if self.residual_mult is not None:
+            mlp = mlp * jnp.asarray(self.residual_mult, mlp.dtype)
         return h + mlp, kv_cache
 
     # ------------------------------------------------- MLP hooks (overridable

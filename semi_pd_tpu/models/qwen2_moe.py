@@ -160,3 +160,34 @@ class Qwen2MoeForCausalLM(MixtralForCausalLM):
                 "model.layers.{L}.mlp.shared_expert_gate.weight": ("layers.shared.gate.w", None, "t"),
             })
         return plan
+
+
+class Qwen3MoeForCausalLM(Qwen2MoeForCausalLM):
+    """Qwen3MoeForCausalLM (reference srt/models/qwen3_moe.py): qwen2-moe
+    routing/experts, but no qkv bias, no shared expert, and per-head q/k
+    RMSNorm (use_qk_norm is keyed on the architecture in llama.py)."""
+
+    def __init__(self, config: ModelConfig):
+        # grandparent init: skip qwen2-moe's bias/shared-expert defaults
+        MixtralForCausalLM.__init__(self, config)
+        config.attention_bias = False
+
+
+class OlmoeForCausalLM(MixtralForCausalLM):
+    """OlmoeForCausalLM (reference srt/models/olmoe.py): qwen2-moe-style
+    expert naming, norm_topk_prob from config, and q/k RMSNorm applied over
+    the FULL projection width (OlmoeAttention norms num_heads*head_dim, not
+    per-head like qwen3)."""
+
+    HF_EXPERT_KEYS = (
+        ("mlp.experts.{E}.gate_proj.weight", "gate_up", 0, "t"),
+        ("mlp.experts.{E}.up_proj.weight", "gate_up", 1, "t"),
+        ("mlp.experts.{E}.down_proj.weight", "down", None, "t"),
+    )
+    HF_ROUTER_KEY = "mlp.gate.weight"
+    NORM_TOPK_FROM_CONFIG = True
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        self.use_qk_norm = True
+        self.qk_norm_full = True

@@ -56,19 +56,33 @@ def _ensure_populated():
     ):
         _REGISTRY.setdefault(arch, LlamaForCausalLM)
 
-    from semi_pd_tpu.models.qwen2_moe import Qwen2MoeForCausalLM, MixtralForCausalLM
+    from semi_pd_tpu.models.qwen2_moe import (
+        MixtralForCausalLM,
+        OlmoeForCausalLM,
+        Qwen2MoeForCausalLM,
+        Qwen3MoeForCausalLM,
+    )
 
     _REGISTRY.setdefault("Qwen2MoeForCausalLM", Qwen2MoeForCausalLM)
     _REGISTRY.setdefault("MixtralForCausalLM", MixtralForCausalLM)
+    _REGISTRY.setdefault("Qwen3MoeForCausalLM", Qwen3MoeForCausalLM)
+    _REGISTRY.setdefault("OlmoeForCausalLM", OlmoeForCausalLM)
+
+    from semi_pd_tpu.models.phi3 import Phi3ForCausalLM
+    from semi_pd_tpu.models.granite import GraniteForCausalLM
+
+    _REGISTRY.setdefault("Phi3ForCausalLM", Phi3ForCausalLM)
+    _REGISTRY.setdefault("GraniteForCausalLM", GraniteForCausalLM)
 
     from semi_pd_tpu.models.deepseek_v2 import DeepseekV2ForCausalLM
 
     _REGISTRY.setdefault("DeepseekV2ForCausalLM", DeepseekV2ForCausalLM)
     _REGISTRY.setdefault("DeepseekV3ForCausalLM", DeepseekV2ForCausalLM)
 
-    from semi_pd_tpu.models.gemma2 import Gemma2ForCausalLM
+    from semi_pd_tpu.models.gemma2 import Gemma2ForCausalLM, GemmaForCausalLM
 
     _REGISTRY.setdefault("Gemma2ForCausalLM", Gemma2ForCausalLM)
+    _REGISTRY.setdefault("GemmaForCausalLM", GemmaForCausalLM)
 
     from semi_pd_tpu.models.llava import LlavaForConditionalGeneration
 

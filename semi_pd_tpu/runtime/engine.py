@@ -53,7 +53,10 @@ class Engine:
                 )
             except Exception as e:  # random-weights bench without a tokenizer
                 if not server_args.random_weights:
-                    raise
+                    raise RuntimeError(
+                        f"failed to load tokenizer from "
+                        f"{server_args.tokenizer_path!r}: {e}"
+                    ) from e
                 logger.warning("no tokenizer (%s); token-id API only", e)
 
         self.runner = ModelRunner(server_args, model_config=model_config, mesh=mesh)

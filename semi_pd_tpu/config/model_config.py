@@ -152,12 +152,16 @@ class ModelConfig:
             model_path=model_path,
             vocab_size=g("vocab_size", 32000),
             hidden_size=hidden,
-            intermediate_size=g("intermediate_size", 4 * hidden),
+            intermediate_size=g("intermediate_size") or 4 * hidden,
             num_hidden_layers=g("num_hidden_layers", 32),
             num_attention_heads=num_heads,
             num_key_value_heads=g("num_key_value_heads") or num_heads,
             head_dim=head_dim,
-            rms_norm_eps=g("rms_norm_eps", g("layer_norm_epsilon", 1e-6)),
+            rms_norm_eps=g("rms_norm_eps")
+            or g("norm_epsilon")
+            or g("layer_norm_eps")
+            or g("layer_norm_epsilon")
+            or 1e-6,
             hidden_act=g("hidden_act", "silu"),
             tie_word_embeddings=g("tie_word_embeddings", False),
             attention_bias=g("attention_bias", g("qkv_bias", False)),
@@ -176,6 +180,10 @@ class ModelConfig:
         cfg.context_length = context_length or g(
             "max_position_embeddings", 4096
         )
+
+        # GPT-BigCode multi-query attention: one shared KV head.
+        if arch == "GPTBigCodeForCausalLM" and g("multi_query", True):
+            cfg.num_key_value_heads = 1
 
         # Qwen2 puts bias on qkv but not o/mlp.
         if arch.startswith(("Qwen2", "Qwen")) and "Moe" not in arch:

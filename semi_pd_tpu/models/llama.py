@@ -58,7 +58,9 @@ class LlamaForCausalLM:
             rope_scaling=c.rope_scaling,
             dtype=self.dtype,
         )
-        self.act = ACT2FN[c.hidden_act]
+        # Non-gated families (phi/gpt2) override mlp_act instead; default
+        # to the silu gate for acts without a gated mapping.
+        self.act = ACT2FN.get(c.hidden_act, ACT2FN["silu"])
         # Qwen3-style per-head q/k RMSNorm (applied on head_dim before rope)
         self.use_qk_norm = c.architecture in (
             "Qwen3ForCausalLM", "Qwen3MoeForCausalLM",
@@ -71,6 +73,15 @@ class LlamaForCausalLM:
         self.embed_scale = None
         self.residual_mult = None
         self.logits_div = None
+        # Structural knobs for the LayerNorm families (gpt2/stablelm/phi/
+        # cohere/starcoder2): norms carry a bias leaf; attn+mlp run in
+        # parallel from one norm (phi/cohere); learned absolute positions;
+        # rope disabled; biased lm_head (phi)
+        self.norm_bias = False
+        self.parallel_block = False
+        self.pos_embed = False
+        self.no_rope = False
+        self.lm_head_bias = False
         # Set by the runner before tracing (static under jit): property of the
         # memory pool, not the checkpoint.
         self.page_size = 16
@@ -82,19 +93,41 @@ class LlamaForCausalLM:
         self.scan_layers = True
 
     # ------------------------------------------------------------- specs
+    def _norm_spec(self, *shape):
+        d = self.dtype
+        if self.norm_bias:
+            return {"w": jax.ShapeDtypeStruct(shape, d),
+                    "b": jax.ShapeDtypeStruct(shape, d)}
+        return jax.ShapeDtypeStruct(shape, d)
+
+    def _norm_pspec(self):
+        return {"w": P(), "b": P()} if self.norm_bias else P()
+
+    def _norm_plan(self, hf_base: str, dest: str):
+        if self.norm_bias:
+            return {hf_base + ".weight": (dest + ".w", None, "none"),
+                    hf_base + ".bias": (dest + ".b", None, "none")}
+        return {hf_base + ".weight": (dest, None, "none")}
+
+    def _norm(self, x, p):
+        return self.norm_fn(x, p, self.config.rms_norm_eps)
+
     def param_specs(self) -> Dict[str, Any]:
         c, d = self.config, self.dtype
         L, H = c.num_hidden_layers, c.hidden_size
         qkv_out = self.q_size + 2 * self.kv_size
         layer = {
-            "input_norm": jax.ShapeDtypeStruct((L, H), d),
+            "input_norm": self._norm_spec(L, H),
             "qkv_proj": {"w": jax.ShapeDtypeStruct((L, H, qkv_out), d)},
             "o_proj": {"w": jax.ShapeDtypeStruct((L, self.q_size, H), d)},
-            "post_norm": jax.ShapeDtypeStruct((L, H), d),
             **self._mlp_specs(),
         }
+        if not self.parallel_block:
+            layer["post_norm"] = self._norm_spec(L, H)
         if c.attention_bias:
             layer["qkv_proj"]["b"] = jax.ShapeDtypeStruct((L, qkv_out), d)
+        if c.o_proj_bias:
+            layer["o_proj"]["b"] = jax.ShapeDtypeStruct((L, H), d)
         if self.use_qk_norm:
             qn = self.q_size if self.qk_norm_full else self.head_dim
             kn = self.kv_size if self.qk_norm_full else self.head_dim
@@ -103,34 +136,47 @@ class LlamaForCausalLM:
         specs = {
             "embed": {"w": jax.ShapeDtypeStruct((c.vocab_size, H), d)},
             "layers": layer,
-            "final_norm": jax.ShapeDtypeStruct((H,), d),
+            "final_norm": self._norm_spec(H),
         }
+        if self.pos_embed:
+            specs["pos_embed"] = {
+                "w": jax.ShapeDtypeStruct((c.max_position_embeddings, H), d)
+            }
         if not c.tie_word_embeddings:
             specs["lm_head"] = {"w": jax.ShapeDtypeStruct((H, c.vocab_size), d)}
+            if self.lm_head_bias:
+                specs["lm_head"]["b"] = jax.ShapeDtypeStruct((c.vocab_size,), d)
         return specs
 
     def param_partition_specs(self) -> Dict[str, Any]:
         """PartitionSpec per leaf over mesh axes ("dp", "tp")."""
         c = self.config
         layer = {
-            "input_norm": P(),
+            "input_norm": self._norm_pspec(),
             "qkv_proj": {"w": P(None, None, "tp")},
             "o_proj": {"w": P(None, "tp", None)},
-            "post_norm": P(),
             **self._mlp_pspecs(),
         }
+        if not self.parallel_block:
+            layer["post_norm"] = self._norm_pspec()
         if c.attention_bias:
             layer["qkv_proj"]["b"] = P(None, "tp")
+        if c.o_proj_bias:
+            layer["o_proj"]["b"] = P()
         if self.use_qk_norm:
             layer["q_norm"] = P()
             layer["k_norm"] = P()
         specs = {
             "embed": {"w": P("tp", None)},
             "layers": layer,
-            "final_norm": P(),
+            "final_norm": self._norm_pspec(),
         }
+        if self.pos_embed:
+            specs["pos_embed"] = {"w": P()}
         if not c.tie_word_embeddings:
             specs["lm_head"] = {"w": P(None, "tp")}
+            if self.lm_head_bias:
+                specs["lm_head"]["b"] = P("tp")
         return specs
 
     # ------------------------------------------------------------- init
@@ -155,15 +201,20 @@ class LlamaForCausalLM:
         stacked-params mapping)."""
         plan = {
             "model.embed_tokens.weight": ("embed.w", None, "none"),
-            "model.norm.weight": ("final_norm", None, "none"),
-            "model.layers.{L}.input_layernorm.weight": ("layers.input_norm", None, "none"),
-            "model.layers.{L}.post_attention_layernorm.weight": ("layers.post_norm", None, "none"),
+            **self._norm_plan("model.norm", "final_norm"),
+            **self._norm_plan("model.layers.{L}.input_layernorm", "layers.input_norm"),
             "model.layers.{L}.self_attn.q_proj.weight": ("layers.qkv_proj.w", (0, self.q_size), "t"),
             "model.layers.{L}.self_attn.k_proj.weight": ("layers.qkv_proj.w", (self.q_size, self.kv_size), "t"),
             "model.layers.{L}.self_attn.v_proj.weight": ("layers.qkv_proj.w", (self.q_size + self.kv_size, self.kv_size), "t"),
             "model.layers.{L}.self_attn.o_proj.weight": ("layers.o_proj.w", None, "t"),
             **self._mlp_weight_plan(),
         }
+        if not self.parallel_block:
+            plan.update(self._norm_plan(
+                "model.layers.{L}.post_attention_layernorm", "layers.post_norm"
+            ))
+        if self.config.o_proj_bias:
+            plan["model.layers.{L}.self_attn.o_proj.bias"] = ("layers.o_proj.b", None, "none")
         if self.config.attention_bias:
             plan.update({
                 "model.layers.{L}.self_attn.q_proj.bias": ("layers.qkv_proj.b", (0, self.q_size), "none"),
@@ -173,8 +224,12 @@ class LlamaForCausalLM:
         if self.use_qk_norm:
             plan["model.layers.{L}.self_attn.q_norm.weight"] = ("layers.q_norm", None, "none")
             plan["model.layers.{L}.self_attn.k_norm.weight"] = ("layers.k_norm", None, "none")
+        if self.pos_embed:
+            plan["model.embed_positions.weight"] = ("pos_embed.w", None, "none")
         if not self.config.tie_word_embeddings:
             plan["lm_head.weight"] = ("lm_head.w", None, "t")
+            if self.lm_head_bias:
+                plan["lm_head.bias"] = ("lm_head.b", None, "none")
         return plan
 
     # ------------------------------------------------------------- forward
@@ -191,6 +246,8 @@ class LlamaForCausalLM:
         h = jnp.take(params["embed"]["w"], fb.input_ids, axis=0)
         if self.embed_scale is not None:
             h = h * jnp.asarray(self.embed_scale, h.dtype)
+        if self.pos_embed:
+            h = h + jnp.take(params["pos_embed"]["w"], fb.q_pos, axis=0)
         if fb.embed_override is not None:
             # multimodal splice: image-patch features replace token embeds
             h = jnp.where(
@@ -256,13 +313,30 @@ class LlamaForCausalLM:
         return emb, (kv_cache,)
 
     def _layer(self, lp, layer_idx, h, kv_cache, fb: ForwardArrays):
-        c = self.config
-        T = h.shape[0]
+        attn_in = self._norm(h, lp["input_norm"])
+        attn_out, kv_cache = self._attn(lp, attn_in, layer_idx, fb, kv_cache)
+        if self.parallel_block:
+            # phi/cohere: attention and MLP both branch from the same norm
+            mlp = self._mlp_lora(lp, attn_in, fb)
+            return h + attn_out + mlp, kv_cache
+        if self.residual_mult is not None:
+            attn_out = attn_out * jnp.asarray(self.residual_mult, attn_out.dtype)
+        h = h + attn_out
 
+        mlp_in = self._norm(h, lp["post_norm"])
+        mlp = self._mlp_lora(lp, mlp_in, fb)
+        if self.residual_mult is not None:
+            mlp = mlp * jnp.asarray(self.residual_mult, mlp.dtype)
+        return h + mlp, kv_cache
+
+    def _attn(self, lp, attn_in, layer_idx, fb: ForwardArrays, kv_cache):
+        """Normed input -> o_proj output (qkv, qk-norm, rope, paged attention,
+        LoRA deltas)."""
+        c = self.config
+        T = attn_in.shape[0]
         lora = lp.get("lora") if isinstance(lp, dict) else None
         li = fb.lora_idx
 
-        attn_in = self.norm_fn(h, lp["input_norm"], c.rms_norm_eps)
         qkv = apply_linear(lp["qkv_proj"], attn_in)
         if lora is not None and li is not None:
             from semi_pd_tpu.ops.moe import grouped_apply
@@ -278,13 +352,13 @@ class LlamaForCausalLM:
         if self.use_qk_norm and not self.qk_norm_full:
             q = self.norm_fn(q, lp["q_norm"], c.rms_norm_eps)
             k = self.norm_fn(k, lp["k_norm"], c.rms_norm_eps)
-        q, k = self.rope(fb.q_pos, q, k)
+        if not self.no_rope:
+            q, k = self.rope(fb.q_pos, q, k)
 
-        sliding = c.sliding_window
         attn_out, kv_cache = paged_attention(
             q, k, v, kv_cache, layer_idx, fb,
             page_size=self.page_size, scale=self.scale,
-            logit_cap=c.attn_logit_softcap, sliding_window=sliding,
+            logit_cap=c.attn_logit_softcap, sliding_window=c.sliding_window,
         )
         attn_flat = attn_out.reshape(T, self.q_size)
         attn_out = apply_linear(lp["o_proj"], attn_flat)
@@ -294,26 +368,22 @@ class LlamaForCausalLM:
             attn_out = attn_out + grouped_apply(
                 attn_flat, lora["o_a"], lora["o_b"], li
             )
-        if self.residual_mult is not None:
-            attn_out = attn_out * jnp.asarray(self.residual_mult, attn_out.dtype)
-        h = h + attn_out
+        return attn_out, kv_cache
 
-        mlp_in = self.norm_fn(h, lp["post_norm"], c.rms_norm_eps)
-        if lora is not None and li is not None:
-            from semi_pd_tpu.ops.moe import grouped_apply
+    def _mlp_lora(self, lp, mlp_in, fb: ForwardArrays):
+        lora = lp.get("lora") if isinstance(lp, dict) else None
+        li = fb.lora_idx
+        if lora is None or li is None:
+            return self._mlp(lp, mlp_in)
+        from semi_pd_tpu.ops.moe import grouped_apply
 
-            gu = apply_linear(lp["gate_up"], mlp_in) + grouped_apply(
-                mlp_in, lora["gate_up_a"], lora["gate_up_b"], li
-            )
-            act = self.act(gu)
-            mlp = apply_linear(lp["down"], act) + grouped_apply(
-                act, lora["down_a"], lora["down_b"], li
-            )
-        else:
-            mlp = self._mlp(lp, mlp_in)
-        if self.residual_mult is not None:
-            mlp = mlp * jnp.asarray(self.residual_mult, mlp.dtype)
-        return h + mlp, kv_cache
+        gu = apply_linear(lp["gate_up"], mlp_in) + grouped_apply(
+            mlp_in, lora["gate_up_a"], lora["gate_up_b"], li
+        )
+        act = self.act(gu)
+        return apply_linear(lp["down"], act) + grouped_apply(
+            act, lora["down_a"], lora["down_b"], li
+        )
 
     # ------------------------------------------------- MLP hooks (overridable
     # by MoE subclasses: qwen2_moe.py, deepseek_v2.py)

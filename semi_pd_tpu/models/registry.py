@@ -84,6 +84,26 @@ def _ensure_populated():
     _REGISTRY.setdefault("Gemma2ForCausalLM", Gemma2ForCausalLM)
     _REGISTRY.setdefault("GemmaForCausalLM", GemmaForCausalLM)
 
+    from semi_pd_tpu.models.layernorm_families import (
+        CohereForCausalLM,
+        Olmo2ForCausalLM,
+        PhiForCausalLM,
+        StableLmForCausalLM,
+        Starcoder2ForCausalLM,
+    )
+
+    _REGISTRY.setdefault("StableLmForCausalLM", StableLmForCausalLM)
+    _REGISTRY.setdefault("StableLmEpochForCausalLM", StableLmForCausalLM)
+    _REGISTRY.setdefault("Starcoder2ForCausalLM", Starcoder2ForCausalLM)
+    _REGISTRY.setdefault("PhiForCausalLM", PhiForCausalLM)
+    _REGISTRY.setdefault("CohereForCausalLM", CohereForCausalLM)
+    _REGISTRY.setdefault("Olmo2ForCausalLM", Olmo2ForCausalLM)
+
+    from semi_pd_tpu.models.gpt2 import GPT2LMHeadModel, GPTBigCodeForCausalLM
+
+    _REGISTRY.setdefault("GPT2LMHeadModel", GPT2LMHeadModel)
+    _REGISTRY.setdefault("GPTBigCodeForCausalLM", GPTBigCodeForCausalLM)
+
     from semi_pd_tpu.models.llava import LlavaForConditionalGeneration
 
     _REGISTRY.setdefault("LlavaForConditionalGeneration", LlavaForConditionalGeneration)

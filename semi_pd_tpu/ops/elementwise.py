@@ -40,3 +40,18 @@ ACT2FN = {
     "gelu": gelu_and_mul,
     "gelu_pytorch_tanh": gelu_and_mul,
 }
+
+
+def layer_norm(x, p, eps):
+    """Standard LayerNorm; ``p`` is {"w","b"} (gpt2/stablelm/phi) or a bare
+    weight vector (cohere's bias-free LN). Same call shape as rms_norm so
+    models swap it in via the norm_fn hook."""
+    w = p["w"] if isinstance(p, dict) else p
+    b = p.get("b") if isinstance(p, dict) else None
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)

@@ -218,7 +218,10 @@ class ModelConfig:
             cfg.v_head_dim = g("v_head_dim", 128)
             cfg.head_dim = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
 
-        if arch.endswith(("EmbeddingModel", "Model")) or "Reward" in arch:
+        if (
+            arch.endswith(("EmbeddingModel", "Model", "Classification"))
+            or "Reward" in arch
+        ):
             cfg.is_embedding = True
 
         return cfg

@@ -44,6 +44,7 @@ def build_app(async_engine: AsyncEngine) -> web.Application:
         web.get("/metrics", metrics),
         web.post("/generate", generate),
         web.post("/encode", encode),
+        web.post("/classify", classify),
         web.post("/open_session", open_session),
         web.post("/close_session", close_session),
         web.post("/v1/embeddings", v1_embeddings),
@@ -155,6 +156,20 @@ async def generate(request: web.Request) -> web.StreamResponse:
     if out is None or "error" in (out or {}):
         return web.json_response({"error": (out or {}).get("error", "unknown")}, status=500)
     return web.json_response(out)
+
+
+async def classify(request: web.Request) -> web.Response:
+    """Classification / reward scores (reference http_server.py /classify —
+    same pooling path as /encode; reward models return raw scores)."""
+    ae: AsyncEngine = request.app["engine"]
+    body = await _json_body(request)
+    try:
+        scores = await ae.run_job(lambda: ae.engine.encode(
+            prompt=body.get("text"), input_ids=body.get("input_ids")
+        ))
+        return web.json_response({"scores": scores})
+    except (ValueError, AssertionError) as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
 
 
 async def encode(request: web.Request) -> web.Response:

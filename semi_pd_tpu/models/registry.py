@@ -104,6 +104,16 @@ def _ensure_populated():
     _REGISTRY.setdefault("GPT2LMHeadModel", GPT2LMHeadModel)
     _REGISTRY.setdefault("GPTBigCodeForCausalLM", GPTBigCodeForCausalLM)
 
+    from semi_pd_tpu.models.classify import (
+        Gemma2ForSequenceClassification,
+        LlamaForSequenceClassification,
+        Qwen2ForRewardModel,
+    )
+
+    _REGISTRY.setdefault("LlamaForSequenceClassification", LlamaForSequenceClassification)
+    _REGISTRY.setdefault("Gemma2ForSequenceClassification", Gemma2ForSequenceClassification)
+    _REGISTRY.setdefault("Qwen2ForRewardModel", Qwen2ForRewardModel)
+
     from semi_pd_tpu.models.llava import LlavaForConditionalGeneration
 
     _REGISTRY.setdefault("LlavaForConditionalGeneration", LlavaForConditionalGeneration)

@@ -308,6 +308,8 @@ class Engine:
 
         from semi_pd_tpu.runtime.batch import build_extend_batch
 
+        if prompt is None and input_ids is None:
+            raise ValueError("provide text or input_ids")
         single = False
         if prompt is not None and isinstance(prompt, str):
             prompt, single = [prompt], True
@@ -352,6 +354,8 @@ class Engine:
 
         from semi_pd_tpu.runtime.batch import build_extend_batch
 
+        if prompt is None and input_ids is None:
+            raise ValueError("provide text or input_ids")
         single = False
         if prompt is not None and isinstance(prompt, str):
             prompt, single = [prompt], True

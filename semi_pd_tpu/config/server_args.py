@@ -72,6 +72,9 @@ class ServerArgs:
     # skew beyond it drops assignments (GShard-style). Raise toward ep_size
     # for exactness at the cost of redundant compute per rank.
     ep_capacity_factor: float = 2.0
+    # Grammar jump-forward: emit forced tokens without model forwards
+    # (reference: outlines jump-forward). Disable to force one-step decoding.
+    disable_jump_forward: bool = False
     nnodes: int = 1
     node_rank: int = 0
 

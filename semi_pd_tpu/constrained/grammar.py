@@ -88,6 +88,26 @@ class GrammarMatcher:
     def is_terminated(self) -> bool:
         return self.finished or self.state in self.tdfa.dfa.accepts
 
+    def jump_forward_tokens(self, limit: int = 64) -> list:
+        """Chain of FORCED tokens from the current state: while exactly one
+        token is grammatically allowed, it can be emitted without a model
+        forward (reference: outlines jump-forward, base_grammar_backend.py
+        try_jump_forward). Pure lookahead — does not advance this matcher."""
+        out = []
+        state, finished = self.state, self.finished
+        while not finished and len(out) < limit:
+            mask, nxt = self.tdfa.state_table(state)
+            allowed = np.flatnonzero(mask)
+            if len(allowed) != 1:
+                break
+            tid = int(allowed[0])
+            out.append(tid)
+            if tid in self.tdfa.eos_ids:
+                finished = True
+            else:
+                state = int(nxt[tid])
+        return out
+
 
 class GrammarCompiler:
     """Tokenizer-bound compiler with caching (reference: backend cache in

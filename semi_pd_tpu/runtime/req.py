@@ -48,6 +48,9 @@ class Req:  # batch membership by object, and dicts key on rid
 
     # Prefill progress (chunked prefill; reference: extend_input_len etc.)
     prefilled_len: int = 0  # prompt tokens whose KV is already in the pool
+    # Output tokens emitted WITHOUT a model forward (grammar jump-forward);
+    # their KV is owed and back-filled by an extend before the next decode.
+    kv_debt: int = 0
     cached_tokens: int = 0  # prefix tokens reused from the radix cache
 
     # Lifecycle
@@ -109,7 +112,7 @@ class Req:  # batch membership by object, and dicts key on rid
         """Tokens whose KV currently sits in the pool. The most recently
         sampled token's KV is written by the *next* decode step (its embedding
         is that step's input), hence the -1."""
-        return self.prefilled_len + max(0, len(self.output_ids) - 1)
+        return self.prefilled_len + max(0, len(self.output_ids) - 1) - self.kv_debt
 
     @property
     def prefill_remaining(self) -> int:
@@ -161,6 +164,7 @@ class Req:  # batch membership by object, and dicts key on rid
         self.surr_offset = 0
         self.read_offset = 0
         self.prefilled_len = 0
+        self.kv_debt = 0
         self.spec_hidden = None
         self.pages = []
         self.n_prefix_pages = 0

@@ -127,6 +127,11 @@ class Scheduler:
         self._last_stats_log = time.monotonic()
         self.n_finished = 0
         self.n_retracted = 0
+        self.n_jump_tokens = 0
+        # Reqs that emitted grammar-forced tokens without forwards; folded
+        # into a KV back-fill extend at the top of the next tick (after the
+        # engine has detokenized the produced pairs).
+        self._refill_parked: List[Req] = []
         self.n_cached_prefix_tokens = 0
         self.n_prefill_tokens = 0
         self.n_decode_tokens = 0
@@ -151,9 +156,15 @@ class Scheduler:
             self.waiting.remove(req)
             if req.pages or req.req_slot is not None:
                 self._release_finished(req)
+        elif req in self._refill_parked:
+            self._refill_parked.remove(req)
+            self._release_finished(req)
 
     def has_work(self) -> bool:
-        return bool(self.waiting or self.running or self._pending is not None)
+        return bool(
+            self.waiting or self.running or self._pending is not None
+            or self._refill_parked
+        )
 
     def finish_stream_req(self, req: Req) -> None:
         """Release a request finished by a host-side condition (stop string
@@ -180,6 +191,7 @@ class Scheduler:
                 self.n_cached_prefix_tokens, self.n_retracted,
             )
             self._last_stats_log = now
+        self._fold_refill_parked()
         if self.args.enable_semi_pd:
             return self._tick_semi_pd()
         return self._tick_colocated()
@@ -449,6 +461,7 @@ class Scheduler:
                 else:
                     self.running.append(req)
                 out.append((req, tok))
+                self._maybe_jump_forward(req, out)
             else:
                 # Mid-chunk: back to the head of the queue for the next chunk
                 # (keeps its slot/pages; reference add_chunked_req).
@@ -690,6 +703,8 @@ class Scheduler:
                 if req in self.running:
                     self.running.remove(req)
                 self._release_finished(req)
+            else:
+                self._maybe_jump_forward(req, out)
         return out
 
     def _prepare_decode_pages(self, lag: int = 0, allow_retract: bool = True) -> bool:
@@ -753,6 +768,58 @@ class Scheduler:
         req.n_prefix_pages = 0
         req.req_slot = None
         req.last_node = None
+
+    def _maybe_jump_forward(self, req: Req, out: list) -> None:
+        """After a sampled token advanced the grammar, emit any forced-token
+        chain without model forwards (reference: outlines jump-forward,
+        srt/constrained/base_grammar_backend.py:187). The req is parked; its
+        KV debt is back-filled by an extend before it decodes again."""
+        if (
+            self.args.disable_jump_forward
+            or req.grammar is None
+            or req.grammar.finished
+            or req.finished
+        ):
+            return
+        jf = req.grammar.jump_forward_tokens()
+        if len(jf) < 2:
+            return
+        for tok in jf:
+            req.output_ids.append(tok)
+            req.kv_debt += 1
+            req.grammar.accept_token(tok)
+            self.n_jump_tokens += 1
+            out.append((req, tok))
+            req.check_finished()
+            if req.finished:
+                break
+        if req in self.running:
+            self.running.remove(req)
+        self._refill_parked.append(req)
+
+    def _fold_refill_parked(self) -> None:
+        """Move jump-forward reqs to the waiting queue as partial-prefill
+        requests: generated tokens fold into the input (like retraction) but
+        memory and valid KV are kept; only the debt tokens get prefilled."""
+        if not self._refill_parked:
+            return
+        for req in self._refill_parked:
+            if req.finished:
+                # finished during the jump (EOS/length/stop-string): release
+                # with kv_len already debt-adjusted for the radix insert
+                self._release_finished(req)
+                continue
+            kv_valid = req.kv_len
+            req.input_ids = req.all_token_ids()
+            req.n_retracted_output += len(req.output_ids)
+            req.output_ids = []
+            req.surr_offset = 0
+            req.read_offset = 0
+            req.prefilled_len = kv_valid
+            req.kv_debt = 0
+            req.spec_hidden = None
+            self.waiting.appendleft(req)
+        self._refill_parked = []
 
     def _release_finished(self, req: Req) -> None:
         """Finished: re-insert KV into the prefix cache, release the rest

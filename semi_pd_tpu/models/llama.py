@@ -353,7 +353,10 @@ class LlamaForCausalLM:
             q = self.norm_fn(q, lp["q_norm"], c.rms_norm_eps)
             k = self.norm_fn(k, lp["k_norm"], c.rms_norm_eps)
         if not self.no_rope:
-            q, k = self.rope(fb.q_pos, q, k)
+            pos = fb.q_pos
+            if getattr(self, "uses_mrope", False) and fb.mrope_pos is not None:
+                pos = fb.mrope_pos
+            q, k = self.rope(pos, q, k)
 
         attn_out, kv_cache = paged_attention(
             q, k, v, kv_cache, layer_idx, fb,

@@ -117,3 +117,7 @@ def _ensure_populated():
     from semi_pd_tpu.models.llava import LlavaForConditionalGeneration
 
     _REGISTRY.setdefault("LlavaForConditionalGeneration", LlavaForConditionalGeneration)
+
+    from semi_pd_tpu.models.qwen2_vl import Qwen2VLForConditionalGeneration
+
+    _REGISTRY.setdefault("Qwen2VLForConditionalGeneration", Qwen2VLForConditionalGeneration)

@@ -151,3 +151,32 @@ def _apply_rope(x, cos, sin, rotary_dim: int, neox: bool):
     if rest.shape[-1]:
         out = jnp.concatenate([out, rest.astype(dtype)], axis=-1)
     return out
+
+
+class MRotaryEmbedding(RotaryEmbedding):
+    """Multimodal 3D rope (Qwen2-VL; reference: srt/layers/rotary_embedding.py
+    MRotaryEmbedding). Frequency channels are split by ``mrope_section``
+    [t, h, w] (halves summing to rotary_dim/2); each section reads its cos/sin
+    rows from the matching position component. Text tokens carry equal
+    (t,h,w) positions, so plain-text behavior reduces to 1D rope."""
+
+    def __init__(self, *args, mrope_section=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        assert mrope_section is not None and sum(mrope_section) == self.rotary_dim // 2
+        self.mrope_section = list(mrope_section)
+
+    def __call__(self, positions: jax.Array, q: jax.Array, k: jax.Array):
+        """positions: [T, 3] (or [T] → broadcast to all components)."""
+        if positions.ndim == 1:
+            positions = jnp.broadcast_to(positions[:, None], (*positions.shape, 3))
+        cos3 = self.cos[positions]  # [T, 3, rot/2]
+        sin3 = self.sin[positions]
+        idx = []
+        for s, n in enumerate(self.mrope_section):
+            idx.extend([s] * n)
+        sel = jnp.asarray(idx, jnp.int32)  # [rot/2] component per channel
+        cos = jnp.take_along_axis(cos3, sel[None, None, :], axis=1)[:, 0][:, None, :]
+        sin = jnp.take_along_axis(sin3, sel[None, None, :], axis=1)[:, 0][:, None, :]
+        q = _apply_rope(q, cos, sin, self.rotary_dim, self.is_neox_style)
+        k = _apply_rope(k, cos, sin, self.rotary_dim, self.is_neox_style)
+        return q, k

@@ -59,6 +59,7 @@ class HostBatch:
     lora_idx: np.ndarray = None
     embed_override: np.ndarray = None
     embed_mask: np.ndarray = None
+    mrope_pos: np.ndarray = None
 
     def to_device(self, rng_key) -> ForwardArrays:
         if self.mode == ForwardMode.DECODE:
@@ -85,6 +86,10 @@ class HostBatch:
             embed_override=(
                 jnp.asarray(self.embed_override)
                 if self.embed_override is not None else None
+            ),
+            mrope_pos=(
+                jnp.asarray(self.mrope_pos)
+                if self.mrope_pos is not None else None
             ),
             embed_mask=(
                 jnp.asarray(self.embed_mask)
@@ -161,10 +166,22 @@ def build_extend_batch(
         embed_override = np.zeros((T, H), np.float32)
         embed_mask = np.zeros(T, bool)
 
+    mrope = None
+    if any(getattr(r, "mrope_pos", None) is not None for r in reqs):
+        mrope = np.zeros((T, 3), np.int32)
+
     t = 0
     for i, (r, n) in enumerate(admitted):
         if lora_idx is not None:
             lora_idx[t : t + n] = r.lora_id
+        if mrope is not None:
+            mp = getattr(r, "mrope_pos", None)
+            for j in range(n):
+                pos = r.prefilled_len + j
+                if mp is not None and pos < len(mp):
+                    mrope[t + j] = mp[pos]
+                else:
+                    mrope[t + j] = pos + getattr(r, "mrope_delta", 0)
         if embed_override is not None and getattr(r, "mm_embeds", None) is not None:
             # rows of this chunk covering prompt positions [start, start+n)
             for j in range(n):
@@ -193,7 +210,8 @@ def build_extend_batch(
         page_table=_page_table_block(reqs, B, maxP, page_table_host),
         kv_lens=kv_lens, logits_idx=logits_idx,
         sampling=_sampling_arrays(reqs, B), T=T, B=B, maxP=maxP,
-        lora_idx=lora_idx, embed_override=embed_override, embed_mask=embed_mask,
+        lora_idx=lora_idx, mrope_pos=mrope, embed_override=embed_override,
+        embed_mask=embed_mask,
     )
     return hb
 
@@ -229,10 +247,16 @@ def build_decode_batch(
     if any(getattr(r, "lora_id", 0) for r in reqs):
         lora_idx = np.zeros(T, np.int32)
 
+    mrope = None
+    if any(getattr(r, "mrope_pos", None) is not None for r in reqs):
+        mrope = np.zeros((T, 3), np.int32)
+
     for i, r in enumerate(reqs):
         if lora_idx is not None:
             lora_idx[i] = r.lora_id
         pos = r.kv_len + lag  # writing token at this index (0-based)
+        if mrope is not None:
+            mrope[i] = pos + getattr(r, "mrope_delta", 0)
         if lag == 0:
             input_ids[i] = r.output_ids[-1] if r.output_ids else r.input_ids[-1]
         q_req_idx[i] = i
@@ -247,7 +271,7 @@ def build_decode_batch(
         page_table=_page_table_block(reqs, B, maxP, page_table_host),
         kv_lens=kv_lens, logits_idx=logits_idx,
         sampling=_sampling_arrays(reqs, B), T=T, B=B, maxP=maxP,
-        lora_idx=lora_idx,
+        lora_idx=lora_idx, mrope_pos=mrope,
     )
 
 

@@ -128,7 +128,7 @@ class Engine:
             assert prompt is not None and self.tokenizer is not None
             input_ids = self.tokenizer.encode(prompt)
         if image_data is not None:
-            input_ids = self._expand_image_tokens(list(input_ids))
+            input_ids = self._expand_image_tokens(list(input_ids), image_data)
         req = Req(
             rid=rid or uuid.uuid4().hex,
             input_ids=list(input_ids),
@@ -154,17 +154,38 @@ class Engine:
                 req.grammar = gc.matcher("ebnf", sp.ebnf)
         return req
 
-    def _expand_image_tokens(self, ids):
+    def _expand_image_tokens(self, ids, image_data=None):
         """Replace each <image> placeholder with n_patches copies so the
         prompt length matches the spliced embeddings (reference
-        multi_modality_padding.py pad_input_ids)."""
+        multi_modality_padding.py pad_input_ids). Variable-resolution models
+        (qwen2-vl) size each expansion from its image's patch grid."""
         model = self.runner.model
         tok_id = model.image_token_index
+        if hasattr(model, "patchify") and image_data is not None:
+            imgs = image_data if isinstance(image_data, list) else [image_data]
+            grids = [self._qwen_vl_patches(i)[1] for i in imgs]
+            out, k = [], 0
+            for t in ids:
+                if t == tok_id and k < len(grids):
+                    out.extend([tok_id] * model.n_image_tokens_for(grids[k]))
+                    k += 1
+                else:
+                    out.append(t)
+            return out
         n = model.n_image_tokens
         out = []
         for t in ids:
             out.extend([tok_id] * n if t == tok_id else [t])
         return out
+
+    def _qwen_vl_patches(self, item):
+        """Image -> (flattened patches, grid) for grid-based VLMs. Dicts from
+        the HF processor pass through; raw arrays are patchified."""
+        if isinstance(item, dict):
+            grid = tuple(int(x) for x in np.asarray(item["image_grid_thw"]).reshape(-1)[:3])
+            return np.asarray(item["pixel_values"], np.float32), grid
+        arr = self._load_image(item)
+        return self.runner.model.patchify(np.asarray(arr, np.float32))
 
     def _load_image(self, item):
         """base64 string / bytes / PIL image / raw [3, H, W] array ->
@@ -195,9 +216,23 @@ class Engine:
         if not getattr(model, "is_multimodal", False):
             raise ValueError("model is not multimodal")
         imgs = image_data if isinstance(image_data, list) else [image_data]
-        px = np.stack([self._load_image(i) for i in imgs])
-        embeds = self.runner.encode_images(px)  # [N, n_patches, H]
-        flat = embeds.reshape(-1, embeds.shape[-1])
+        if hasattr(model, "patchify"):
+            feats = []
+            grids = []
+            for i in imgs:
+                patches, grid = self._qwen_vl_patches(i)
+                grids.append(grid)
+                feats.append(np.asarray(model.encode_images(
+                    self.runner.params, patches, grid
+                )))
+            flat = np.concatenate(feats, axis=0)
+            req.mrope_pos, req.mrope_delta = model.get_mrope_positions(
+                req.input_ids, grids
+            )
+        else:
+            px = np.stack([self._load_image(i) for i in imgs])
+            embeds = self.runner.encode_images(px)  # [N, n_patches, H]
+            flat = embeds.reshape(-1, embeds.shape[-1])
         tok_id = model.image_token_index
         positions = {}
         k = 0

@@ -57,6 +57,8 @@ class ForwardArrays(NamedTuple):
     # multi_modality_padding)
     embed_override: Optional[jax.Array] = None  # [T, H]
     embed_mask: Optional[jax.Array] = None  # [T] bool
+    # Qwen2-VL m-rope: per-token (t, h, w) positions; None for 1D-rope models
+    mrope_pos: Optional[jax.Array] = None  # [T, 3] i32
 
 
 def build_attn_meta(q_lens_np: np.ndarray, kv_lens_np: np.ndarray, T: int) -> AttnMeta:

@@ -51,6 +51,10 @@ class Req:  # batch membership by object, and dicts key on rid
     # Output tokens emitted WITHOUT a model forward (grammar jump-forward);
     # their KV is owed and back-filled by an extend before the next decode.
     kv_debt: int = 0
+    # Qwen2-VL m-rope: [prompt_len, 3] positions for the prompt and the
+    # scalar offset for positions past it (HF rope_deltas convention)
+    mrope_pos: Any = None
+    mrope_delta: int = 0
     cached_tokens: int = 0  # prefix tokens reused from the radix cache
 
     # Lifecycle

@@ -181,9 +181,25 @@ class ModelConfig:
             "max_position_embeddings", 4096
         )
 
-        # GPT-BigCode multi-query attention: one shared KV head.
-        if arch == "GPTBigCodeForCausalLM" and g("multi_query", True):
+        # GPT-BigCode / Falcon multi-query attention: one shared KV head.
+        if arch in ("GPTBigCodeForCausalLM", "FalconForCausalLM") and g(
+            "multi_query", True
+        ):
             cfg.num_key_value_heads = 1
+        if arch == "FalconForCausalLM":
+            cfg.hidden_act = "gelu"
+
+        # DBRX nests attention/ffn settings in sub-configs.
+        if arch == "DbrxForCausalLM":
+            ac, fc = hf_config.attn_config, hf_config.ffn_config
+            cfg.num_key_value_heads = ac.kv_n_heads
+            cfg.rope_theta = ac.rope_theta
+            cfg.num_experts = fc.moe_num_experts
+            cfg.num_experts_per_tok = fc.moe_top_k
+            cfg.moe_intermediate_size = fc.ffn_hidden_size
+            cfg.norm_topk_prob = True
+            cfg.tie_word_embeddings = False
+            cfg.rms_norm_eps = 1e-5  # nn.LayerNorm default
 
         # Qwen2 puts bias on qkv but not o/mlp.
         if arch.startswith(("Qwen2", "Qwen")) and "Moe" not in arch:

@@ -157,11 +157,20 @@ def load_params(
                     rpath = rpath.replace("{%s}" % key, gd[key])
             if transform not in _TRANSFORMS:
                 # Model-specific postprocess (e.g. deepseek kv_b -> absorbed
-                # w_uk/w_uv split) returns {leaf_name: array} under rpath.
+                # w_uk/w_uv split, dbrx fused experts). Returns
+                # {leaf: array} or {leaf: (array, start, size)} (last-dim
+                # slice) under rpath; stacked {L}/{E} dims index as usual.
                 pieces = model.postprocess_weight(transform, _to_numpy(tensor))
-                dest = _get_path(host, rpath)
-                for leaf, a in pieces.items():
-                    dest[leaf][...] = a.astype(dest[leaf].dtype)
+                for leaf, val in pieces.items():
+                    tgt = _get_path(host, f"{rpath}.{leaf}" if leaf else rpath)
+                    for key in ("L", "E"):
+                        if key in gd and ("{%s}" % key) not in path:
+                            tgt = tgt[int(gd[key])]
+                    if isinstance(val, tuple):
+                        a, start, size = val
+                        tgt[..., start : start + size] = a.astype(tgt.dtype)
+                    else:
+                        tgt[...] = val.astype(tgt.dtype)
                 matched.add(tmpl)
                 break
             arr = _TRANSFORMS[transform](_to_numpy(tensor))

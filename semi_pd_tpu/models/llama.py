@@ -82,6 +82,7 @@ class LlamaForCausalLM:
         self.pos_embed = False
         self.no_rope = False
         self.lm_head_bias = False
+        self.qkv_clip = None  # olmo/dbrx clip_qkv
         # Set by the runner before tracing (static under jit): property of the
         # memory pool, not the checkpoint.
         self.page_size = 16
@@ -338,6 +339,8 @@ class LlamaForCausalLM:
         li = fb.lora_idx
 
         qkv = apply_linear(lp["qkv_proj"], attn_in)
+        if self.qkv_clip is not None:
+            qkv = jnp.clip(qkv, -self.qkv_clip, self.qkv_clip)
         if lora is not None and li is not None:
             from semi_pd_tpu.ops.moe import grouped_apply
 

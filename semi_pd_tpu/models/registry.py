@@ -114,6 +114,17 @@ def _ensure_populated():
     _REGISTRY.setdefault("Gemma2ForSequenceClassification", Gemma2ForSequenceClassification)
     _REGISTRY.setdefault("Qwen2ForRewardModel", Qwen2ForRewardModel)
 
+    from semi_pd_tpu.models.olmo_falcon_dbrx import (
+        DbrxForCausalLM,
+        FalconForCausalLM,
+        OlmoForCausalLM,
+    )
+
+    _REGISTRY.setdefault("OlmoForCausalLM", OlmoForCausalLM)
+    _REGISTRY.setdefault("FalconForCausalLM", FalconForCausalLM)
+    _REGISTRY.setdefault("RWForCausalLM", FalconForCausalLM)
+    _REGISTRY.setdefault("DbrxForCausalLM", DbrxForCausalLM)
+
     from semi_pd_tpu.models.llava import LlavaForConditionalGeneration
 
     _REGISTRY.setdefault("LlavaForConditionalGeneration", LlavaForConditionalGeneration)

@@ -75,6 +75,8 @@ class ServerArgs:
     # Grammar jump-forward: emit forced tokens without model forwards
     # (reference: outlines jump-forward). Disable to force one-step decoding.
     disable_jump_forward: bool = False
+    # Skip the post-launch warmup generation (reference srt/warmup.py)
+    skip_server_warmup: bool = False
     nnodes: int = 1
     node_rank: int = 0
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import asyncio
 import logging
 import sys
+import time
 
 from aiohttp import web
 
@@ -32,6 +33,19 @@ def main(argv=None):
     )
     mesh = create_mesh(tp_size=args.tp_size, dp_size=args.dp_size)
     engine = Engine(server_args=args, mesh=mesh)
+    if not args.skip_server_warmup:
+        # one tiny generation compiles the dominant (T, B) buckets before the
+        # first real request hits (reference srt/warmup.py + generate_warmup)
+        from semi_pd_tpu.sampling.sampling_params import SamplingParams
+
+        t0 = time.monotonic()
+        engine.generate(
+            input_ids=[[1, 2, 3, 4, 5, 6, 7, 8]],
+            sampling_params=SamplingParams(
+                max_new_tokens=4, temperature=0.0, ignore_eos=True
+            ),
+        )
+        logger.info("warmup generation done in %.1fs", time.monotonic() - t0)
     async_engine = AsyncEngine(engine)
 
     async def _serve():

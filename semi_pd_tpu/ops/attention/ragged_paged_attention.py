@@ -275,6 +275,172 @@ def _rpa_kernel(
         cp.wait()
 
 
+
+
+def _rpa_kernel_merged(
+    # scalar prefetch (same 9 as _rpa_kernel)
+    layer_ref, num_slots_ref, page_table_ref, kv_lens_ref, q_lens_ref,
+    q_start_ref, block_seq_ref, block_row_ref, block_qofs_ref,
+    # HBM refs — CHUNKED head-dim layouts: q [Tpad, Hq*D/128, 128],
+    # kv [L*2*S, Hkv*D/128, 128], out like q. Rank-3 keeps dim 0 untiled
+    # (arbitrary dynamic row offsets OK) while the minor dims are exactly
+    # one lane tile.
+    q_hbm, kv_hbm, out_hbm,
+    # scratch
+    q_buf, k_buf, v_buf, o_buf, m_scr, l_scr, acc_scr, q_sem, kv_sems, o_sem,
+    *, page_size, QBLK, KVBLK, scale, logit_cap, sliding_window, ncomp,
+    D, Hq, Hkv,
+):
+    """Variant of _rpa_kernel for head dims that are not lane-tile multiples
+    (e.g. D=64). Mosaic rejects dynamically-offset slices of [*, H, D<128]
+    refs ("slice shape along dimension 2 must be aligned to tiling") and of
+    2D [rows, H*D] refs (sublane rows need 8-aligned offsets), so all HBM
+    views are reshaped to [rows, H*D/128, 128]: dim 0 untiled, minor dims one
+    full lane tile. Head hq lives at chunk (hq*D)//128, lane offset
+    (hq*D)%128 — static slices in VMEM. Per-(kv-head, group) flash updates
+    run over QBLK rows instead of the packed QBLK*G rows of the aligned
+    kernel. Requires 128 % D == 0."""
+    i = pl.program_id(0)
+    ki = pl.program_id(1)
+
+    ppb = KVBLK // page_size
+    layer = layer_ref[0]
+    S = num_slots_ref[0]
+    k_base = (layer * ncomp + 0) * S
+    v_base = (layer * ncomp + 1) * S
+    b = block_seq_ref[i]
+    bsafe = jnp.maximum(b, 0)
+    row0 = block_row_ref[i]
+    qofs = block_qofs_ref[i]
+    kv_len = kv_lens_ref[bsafe]
+    q_len = q_lens_ref[bsafe]
+    q_start = q_start_ref[bsafe]
+
+    n_rows = jnp.minimum(q_len - qofs, QBLK)
+    q_abs_lo = q_start + qofs
+    q_abs_hi = q_abs_lo + n_rows - 1
+    kv_blk_start = ki * KVBLK
+
+    block_valid = b >= 0
+    seq_active = block_valid & (kv_blk_start < kv_len)
+    causal_active = kv_blk_start <= q_abs_hi
+    first_ki = jnp.zeros((), jnp.int32)
+    if sliding_window is not None and sliding_window > 0:
+        causal_active &= (kv_blk_start + KVBLK) > (q_abs_lo - sliding_window)
+        first_ki = jnp.maximum(q_abs_lo - sliding_window + 1, 0) // KVBLK
+    active = seq_active & causal_active
+
+    last_kv = jnp.minimum(kv_len, q_abs_hi + 1)
+    last_ki = jnp.maximum((last_kv + KVBLK - 1) // KVBLK - 1, 0)
+
+    def start_kv_dma(slot, block_idx):
+        for p in range(ppb):
+            page = page_table_ref[bsafe, block_idx * ppb + p]
+            dst = pl.ds(p * page_size, page_size)
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(k_base + page * page_size, page_size)],
+                k_buf.at[slot, dst], kv_sems.at[slot, 0],
+            ).start()
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(v_base + page * page_size, page_size)],
+                v_buf.at[slot, dst], kv_sems.at[slot, 1],
+            ).start()
+
+    def wait_kv_dma(slot):
+        for p in range(ppb):
+            dst = pl.ds(p * page_size, page_size)
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(0, page_size)], k_buf.at[slot, dst],
+                kv_sems.at[slot, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(0, page_size)], v_buf.at[slot, dst],
+                kv_sems.at[slot, 1],
+            ).wait()
+
+    slot = jax.lax.rem(ki, 2)
+
+    @pl.when(active & (ki == first_ki))
+    def _():
+        pltpu.make_async_copy(q_hbm.at[pl.ds(row0, QBLK)], q_buf, q_sem).start()
+        start_kv_dma(slot, ki)
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        pltpu.make_async_copy(q_hbm.at[pl.ds(row0, QBLK)], q_buf, q_sem).wait()
+
+    @pl.when(active)
+    def _():
+        @pl.when(ki < last_ki)
+        def _():
+            start_kv_dma(1 - slot, ki + 1)
+
+        wait_kv_dma(slot)
+
+        G = Hq // Hkv
+        q = q_buf[...].astype(jnp.float32)  # [QBLK, Hq*D/128, 128]
+        k = k_buf[slot].astype(jnp.float32)  # [KVBLK, Hkv*D/128, 128]
+        v = v_buf[slot].astype(jnp.float32)
+
+        def head(x, h):  # static chunk/lane slice -> [rows, D]
+            c, o = (h * D) // 128, (h * D) % 128
+            return x[:, c, o : o + D]
+
+        kv_pos = kv_blk_start + jax.lax.broadcasted_iota(jnp.int32, (QBLK, KVBLK), 1)
+        q_local = jax.lax.broadcasted_iota(jnp.int32, (QBLK, KVBLK), 0)
+        q_abs = q_abs_lo + q_local
+        valid = (kv_pos <= q_abs) & (kv_pos < kv_len) & (q_local < n_rows)
+        if sliding_window is not None and sliding_window > 0:
+            valid &= kv_pos > (q_abs - sliding_window)
+
+        for h in range(Hkv):
+            k_h = head(k, h)  # [KVBLK, D]
+            v_h = head(v, h)
+            for g in range(G):
+                hq = h * G + g
+                q_h = head(q, hq)  # [QBLK, D]
+                s = jax.lax.dot_general(
+                    q_h, k_h,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale  # [QBLK, KVBLK]
+                if logit_cap:
+                    s = logit_cap * jnp.tanh(s / logit_cap)
+                s = jnp.where(valid, s, NEG_INF)
+
+                m_old = m_scr[hq, :][:, None]
+                l_old = l_scr[hq, :][:, None]
+                m_cur = jnp.max(s, axis=1, keepdims=True)
+                m_new = jnp.maximum(m_old, m_cur)
+                p_ = jnp.exp(s - m_new)
+                corr = jnp.exp(m_old - m_new)
+                l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p_, v_h,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [QBLK, D]
+                # acc scratch is [QBLK, Hq, 128]: heads on the MID dim and a
+                # lane-padded minor — Mosaic supports mid-index + lane-slice
+                # ref access but not leading-index + lane-slice.
+                acc_scr[:, hq, 0:D] = acc_scr[:, hq, 0:D] * corr + pv
+                m_scr[hq, :] = m_new[:, 0]
+                l_scr[hq, :] = l_new[:, 0]
+
+    @pl.when(seq_active & (ki == last_ki))
+    def _():
+        l = l_scr[...]  # [Hq, QBLK]
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
+        for hq in range(Hq):
+            c, o = (hq * D) // 128, (hq * D) % 128
+            o_buf[:, c, o : o + D] = (
+                acc_scr[:, hq, 0:D] / l_safe[hq][:, None]
+            ).astype(o_buf.dtype)
+        cp = pltpu.make_async_copy(o_buf, out_hbm.at[pl.ds(row0, QBLK)], o_sem)
+        cp.start()
+        cp.wait()
+
+
 def ragged_paged_attention(
     q: jax.Array,  # [T, Hq, D] flat ragged
     kv_cache: jax.Array,  # [L, 2, S, Hkv, D] combined pool
@@ -291,6 +457,7 @@ def ragged_paged_attention(
     q_block: Optional[int] = None,
     kv_block: int = 256,
     interpret: bool = False,
+    force_merged: bool = False,
 ) -> jax.Array:
     T, Hq, D = q.shape
     B, maxP = page_table.shape
@@ -316,6 +483,23 @@ def ragged_paged_attention(
     NQB = meta.block_seq.shape[0]
     G = Hq // Hkv
     QG = QBLK * G
+
+    # Mosaic rejects dynamically-offset slices of refs whose minor dim is
+    # not a lane-tile multiple; route D % 128 != 0 through the merged-lane
+    # kernel (heads folded into the lane dim). Interpret mode (CPU tests)
+    # has no such constraint — only rerouted when forced.
+    if force_merged or (D % 128 != 0 and v_dim is None and not interpret):
+        if 128 % D or (Hkv * D) % 128 or (Hq * D) % 128:
+            raise ValueError(
+                f"head layout Hq={Hq} Hkv={Hkv} D={D} not expressible on "
+                "TPU lanes; use the reference attention backend"
+            )
+        return _ragged_paged_attention_merged(
+            q, kv_cache, layer_idx, page_table, kv_lens, meta,
+            page_size=page_size, scale=scale, logit_cap=logit_cap,
+            sliding_window=sliding_window, q_block=QBLK, kv_block=kv_block,
+            interpret=interpret,
+        )
 
     # q rows DMA may overrun by QBLK-1 rows: pad the flat token dim.
     q_in = jnp.pad(q, ((0, QBLK), (0, 0), (0, 0)))
@@ -383,3 +567,98 @@ def ragged_paged_attention(
         kv_flat,
     )
     return out[:T]
+
+
+def _ragged_paged_attention_merged(
+    q, kv_cache, layer_idx, page_table, kv_lens, meta, *,
+    page_size, scale, logit_cap=None, sliding_window=None,
+    q_block=None, kv_block=256, interpret=False,
+):
+    """Merged-lane driver (see _rpa_kernel_merged): q/kv/out reshaped to
+    [rows, H*D/128, 128] outside the kernel (free bitcasts)."""
+    T, Hq, D = q.shape
+    B, maxP = page_table.shape
+    L, ncomp, S, Hkv, _ = kv_cache.shape
+    assert ncomp == 2
+    max_kv = maxP * page_size
+
+    is_decode = T == B
+    QBLK = q_block or (8 if is_decode else 128)
+    QBLK = min(QBLK, max(8, T))
+
+    KVBLK = min(kv_block, max(page_size, max_kv))
+    if KVBLK % page_size:
+        raise ValueError("kv_block must be a multiple of page_size")
+    if max_kv % KVBLK:
+        padP = (KVBLK - max_kv % KVBLK) // page_size
+        page_table = jnp.pad(page_table, ((0, 0), (0, padP)))
+        maxP += padP
+        max_kv += padP * page_size
+    KB = max_kv // KVBLK
+    NQB = meta.block_seq.shape[0]
+
+    CQ = Hq * D // 128
+    CK = Hkv * D // 128
+    q_in = jnp.pad(q.reshape(T, CQ, 128), ((0, QBLK), (0, 0), (0, 0)))
+    Tpad = q_in.shape[0]
+    kv_flat = kv_cache.reshape(L * ncomp * S, CK, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(NQB, KB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((QBLK, CQ, 128), q.dtype),
+            pltpu.VMEM((2, KVBLK, CK, 128), kv_cache.dtype),
+            pltpu.VMEM((2, KVBLK, CK, 128), kv_cache.dtype),
+            pltpu.VMEM((QBLK, CQ, 128), q.dtype),
+            pltpu.VMEM((Hq, QBLK), jnp.float32),
+            pltpu.VMEM((Hq, QBLK), jnp.float32),
+            pltpu.VMEM((QBLK, Hq, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    kernel = functools.partial(
+        _rpa_kernel_merged,
+        page_size=page_size,
+        QBLK=QBLK,
+        KVBLK=KVBLK,
+        scale=scale,
+        logit_cap=logit_cap,
+        sliding_window=sliding_window,
+        ncomp=ncomp,
+        D=D,
+        Hq=Hq,
+        Hkv=Hkv,
+    )
+
+    layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tpad, CQ, 128), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        layer_arr,
+        jnp.asarray([S], jnp.int32),
+        page_table,
+        kv_lens,
+        meta.q_lens,
+        meta.q_start,
+        meta.block_seq,
+        meta.block_row,
+        meta.block_qofs,
+        q_in,
+        kv_flat,
+    )
+    return out[:T].reshape(T, Hq, D)

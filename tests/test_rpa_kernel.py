@@ -78,6 +78,7 @@ def _compare(rng, B, q_lens, kv_lens, pad_T=None, pad_B=None, **kw):
     out = ragged_paged_attention(
         q, kvc, layer, pt, kvl, meta, page_size=ps, scale=scale,
         logit_cap=cap, sliding_window=sw, interpret=True,
+        force_merged=kw.get("force_merged", False),
     )
     np.testing.assert_allclose(
         np.asarray(out)[:T], np.asarray(ref)[:T], rtol=2e-5, atol=2e-5
@@ -121,3 +122,17 @@ def test_logit_cap_and_window():
 def test_page_size_16():
     rng = np.random.default_rng(6)
     _compare(rng, B=2, q_lens=[1, 33], kv_lens=[77, 33], page_size=16)
+
+
+def test_merged_kernel_matches_reference():
+    """The merged-lane variant (D % 128 != 0 path on real TPUs) must agree
+    with the reference backend; exercised in interpret mode with D=64."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    for q_lens, kv_lens, hq, hkv in [
+        ([20, 5, 9], [33, 5, 12], 4, 2),   # extend, GQA
+        ([1, 1, 1, 1], [17, 3, 9, 30], 8, 2),  # decode
+        ([16, 16], [16, 40], 2, 2),        # MHA
+    ]:
+        _compare(rng, B=len(q_lens), q_lens=q_lens, kv_lens=kv_lens,
+                 Hq=hq, Hkv=hkv, D=64, force_merged=True)

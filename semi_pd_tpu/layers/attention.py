@@ -92,6 +92,16 @@ def paged_attention_mla(
     """MLA (absorbed) attention over the compressed latent pool (reference
     DeepseekV2AttentionMLA.forward_absorb deepseek_v2.py:633 +
     MLATokenToKVPool memory_pool.py:379). Returns ([T, Hq, v_dim], cache')."""
+    # The pool's latent dim may be lane-padded to a 128 multiple (576 -> 640
+    # for deepseek; Mosaic requires tile-aligned minor dims — see
+    # model_runner kv sizing). Pad the step's q/latent to match; padded
+    # lanes are zero on both sides so scores are unchanged, and V is the
+    # [:v_dim] prefix either way.
+    Dpool = kv_cache.shape[-1]
+    Dlat = q.shape[-1]
+    if Dpool != Dlat:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Dpool - Dlat)))
+        latent_new = jnp.pad(latent_new, ((0, 0), (0, Dpool - Dlat)))
     kv_cache = kv_cache.at[layer_idx, 0, fb.out_slots, 0].set(
         latent_new.astype(kv_cache.dtype)
     )

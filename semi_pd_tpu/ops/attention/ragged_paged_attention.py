@@ -211,14 +211,19 @@ def _rpa_kernel(
         wait_kv_dma(slot)
 
         QBLK_, Hq, D = q_buf.shape
-        Hkv = k_buf.shape[2]
+        if v_dim is None:
+            Hkv = k_buf.shape[2]
+        else:
+            Hkv = 1  # MLA: single latent "head", kv chunked [KVBLK, C, 128]
         G = Hq // Hkv
         QG = QBLK_ * G
 
         q = q_buf[...].astype(jnp.float32)  # [QBLK, Hq, D]
-        k = k_buf[slot].astype(jnp.float32)  # [KVBLK, Hkv, D]
-        # MLA: V is the latent prefix of K (v_dim must be lane-aligned).
-        v = k[..., :v_dim] if v_dim is not None else v_buf[slot].astype(jnp.float32)
+        if v_dim is None:
+            k = k_buf[slot].astype(jnp.float32)  # [KVBLK, Hkv, D]
+            v = v_buf[slot].astype(jnp.float32)
+        else:
+            k3 = k_buf[slot].astype(jnp.float32)  # [KVBLK, 2, D/2]
 
         # Mask shared by all kv heads: [QG, KVBLK] (q rows replicated per G)
         kv_pos = kv_blk_start + jax.lax.broadcasted_iota(jnp.int32, (QG, KVBLK), 1)
@@ -232,11 +237,27 @@ def _rpa_kernel(
         # leading batch dims on both sides, which the KV layout can't give).
         for h in range(Hkv):
             q_h = q[:, h * G : (h + 1) * G, :].reshape(QG, D)
-            s = jax.lax.dot_general(
-                q_h, k[:, h, :],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale  # [QG, KVBLK]
+            if v_dim is None:
+                s = jax.lax.dot_general(
+                    q_h, k[:, h, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                # half-accumulated contraction over the padded latent dim
+                # (kv viewed as [KVBLK, 2, D/2]: dim 1 of size 2 satisfies
+                # sublane tiling, D/2 is a lane-tile multiple)
+                HALF = D // 2
+                s = jax.lax.dot_general(
+                    q_h[:, 0:HALF], k3[:, 0, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    q_h[:, HALF:], k3[:, 1, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            s = s * scale  # [QG, KVBLK]
             if logit_cap:
                 s = logit_cap * jnp.tanh(s / logit_cap)
             s = jnp.where(valid, s, NEG_INF)
@@ -248,11 +269,26 @@ def _rpa_kernel(
             p = jnp.exp(s - m_new)
             corr = jnp.exp(m_old - m_new)
             l_new = l_old * corr + jnp.sum(p, axis=1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p, v[:, h, :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [QG, Dv]
+            if v_dim is None:
+                pv = jax.lax.dot_general(
+                    p, v[:, h, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [QG, Dv]
+            else:
+                # V = latent prefix of K across the two halves
+                HALF = D // 2
+                parts = []
+                for c in range(2):
+                    lo = c * HALF
+                    hi = min(v_dim, lo + HALF)
+                    if hi > lo:
+                        parts.append(jax.lax.dot_general(
+                            p, k3[:, c, 0 : hi - lo],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ))
+                pv = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
             acc_scr[h] = acc_scr[h] * corr + pv
             m_scr[h, :] = m_new[:, 0]
             l_scr[h, :] = l_new[:, 0]
@@ -260,7 +296,9 @@ def _rpa_kernel(
     @pl.when(seq_active & (ki == last_ki))
     def _():
         QBLK_, Hq, D = q_buf.shape
-        Hkv = k_buf.shape[2]
+        # MLA k_buf is chunk-shaped [2, KVBLK, C, 128]; its dim 2 is the
+        # chunk count, not a head count.
+        Hkv = 1 if v_dim is not None else k_buf.shape[2]
         Dv = v_dim if v_dim is not None else D
         G = Hq // Hkv
         l = l_scr[...]  # [Hkv, QG]
@@ -515,9 +553,13 @@ def ragged_paged_attention(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((QBLK, Hq, D), q.dtype),
-            pltpu.VMEM((2, KVBLK, Hkv, D), kv_cache.dtype),
             pltpu.VMEM(
-                (2, KVBLK, Hkv, D) if v_dim is None else (1, 8, 1, 128),
+                (2, KVBLK, Hkv, D) if v_dim is None
+                else (2, KVBLK, 2, D // 2),
+                kv_cache.dtype,
+            ),
+            pltpu.VMEM(
+                (2, KVBLK, Hkv, D) if v_dim is None else (1, 8, 2, 128),
                 kv_cache.dtype,
             ),
             pltpu.VMEM((QBLK, Hq, Dv), q.dtype),
@@ -529,6 +571,14 @@ def ragged_paged_attention(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+
+    if v_dim is not None:
+        if v_dim % 128 or D % 256:
+            raise ValueError(
+                f"MLA latent pool dim must be a multiple of 256 with "
+                f"v_dim a multiple of 128 (got D={D}, v_dim={v_dim}); "
+                "pad the pool"
+            )
 
     kernel = functools.partial(
         _rpa_kernel,
@@ -543,7 +593,11 @@ def ragged_paged_attention(
     )
 
     layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
-    kv_flat = kv_cache.reshape(L * ncomp * S, Hkv, kv_cache.shape[-1])
+    if v_dim is None:
+        kv_flat = kv_cache.reshape(L * ncomp * S, Hkv, kv_cache.shape[-1])
+    else:
+        # MLA: latent pool viewed as [rows, 2, D/2] halves (Hkv == 1)
+        kv_flat = kv_cache.reshape(L * ncomp * S, 2, kv_cache.shape[-1] // 2)
 
     out = pl.pallas_call(
         kernel,

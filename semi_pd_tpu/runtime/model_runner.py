@@ -145,7 +145,13 @@ class ModelRunner:
             num_pages=num_pages,
             page_size=page_size,
             num_kv_heads=mc.num_kv_heads_total,
-            head_dim=mc.kv_head_dim,
+            # MLA latent dims (e.g. 576) lane-pad to an EVEN number of
+            # 128-lane chunks (576 -> 768): the kernel views the latent pool
+            # as [rows, C, 128] and bf16 sublane tiling needs C % 2 == 0.
+            # MHA head dims route through the merged kernel and stay exact.
+            head_dim=(
+                -(-mc.kv_head_dim // 256) * 256 if mc.use_mla else mc.kv_head_dim
+            ),
             dtype=kv_dtype,
             use_mla=mc.use_mla,
         )

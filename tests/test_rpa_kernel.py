@@ -136,3 +136,47 @@ def test_merged_kernel_matches_reference():
     ]:
         _compare(rng, B=len(q_lens), q_lens=q_lens, kv_lens=kv_lens,
                  Hq=hq, Hkv=hkv, D=64, force_merged=True)
+
+
+def test_mla_chunked_kernel_matches_reference():
+    """MLA (v_dim) path with the chunked latent layout: pool padded to an
+    even 128-chunk count, V = latent prefix of K."""
+    import numpy as np
+    from semi_pd_tpu.ops.attention.reference import ragged_paged_attention_reference
+
+    rng = np.random.default_rng(21)
+    Hq, D, v_dim, PS, L = 4, 256, 128, 8, 2
+    q_lens, kv_lens = [12, 3], [20, 7]
+    B = len(q_lens)
+    T = sum(q_lens)
+    n_pages = 16
+    S = n_pages * PS
+
+    kvc = jnp.asarray(rng.normal(size=(L, 1, S, 1, D)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(T, Hq, D)).astype(np.float32))
+    pt = np.zeros((B, 8), np.int32)
+    used = 1
+    for b in range(B):
+        n = -(-kv_lens[b] // PS)
+        pt[b, :n] = np.arange(used, used + n)
+        used += n
+    pt = jnp.asarray(pt)
+    qri = jnp.asarray(np.repeat(np.arange(B), q_lens), jnp.int32)
+    qp = jnp.asarray(
+        np.concatenate([np.arange(k - ql, k) for ql, k in zip(q_lens, kv_lens)]),
+        jnp.int32,
+    )
+    kvl = jnp.asarray(kv_lens, jnp.int32)
+
+    ref = ragged_paged_attention_reference(
+        q, kvc, 1, pt, qri, qp, kvl, page_size=PS, scale=0.2, v_dim=v_dim,
+    )
+    meta = build_attn_meta(np.asarray(q_lens, np.int64),
+                           np.asarray(kv_lens, np.int64), T)
+    out = ragged_paged_attention(
+        q, kvc, 1, pt, kvl, meta, page_size=PS, scale=0.2, v_dim=v_dim,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:T], np.asarray(ref)[:T], rtol=2e-5, atol=2e-5
+    )

@@ -51,6 +51,44 @@ def paged_attention(
     sliding_window: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (attn_out [T, Hq, D], kv_cache')."""
+    if kv_cache.ndim == 4:
+        # chunked combined pool [L, S, CT, 128] (KVCache.chunked): one
+        # scatter writes K and V chunks of each slot row together
+        T, Hkv, D = k_new.shape
+        val = jnp.concatenate(
+            [k_new.reshape(T, Hkv * D // 128, 128),
+             v_new.reshape(T, Hkv * D // 128, 128)], axis=1,
+        )
+        kv_cache = kv_cache.at[layer_idx, fb.out_slots].set(
+            val.astype(kv_cache.dtype)
+        )
+        if _BACKEND == "pallas":
+            from semi_pd_tpu.ops.attention.ragged_paged_attention import (
+                ragged_paged_attention_chunked,
+            )
+
+            out = ragged_paged_attention_chunked(
+                q, kv_cache, layer_idx, fb.page_table, fb.kv_lens,
+                fb.attn_meta, page_size=page_size, num_kv_heads=Hkv,
+                head_dim=D, scale=scale, logit_cap=logit_cap,
+                sliding_window=sliding_window,
+            )
+        else:
+            from semi_pd_tpu.ops.attention.reference import (
+                ragged_paged_attention_reference,
+            )
+
+            L, S, CT, _ = kv_cache.shape
+            kv5 = jnp.swapaxes(
+                kv_cache.reshape(L, S, 2, Hkv, D), 1, 2
+            )  # [L, 2, S, H, D]
+            out = ragged_paged_attention_reference(
+                q, kv5, layer_idx, fb.page_table, fb.q_req_idx,
+                fb.q_pos, fb.kv_lens, page_size=page_size, scale=scale,
+                logit_cap=logit_cap, sliding_window=sliding_window,
+            )
+        return out, kv_cache
+
     kv_new = jnp.stack([k_new, v_new], axis=0)  # [2, T, Hkv, D]
     kv_cache = kv_cache.at[layer_idx, :, fb.out_slots].set(
         jnp.swapaxes(kv_new, 0, 1).astype(kv_cache.dtype)

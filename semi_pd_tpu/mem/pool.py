@@ -123,10 +123,20 @@ class KVCacheSpec:
     head_dim: int  # kv_lora_rank + qk_rope_head_dim for MLA
     dtype: jnp.dtype = jnp.bfloat16
     use_mla: bool = False
+    # Chunked combined layout [L, S, CT, 128] (TPU fast path): K chunks then
+    # V chunks per slot row; requires (ncomp*H*D) % 128 == 0. Set by the
+    # runner when the Pallas backend benefits (head_dim not a lane-tile
+    # multiple — avoids both XLA pool padding and a per-layer relayout copy).
+    chunked: bool = False
 
     @property
     def num_slots(self) -> int:
         return self.num_pages * self.page_size
+
+    @property
+    def chunks_total(self) -> int:
+        ncomp = 1 if self.use_mla else 2
+        return ncomp * self.num_kv_heads * self.head_dim // 128
 
     def bytes_total(self) -> int:
         per = np.dtype(self.dtype).itemsize
@@ -151,10 +161,16 @@ class KVCache:
     def __init__(self, spec: KVCacheSpec, sharding=None):
         self.spec = spec
         ncomp = 1 if spec.use_mla else 2
-        shape = (
-            spec.num_layers, ncomp, spec.num_slots, spec.num_kv_heads,
-            spec.head_dim,
-        )
+        if spec.chunked:
+            assert (ncomp * spec.num_kv_heads * spec.head_dim) % 128 == 0
+            shape = (
+                spec.num_layers, spec.num_slots, spec.chunks_total, 128,
+            )
+        else:
+            shape = (
+                spec.num_layers, ncomp, spec.num_slots, spec.num_kv_heads,
+                spec.head_dim,
+            )
 
         arr = jnp.zeros(shape, dtype=spec.dtype)
         if sharding is not None:

@@ -716,3 +716,255 @@ def _ragged_paged_attention_merged(
         kv_flat,
     )
     return out[:T].reshape(T, Hq, D)
+
+
+def _rpa_kernel_chunked(
+    # scalar prefetch (same 9)
+    layer_ref, num_slots_ref, page_table_ref, kv_lens_ref, q_lens_ref,
+    q_start_ref, block_seq_ref, block_row_ref, block_qofs_ref,
+    # HBM refs: q [Tpad, Hq*D/128, 128]; kv [L*S, CT, 128] with K chunks in
+    # [0, Hkv*D/128) and V chunks in [Hkv*D/128, CT); out like q
+    q_hbm, kv_hbm, out_hbm,
+    # scratch
+    q_buf, kv_buf, o_buf, m_scr, l_scr, acc_scr, q_sem, kv_sem, o_sem,
+    *, page_size, QBLK, KVBLK, scale, logit_cap, sliding_window,
+    D, Hq, Hkv,
+):
+    """Combined-KV variant of _rpa_kernel_merged for the chunked pool layout
+    [L, S, CT, 128] (mem/pool.py): K and V of a slot share one row, so each
+    page needs ONE DMA instead of two, and the pool reshape feeding the
+    kernel is a pure bitcast (no relayout copy of the multi-GB pool, which
+    the [L, 2, S, H, D<128] layout forced — it OOMed and would have cost a
+    full pool copy per layer)."""
+    i = pl.program_id(0)
+    ki = pl.program_id(1)
+
+    ppb = KVBLK // page_size
+    layer = layer_ref[0]
+    S = num_slots_ref[0]
+    row_base = layer * S
+    b = block_seq_ref[i]
+    bsafe = jnp.maximum(b, 0)
+    row0 = block_row_ref[i]
+    qofs = block_qofs_ref[i]
+    kv_len = kv_lens_ref[bsafe]
+    q_len = q_lens_ref[bsafe]
+    q_start = q_start_ref[bsafe]
+
+    n_rows = jnp.minimum(q_len - qofs, QBLK)
+    q_abs_lo = q_start + qofs
+    q_abs_hi = q_abs_lo + n_rows - 1
+    kv_blk_start = ki * KVBLK
+
+    block_valid = b >= 0
+    seq_active = block_valid & (kv_blk_start < kv_len)
+    causal_active = kv_blk_start <= q_abs_hi
+    first_ki = jnp.zeros((), jnp.int32)
+    if sliding_window is not None and sliding_window > 0:
+        causal_active &= (kv_blk_start + KVBLK) > (q_abs_lo - sliding_window)
+        first_ki = jnp.maximum(q_abs_lo - sliding_window + 1, 0) // KVBLK
+    active = seq_active & causal_active
+
+    last_kv = jnp.minimum(kv_len, q_abs_hi + 1)
+    last_ki = jnp.maximum((last_kv + KVBLK - 1) // KVBLK - 1, 0)
+
+    def start_kv_dma(slot, block_idx):
+        for p in range(ppb):
+            page = page_table_ref[bsafe, block_idx * ppb + p]
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(row_base + page * page_size, page_size)],
+                kv_buf.at[slot, pl.ds(p * page_size, page_size)],
+                kv_sem.at[slot],
+            ).start()
+
+    def wait_kv_dma(slot):
+        for p in range(ppb):
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(0, page_size)],
+                kv_buf.at[slot, pl.ds(p * page_size, page_size)],
+                kv_sem.at[slot],
+            ).wait()
+
+    slot = jax.lax.rem(ki, 2)
+
+    @pl.when(active & (ki == first_ki))
+    def _():
+        pltpu.make_async_copy(q_hbm.at[pl.ds(row0, QBLK)], q_buf, q_sem).start()
+        start_kv_dma(slot, ki)
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        pltpu.make_async_copy(q_hbm.at[pl.ds(row0, QBLK)], q_buf, q_sem).wait()
+
+    @pl.when(active)
+    def _():
+        @pl.when(ki < last_ki)
+        def _():
+            start_kv_dma(1 - slot, ki + 1)
+
+        wait_kv_dma(slot)
+
+        G = Hq // Hkv
+        VB = (Hkv * D) // 128  # first V chunk
+        q = q_buf[...].astype(jnp.float32)  # [QBLK, Hq*D/128, 128]
+        kv = kv_buf[slot].astype(jnp.float32)  # [KVBLK, CT, 128]
+
+        def head(x, h, base=0):
+            c, o = base + (h * D) // 128, (h * D) % 128
+            return x[:, c, o : o + D]
+
+        kv_pos = kv_blk_start + jax.lax.broadcasted_iota(jnp.int32, (QBLK, KVBLK), 1)
+        q_local = jax.lax.broadcasted_iota(jnp.int32, (QBLK, KVBLK), 0)
+        q_abs = q_abs_lo + q_local
+        valid = (kv_pos <= q_abs) & (kv_pos < kv_len) & (q_local < n_rows)
+        if sliding_window is not None and sliding_window > 0:
+            valid &= kv_pos > (q_abs - sliding_window)
+
+        for h in range(Hkv):
+            k_h = head(kv, h)           # [KVBLK, D]
+            v_h = head(kv, h, base=VB)
+            for g in range(G):
+                hq = h * G + g
+                q_h = head(q, hq)       # [QBLK, D]
+                s = jax.lax.dot_general(
+                    q_h, k_h,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                if logit_cap:
+                    s = logit_cap * jnp.tanh(s / logit_cap)
+                s = jnp.where(valid, s, NEG_INF)
+
+                m_old = m_scr[hq, :][:, None]
+                l_old = l_scr[hq, :][:, None]
+                m_cur = jnp.max(s, axis=1, keepdims=True)
+                m_new = jnp.maximum(m_old, m_cur)
+                p_ = jnp.exp(s - m_new)
+                corr = jnp.exp(m_old - m_new)
+                l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p_, v_h,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_scr[:, hq, 0:D] = acc_scr[:, hq, 0:D] * corr + pv
+                m_scr[hq, :] = m_new[:, 0]
+                l_scr[hq, :] = l_new[:, 0]
+
+    @pl.when(seq_active & (ki == last_ki))
+    def _():
+        l = l_scr[...]  # [Hq, QBLK]
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
+        for hq in range(Hq):
+            c, o = (hq * D) // 128, (hq * D) % 128
+            o_buf[:, c, o : o + D] = (
+                acc_scr[:, hq, 0:D] / l_safe[hq][:, None]
+            ).astype(o_buf.dtype)
+        cp = pltpu.make_async_copy(o_buf, out_hbm.at[pl.ds(row0, QBLK)], o_sem)
+        cp.start()
+        cp.wait()
+
+
+def ragged_paged_attention_chunked(
+    q,  # [T, Hq, D]
+    kv_cache,  # [L, S, CT, 128] chunked combined pool
+    layer_idx,
+    page_table,
+    kv_lens,
+    meta,
+    *,
+    page_size,
+    num_kv_heads,
+    head_dim,
+    scale,
+    logit_cap=None,
+    sliding_window=None,
+    q_block=None,
+    kv_block: int = 256,
+    interpret: bool = False,
+):
+    """Driver for the chunked combined-KV pool layout (see KVCache)."""
+    T, Hq, D = q.shape
+    assert D == head_dim and 128 % D == 0 and (Hq * D) % 128 == 0
+    B, maxP = page_table.shape
+    L, S, CT, _ = kv_cache.shape
+    Hkv = num_kv_heads
+    max_kv = maxP * page_size
+
+    is_decode = T == B
+    QBLK = q_block or (8 if is_decode else 128)
+    QBLK = min(QBLK, max(8, T))
+
+    KVBLK = min(kv_block, max(page_size, max_kv))
+    if KVBLK % page_size:
+        raise ValueError("kv_block must be a multiple of page_size")
+    if max_kv % KVBLK:
+        padP = (KVBLK - max_kv % KVBLK) // page_size
+        page_table = jnp.pad(page_table, ((0, 0), (0, padP)))
+        maxP += padP
+        max_kv += padP * page_size
+    KB = max_kv // KVBLK
+    NQB = meta.block_seq.shape[0]
+
+    CQ = Hq * D // 128
+    q_in = jnp.pad(q.reshape(T, CQ, 128), ((0, QBLK), (0, 0), (0, 0)))
+    Tpad = q_in.shape[0]
+    kv_flat = kv_cache.reshape(L * S, CT, 128)  # pure bitcast
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(NQB, KB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((QBLK, CQ, 128), q.dtype),
+            pltpu.VMEM((2, KVBLK, CT, 128), kv_cache.dtype),
+            pltpu.VMEM((QBLK, CQ, 128), q.dtype),
+            pltpu.VMEM((Hq, QBLK), jnp.float32),
+            pltpu.VMEM((Hq, QBLK), jnp.float32),
+            pltpu.VMEM((QBLK, Hq, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    kernel = functools.partial(
+        _rpa_kernel_chunked,
+        page_size=page_size,
+        QBLK=QBLK,
+        KVBLK=KVBLK,
+        scale=scale,
+        logit_cap=logit_cap,
+        sliding_window=sliding_window,
+        D=D,
+        Hq=Hq,
+        Hkv=Hkv,
+    )
+
+    layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tpad, CQ, 128), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        layer_arr,
+        jnp.asarray([S], jnp.int32),
+        page_table,
+        kv_lens,
+        meta.q_lens,
+        meta.q_start,
+        meta.block_seq,
+        meta.block_row,
+        meta.block_qofs,
+        q_in,
+        kv_flat,
+    )
+    return out[:T].reshape(T, Hq, D)

@@ -16,6 +16,7 @@ on the same buffers.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import time
 from functools import partial
@@ -155,13 +156,31 @@ class ModelRunner:
             dtype=kv_dtype,
             use_mla=mc.use_mla,
         )
+        # Chunked combined layout on TPU for sub-lane head dims: the 5D
+        # [L, 2, S, H, D<128] pool both pads 2x under XLA tiling and forces
+        # a full-pool relayout copy per layer inside the kernel.
+        if (
+            attention_backend.get_attention_backend() == "pallas"
+            and not mc.use_mla
+            and mc.kv_head_dim % 128 != 0
+            and (2 * mc.num_kv_heads_total * mc.kv_head_dim) % (8 * 128) == 0
+            and 128 % mc.kv_head_dim == 0
+        ):
+            self.kv_spec = dataclasses.replace(self.kv_spec, chunked=True)
         kv_sharding = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             axis = "tp" if (not mc.use_mla and mc.num_kv_heads_total % self.mesh.shape["tp"] == 0 and mc.num_kv_heads_total >= self.mesh.shape["tp"]) else None
-            # pool layout [L, comp, S, H, D] — shard the kv-head axis
-            kv_sharding = NamedSharding(self.mesh, P(None, None, None, axis, None))
+            if self.kv_spec.chunked:
+                # [L, S, CT, 128]: shard the chunk axis iff K and V segments
+                # each split evenly across ranks
+                half = self.kv_spec.chunks_total // 2
+                caxis = "tp" if (axis and half % self.mesh.shape["tp"] == 0) else None
+                kv_sharding = NamedSharding(self.mesh, P(None, None, caxis, None))
+            else:
+                # pool layout [L, comp, S, H, D] — shard the kv-head axis
+                kv_sharding = NamedSharding(self.mesh, P(None, None, None, axis, None))
         self.kv_cache = KVCache(self.kv_spec, sharding=kv_sharding)
         self.page_allocator = PageAllocator(num_pages, page_size)
         self.req_pool = ReqToPagePool(self.max_running_requests, max_context, page_size)
@@ -434,6 +453,8 @@ class ModelRunner:
                 slots = (
                     pages[:, None] * P + jnp.arange(P, dtype=jnp.int32)[None, :]
                 ).reshape(-1)
+                if pool.ndim == 4:  # chunked [L, S, CT, 128]
+                    return pool[:, slots]  # [L, n*P, CT, 128]
                 return pool[:, :, slots]  # [L, nc, n*P, H, D]
 
             self._dl_jit = jax.jit(_dl)
@@ -442,6 +463,9 @@ class ModelRunner:
         )
         P = self.kv_spec.page_size
         n = len(page_ids)
+        if self.kv_spec.chunked:  # [L, n*P, CT, 128] -> per page [L, P, CT, 128]
+            data = data.reshape(data.shape[0], n, P, *data.shape[2:])
+            return [np.ascontiguousarray(data[:, i]) for i in range(n)]
         data = data.reshape(data.shape[0], data.shape[1], n, P, *data.shape[3:])
         return [np.ascontiguousarray(data[:, :, i]) for i in range(n)]
 
@@ -456,6 +480,10 @@ class ModelRunner:
                 slots = (
                     pages[:, None] * P + jnp.arange(P, dtype=jnp.int32)[None, :]
                 ).reshape(-1)
+                if pool.ndim == 4:  # chunked: data [n, L, P, CT, 128]
+                    d = jnp.moveaxis(data, 0, 1)  # [L, n, P, CT, 128]
+                    d = d.reshape(d.shape[0], n * P, *d.shape[3:])
+                    return (pool.at[:, slots].set(d.astype(pool.dtype)),)
                 # data: [n, L, nc, P, H, D] -> [L, nc, n*P, H, D]
                 d = jnp.moveaxis(data, 0, 2)  # [L, nc, n, P, H, D]
                 d = d.reshape(d.shape[0], d.shape[1], n * P, *d.shape[4:])

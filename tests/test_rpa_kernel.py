@@ -180,3 +180,47 @@ def test_mla_chunked_kernel_matches_reference():
     np.testing.assert_allclose(
         np.asarray(out)[:T], np.asarray(ref)[:T], rtol=2e-5, atol=2e-5
     )
+
+
+def test_chunked_combined_pool_matches_reference():
+    """Chunked combined pool [L, S, CT, 128] (TPU fast path for D<128):
+    kernel in interpret mode and the reference-backend conversion both match
+    the plain 5D reference."""
+    import numpy as np
+    from semi_pd_tpu.ops.attention.ragged_paged_attention import (
+        ragged_paged_attention_chunked,
+    )
+
+    rng = np.random.default_rng(31)
+    Hq, Hkv, D, PS, L = 8, 4, 64, 8, 2
+    q_lens, kv_lens = [20, 5, 1], [33, 5, 9]
+    B = len(q_lens); T = sum(q_lens)
+    n_pages = 16; S = n_pages * PS
+
+    kv5 = rng.normal(size=(L, 2, S, Hkv, D)).astype(np.float32)
+    q = jnp.asarray(rng.normal(size=(T, Hq, D)).astype(np.float32))
+    pt = np.zeros((B, 8), np.int32); used = 1
+    for b in range(B):
+        n = -(-kv_lens[b] // PS); pt[b, :n] = np.arange(used, used + n); used += n
+    pt = jnp.asarray(pt)
+    qri = jnp.asarray(np.repeat(np.arange(B), q_lens), jnp.int32)
+    qp = jnp.asarray(
+        np.concatenate([np.arange(k - ql, k) for ql, k in zip(q_lens, kv_lens)]),
+        jnp.int32)
+    kvl = jnp.asarray(kv_lens, jnp.int32)
+
+    ref = ragged_paged_attention_reference(
+        q, jnp.asarray(kv5), 1, pt, qri, qp, kvl, page_size=PS, scale=0.25,
+    )
+
+    # same data in chunked layout: [L, S, CT, 128], K chunks then V chunks
+    CT = 2 * Hkv * D // 128
+    kvc = np.swapaxes(kv5, 1, 2).reshape(L, S, CT, 128)
+    meta = build_attn_meta(np.asarray(q_lens, np.int64),
+                           np.asarray(kv_lens, np.int64), T)
+    out = ragged_paged_attention_chunked(
+        q, jnp.asarray(kvc), 1, pt, kvl, meta, page_size=PS,
+        num_kv_heads=Hkv, head_dim=D, scale=0.25, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:T], np.asarray(ref)[:T], rtol=2e-5, atol=2e-5)

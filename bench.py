@@ -20,6 +20,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from semi_pd_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 
 def build_engine(semi_pd: bool):
     from __graft_entry__ import _llama_config
@@ -140,6 +144,13 @@ def main():
             sampling_params=SamplingParams(max_new_tokens=4, temperature=0.0, ignore_eos=True),
         )
         print(f"[bench] {mode}: engine+warmup {time.monotonic()-t0:.1f}s", file=sys.stderr)
+        # Full warm pass with the same seed: identical arrival pattern hits
+        # exactly the bucket shapes the timed pass needs, so the measurement
+        # contains zero XLA compiles (they also land in the persistent cache
+        # for future runs).
+        t1 = time.monotonic()
+        run_serving_sim(eng, n_reqs, rate, prompt_len, out_len)
+        print(f"[bench] {mode}: warm pass {time.monotonic()-t1:.1f}s", file=sys.stderr)
         res = run_serving_sim(eng, n_reqs, rate, prompt_len, out_len)
         res["goodput"] = goodput(res, ttft_slo, itl_slo)
         results[mode] = res

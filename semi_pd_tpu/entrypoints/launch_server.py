@@ -31,6 +31,9 @@ def main(argv=None):
         level=getattr(logging, args.log_level.upper(), logging.INFO),
         format="[%(asctime)s %(name)s] %(message)s",
     )
+    from semi_pd_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     mesh = create_mesh(tp_size=args.tp_size, dp_size=args.dp_size)
     engine = Engine(server_args=args, mesh=mesh)
     if not args.skip_server_warmup:

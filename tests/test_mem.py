@@ -97,3 +97,66 @@ def test_radix_cache_sub_page_tail_ignored():
     assert rc.total_cached_pages() == 1
     m, _ = rc.match_prefix(list(range(6)))
     assert m.tolist() == [1]
+
+
+def test_chunked_pool_engine_parity():
+    """Engine on a chunked KV pool produces identical greedy tokens to the
+    legacy 5D layout (exercises the chunked write + reference-backend view
+    conversion end-to-end)."""
+    import dataclasses
+
+    import numpy as np
+
+    from semi_pd_tpu.config.model_config import ModelConfig
+    from semi_pd_tpu.config.server_args import ServerArgs
+    from semi_pd_tpu.mem.pool import KVCache
+    from semi_pd_tpu.runtime.engine import Engine
+    from semi_pd_tpu.sampling.sampling_params import SamplingParams
+    from transformers import LlamaConfig
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=8,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    cfg.architectures = ["LlamaForCausalLM"]
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, 128, size=10).tolist() for _ in range(2)]
+    sp = SamplingParams(max_new_tokens=6, temperature=0.0, ignore_eos=True)
+
+    outs = []
+    for chunked in (False, True):
+        mc = ModelConfig.from_hf_config(cfg, dtype="float32")
+        eng = Engine(server_args=ServerArgs(
+            model_path="", random_weights=True, page_size=4,
+            max_total_tokens=512, dtype="float32"), model_config=mc)
+        if chunked:
+            # 8 kv heads x 8 head... hidden 64 / 8 heads -> head_dim 8:
+            # too small; rebuild with chunkable dims below instead
+            pass
+        outs.append([o["output_ids"] for o in eng.generate(
+            input_ids=prompts, sampling_params=sp)])
+    assert outs[0] == outs[1]
+
+    # chunkable config: 4 kv heads x head_dim 64 -> CT = 4 (sublane-padded on
+    # TPU but fine for the CPU conversion-path check)
+    cfg2 = LlamaConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    cfg2.architectures = ["LlamaForCausalLM"]
+    res = []
+    for chunked in (False, True):
+        mc = ModelConfig.from_hf_config(cfg2, dtype="float32")
+        eng = Engine(server_args=ServerArgs(
+            model_path="", random_weights=True, page_size=4,
+            max_total_tokens=512, dtype="float32"), model_config=mc)
+        if chunked:
+            r = eng.runner
+            r.kv_spec = dataclasses.replace(r.kv_spec, chunked=True)
+            r.kv_cache = KVCache(r.kv_spec)
+            assert r.kv_cache.arrays[0].ndim == 4
+        res.append([o["output_ids"] for o in eng.generate(
+            input_ids=prompts, sampling_params=sp)])
+    assert res[0] == res[1]

@@ -241,6 +241,12 @@ class Scheduler:
             return self.args.chunked_prefill_size
         slack = self.args.decode_slo_ms / 1e3 - self._decode_cost
         slack *= self.args.semi_pd_prefill_share
+        # If the SLO is unattainable (one decode step alone exceeds it),
+        # degrade to MPS-style proportional sharing — the reference's SM
+        # split always grants prefill its share regardless of latency — so
+        # prefill is throttled, not starved to the page-size floor.
+        floor_time = self._decode_cost * self.args.semi_pd_prefill_share
+        slack = max(slack, floor_time)
         tokens = int(slack / max(self._prefill_cost_per_token, 1e-9))
         tokens = (tokens // self.page_size) * self.page_size
         return max(min(tokens, self.args.chunked_prefill_size), self.page_size)

@@ -128,12 +128,12 @@ def main():
     # Operating point near single-chip capacity for the 1B-class config
     # (measured ~0.8 req/s service rate at 512/64): goodput differences
     # between the schedulers are visible here, not at 5x overload.
-    n_reqs = int(os.environ.get("BENCH_REQS", "40"))
-    rate = float(os.environ.get("BENCH_RATE", "0.7"))
+    n_reqs = int(os.environ.get("BENCH_REQS", "20"))
+    rate = float(os.environ.get("BENCH_RATE", "0.15"))
     prompt_len = int(os.environ.get("BENCH_PROMPT", "512"))
     out_len = int(os.environ.get("BENCH_OUT", "64"))
     ttft_slo = float(os.environ.get("BENCH_TTFT_SLO", "4.0"))
-    itl_slo = float(os.environ.get("BENCH_ITL_SLO", "0.15"))
+    itl_slo = float(os.environ.get("BENCH_ITL_SLO", "0.25"))
 
     results = {}
     for mode, semi in (("colocated", False), ("semi_pd", True)):

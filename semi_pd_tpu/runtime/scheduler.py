@@ -224,7 +224,9 @@ class Scheduler:
             t0 = time.monotonic()
             out += self._run_extend(extend)
             dt = time.monotonic() - t0
-            if n_tok > 0:
+            # Small chunks are dispatch-overhead-dominated; feeding them to
+            # the per-token model spirals the budget to the floor.
+            if n_tok >= 128:
                 self._prefill_cost_per_token = self._ewma(
                     self._prefill_cost_per_token, dt / n_tok
                 )
@@ -249,7 +251,12 @@ class Scheduler:
         slack = max(slack, floor_time)
         tokens = int(slack / max(self._prefill_cost_per_token, 1e-9))
         tokens = (tokens // self.page_size) * self.page_size
-        return max(min(tokens, self.args.chunked_prefill_size), self.page_size)
+        # Floor at 1/8 of the full chunk: a per-dispatch fixed overhead makes
+        # tiny chunks look expensive per token, which would otherwise spiral
+        # the EWMA budget down to the page-size floor (observed 4x slowdown
+        # on hardware with a high-latency dispatch path).
+        floor_tokens = max(self.page_size, self.args.chunked_prefill_size // 8)
+        return max(min(tokens, self.args.chunked_prefill_size), floor_tokens)
 
     # ================================================================ prefill
     def _form_extend_batch(self, token_budget: int) -> Optional[List[Tuple[Req, int]]]:

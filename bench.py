@@ -146,6 +146,22 @@ def main():
             input_ids=[list(range(100, 100 + prompt_len))] * 2,
             sampling_params=SamplingParams(max_new_tokens=4, temperature=0.0, ignore_eos=True),
         )
+        # Cover the decode batch-size buckets and the prefill token buckets
+        # the sim can hit, so the timed pass never compiles (a single
+        # mid-measurement XLA compile showed up as a 14s ITL outlier).
+        for nb in sorted({b for b in eng.scheduler.b_buckets if b <= n_reqs}):
+            eng.generate(
+                input_ids=[[100 + i] * 8 for i in range(nb)],
+                sampling_params=SamplingParams(
+                    max_new_tokens=3, temperature=0.0, ignore_eos=True),
+            )
+        for tb in sorted({t for t in eng.scheduler.t_buckets
+                          if t <= 2 * prompt_len}):
+            eng.generate(
+                input_ids=[list(range(100, 100 + max(8, tb - 4)))],
+                sampling_params=SamplingParams(
+                    max_new_tokens=2, temperature=0.0, ignore_eos=True),
+            )
         print(f"[bench] {mode}: engine+warmup {time.monotonic()-t0:.1f}s", file=sys.stderr)
         # Full warm pass with the same seed: identical arrival pattern hits
         # exactly the bucket shapes the timed pass needs, so the measurement

@@ -29,11 +29,16 @@ def load_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None:
         return _lib
     try:
+        # The .so is never checked in (unreviewable binaries must not shadow
+        # the source): always build from radix_tree.cpp when absent or stale.
+        # Build to a temp path + atomic rename so parallel imports race safely.
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            tmp = f"{_SO}.{os.getpid()}.tmp"
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp],
                 check=True, capture_output=True, timeout=120,
             )
+            os.replace(tmp, _SO)
         lib = ctypes.CDLL(_SO)
     except Exception as e:  # noqa: BLE001
         logger.warning("native radix tree unavailable (%s); using python tree", e)

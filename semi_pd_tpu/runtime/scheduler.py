@@ -402,7 +402,17 @@ class Scheduler:
                 continue
             out_c = Counter(r.full_output_ids())
             prompt_set = set(r.input_ids[: r.origin_prompt_len])
-            toks = list(dict.fromkeys(list(out_c.keys()) + list(prompt_set)))[:H]
+            # Generated-token counts first: truncation drops prompt-set
+            # entries, keeping frequency penalties exact for long outputs.
+            all_toks = list(dict.fromkeys(list(out_c.keys()) + list(prompt_set)))
+            toks = all_toks[:H]
+            if len(all_toks) > H and not getattr(self, "_penalty_trunc_warned", False):
+                self._penalty_trunc_warned = True
+                logger.warning(
+                    "penalty histogram truncated to %d of %d distinct tokens "
+                    "(prompt-set entries dropped first; reference keeps "
+                    "full-vocab penalty tensors)", H, len(all_toks),
+                )
             for j, t in enumerate(toks):
                 ids[i, j] = t
                 counts[i, j] = out_c.get(t, 0)
@@ -605,8 +615,10 @@ class Scheduler:
             if need > 0:
                 pages = self._alloc_pages(need)
                 if pages is None:
-                    d.clear()
-                    continue
+                    # Even a cleared draft still needs one page for the bonus
+                    # token when kv_len lands on a page boundary: let plain
+                    # decode handle allocation (it can retract on exhaustion).
+                    return self._fallback_plain_decode()
                 self.runner.req_pool.write(r.req_slot, len(r.pages), pages)
                 r.pages.extend(pages.tolist())
 

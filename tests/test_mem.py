@@ -124,20 +124,6 @@ def test_chunked_pool_engine_parity():
     prompts = [rng.integers(0, 128, size=10).tolist() for _ in range(2)]
     sp = SamplingParams(max_new_tokens=6, temperature=0.0, ignore_eos=True)
 
-    outs = []
-    for chunked in (False, True):
-        mc = ModelConfig.from_hf_config(cfg, dtype="float32")
-        eng = Engine(server_args=ServerArgs(
-            model_path="", random_weights=True, page_size=4,
-            max_total_tokens=512, dtype="float32"), model_config=mc)
-        if chunked:
-            # 8 kv heads x 8 head... hidden 64 / 8 heads -> head_dim 8:
-            # too small; rebuild with chunkable dims below instead
-            pass
-        outs.append([o["output_ids"] for o in eng.generate(
-            input_ids=prompts, sampling_params=sp)])
-    assert outs[0] == outs[1]
-
     # chunkable config: 4 kv heads x head_dim 64 -> CT = 4 (sublane-padded on
     # TPU but fine for the CPU conversion-path check)
     cfg2 = LlamaConfig(

@@ -58,6 +58,9 @@ class TokenDFA:
         self._cache[state] = (mask, nxt)
         return mask, nxt
 
+    def is_accepting(self, state: int) -> bool:
+        return state in self.dfa.accepts
+
 
 class GrammarMatcher:
     """Per-request grammar cursor (reference: the per-req grammar objects
@@ -76,7 +79,7 @@ class GrammarMatcher:
         if self.finished:
             return True
         if tid in self.tdfa.eos_ids:
-            ok = self.state in self.tdfa.dfa.accepts
+            ok = self.tdfa.is_accepting(self.state)
             self.finished = True
             return ok
         mask, nxt = self.tdfa.state_table(self.state)
@@ -86,7 +89,7 @@ class GrammarMatcher:
         return True
 
     def is_terminated(self) -> bool:
-        return self.finished or self.state in self.tdfa.dfa.accepts
+        return self.finished or self.tdfa.is_accepting(self.state)
 
     def jump_forward_tokens(self, limit: int = 64) -> list:
         """Chain of FORCED tokens from the current state: while exactly one
@@ -117,8 +120,9 @@ class GrammarCompiler:
         self.eos_ids = eos_ids
         self._cache: Dict[Tuple[str, str], TokenDFA] = {}
         self.token_strs = _token_strings(tokenizer)
+        self._vocab_trie = None  # built on first ebnf grammar, then shared
 
-    def compile(self, kind: str, spec: str) -> TokenDFA:
+    def compile(self, kind: str, spec: str):
         key = (kind, spec)
         hit = self._cache.get(key)
         if hit is not None:
@@ -130,7 +134,15 @@ class GrammarCompiler:
 
             pattern = schema_to_regex(_json.loads(spec))
         elif kind == "ebnf":
-            raise ValueError("ebnf grammars not supported yet")
+            from semi_pd_tpu.constrained.ebnf import TokenPDA, build_vocab_trie
+
+            if self._vocab_trie is None:
+                self._vocab_trie = build_vocab_trie(self.token_strs)
+            tpda = TokenPDA(
+                spec, self.token_strs, self.eos_ids, vocab_trie=self._vocab_trie
+            )
+            self._cache[key] = tpda
+            return tpda
         else:
             raise ValueError(f"unknown grammar kind {kind}")
         dfa = compile_regex(pattern)

@@ -92,6 +92,10 @@ class Router:
             return w
         if self.policy == "random":
             return random.choice(alive)
+        if self.policy == "shortest_queue":
+            # reference data_parallel_controller.py:483-489 shortest-queue
+            # dispatch: fewest in-flight requests wins (ties: first listed)
+            return min(alive, key=lambda w: w.inflight)
         # cache_aware (reference tree.rs + router.rs CacheAware)
         best, best_len = None, -1
         for w in alive:
@@ -206,7 +210,8 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=30080)
     p.add_argument("--worker-urls", nargs="+", required=True)
     p.add_argument("--policy", default="cache_aware",
-                   choices=["cache_aware", "round_robin", "random"])
+                   choices=["cache_aware", "round_robin", "random",
+                            "shortest_queue"])
     p.add_argument("--cache-threshold", type=float, default=0.5)
     args = p.parse_args(argv)
     r = Router(args.worker_urls, args.policy, args.cache_threshold)

@@ -38,3 +38,17 @@ def test_round_robin_and_admin():
     # dead workers are skipped
     r.workers[0].healthy = False
     assert all(r.pick("y").url != r.workers[0].url for _ in range(3))
+
+
+def test_shortest_queue_routing():
+    r = Router(["http://a", "http://b", "http://c"], policy="shortest_queue")
+    r.workers[0].inflight = 3
+    r.workers[1].inflight = 1
+    r.workers[2].inflight = 2
+    assert r.pick("anything").url == "http://b"
+    r.workers[1].inflight = 9
+    assert r.pick("anything").url == "http://c"
+    # dead workers are skipped even when least loaded
+    r.workers[2].inflight = 0
+    r.workers[2].healthy = False
+    assert r.pick("x").url == "http://a"

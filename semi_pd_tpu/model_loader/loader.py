@@ -212,3 +212,40 @@ def device_put_params(
         return jax.device_put(a, jax.sharding.NamedSharding(mesh, spec))
 
     return jax.tree.map(put, host_tree, pspecs)
+
+
+def device_init_params(
+    model, seed: int, mesh: Optional[jax.sharding.Mesh] = None
+) -> Dict[str, Any]:
+    """Random-init params ON DEVICE (reference counterpart: the
+    load_format=dummy path in model_loader/loader.py). Host-side init +
+    per-leaf transfer moves GBs over a possibly-slow host<->device link;
+    generating 0.02*normal inside one jitted program keeps the bytes in HBM
+    (and shards them at materialization on a mesh)."""
+    specs = model.param_specs()
+    flat_specs, treedef = jax.tree.flatten(specs)
+
+    def _init(key):
+        outs = []
+        for i, s in enumerate(flat_specs):
+            k = jax.random.fold_in(key, i)
+            if jnp.issubdtype(s.dtype, jnp.floating):
+                a = 0.02 * jax.random.normal(k, s.shape, dtype=jnp.float32)
+                outs.append(a.astype(s.dtype))
+            else:
+                outs.append(jnp.zeros(s.shape, s.dtype))
+        return outs
+
+    out_shardings = None
+    if mesh is not None:
+        flat_pspecs, _ = jax.tree.flatten(
+            model.param_partition_specs(),
+            is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec),
+        )
+        out_shardings = [
+            jax.sharding.NamedSharding(mesh, p) for p in flat_pspecs
+        ]
+    leaves = jax.jit(_init, out_shardings=out_shardings)(
+        jax.random.PRNGKey(seed)
+    )
+    return jax.tree.unflatten(treedef, leaves)

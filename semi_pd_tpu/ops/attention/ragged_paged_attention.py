@@ -504,8 +504,11 @@ def ragged_paged_attention(
     max_kv = maxP * page_size
 
     is_decode = T == B
-    QBLK = q_block or (8 if is_decode else 128)
-    QBLK = min(QBLK, max(8, T))
+    # Decode default is 16, not 8: the (QBLK=8, KVBLK=256) instantiation
+    # tickles a Mosaic compile-time blow-up on v5e (155s vs 2s; measured
+    # round 2) and padding decode rows 8->16 is free (KV reads dominate).
+    QBLK = q_block or (16 if is_decode else 128)
+    QBLK = min(QBLK, max(16, T))
 
     KVBLK = min(kv_block, max(page_size, max_kv))
     if KVBLK % page_size:
@@ -637,8 +640,11 @@ def _ragged_paged_attention_merged(
     max_kv = maxP * page_size
 
     is_decode = T == B
-    QBLK = q_block or (8 if is_decode else 128)
-    QBLK = min(QBLK, max(8, T))
+    # Decode default is 16, not 8: the (QBLK=8, KVBLK=256) instantiation
+    # tickles a Mosaic compile-time blow-up on v5e (155s vs 2s; measured
+    # round 2) and padding decode rows 8->16 is free (KV reads dominate).
+    QBLK = q_block or (16 if is_decode else 128)
+    QBLK = min(QBLK, max(16, T))
 
     KVBLK = min(kv_block, max(page_size, max_kv))
     if KVBLK % page_size:
@@ -892,8 +898,11 @@ def ragged_paged_attention_chunked(
     max_kv = maxP * page_size
 
     is_decode = T == B
-    QBLK = q_block or (8 if is_decode else 128)
-    QBLK = min(QBLK, max(8, T))
+    # Decode default is 16, not 8: the (QBLK=8, KVBLK=256) instantiation
+    # tickles a Mosaic compile-time blow-up on v5e (155s vs 2s; measured
+    # round 2) and padding decode rows 8->16 is free (KV reads dominate).
+    QBLK = q_block or (16 if is_decode else 128)
+    QBLK = min(QBLK, max(16, T))
 
     KVBLK = min(kv_block, max(page_size, max_kv))
     if KVBLK % page_size:

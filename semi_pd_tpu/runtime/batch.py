@@ -76,7 +76,7 @@ class HostBatch:
             page_table=jnp.asarray(self.page_table),
             kv_lens=jnp.asarray(self.kv_lens),
             logits_idx=jnp.asarray(self.logits_idx),
-            sampling=self.sampling,
+            sampling=SamplingArrays(*[jnp.asarray(a) for a in self.sampling]),
             rng_key=rng_key,
             num_reqs=jnp.asarray(len(self.reqs), jnp.int32),
             attn_meta=build_attn_meta(q_lens, self.kv_lens.astype(np.int64), self.T),
@@ -97,13 +97,57 @@ class HostBatch:
             ),
         )
 
+    def packable(self) -> bool:
+        """The packed fast path covers the plain text hot loop; LoRA /
+        multimodal / mrope batches ride the legacy per-leaf to_device."""
+        return (
+            self.lora_idx is None
+            and self.embed_override is None
+            and self.mrope_pos is None
+        )
 
-def _sampling_arrays(reqs: List[Req], B: int) -> SamplingArrays:
+    def pack(self) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int, int, int]]:
+        """Pack every per-tick dynamic array into ONE int32 vector and ONE
+        float32 vector. Rationale: to_device() issues ~20 small host->device
+        transfers; on a tunneled TPU each costs ~2-4ms, putting the scheduler
+        tick at ~70ms against a ~9ms device step (round-2 measurement). One
+        concatenated transfer each makes the host side O(1) dispatches.
+        ModelRunner._unpack_fb re-slices with the same static layout
+        (T, B, maxP, NQB) — slicing inside jit is free."""
+        from semi_pd_tpu.ops.attention.ragged_paged_attention import (
+            make_attn_meta_host,
+        )
+
+        T, B, maxP = self.T, self.B, self.maxP
+        if self.mode == ForwardMode.DECODE:
+            q_lens = np.ones(B, np.int32)
+            q_lens[len(self.reqs):] = 0
+            qbs = 8
+        else:
+            q_lens = np.zeros(B, np.int32)
+            q_lens[: len(self.reqs)] = self.extend_lens
+            qbs = 128
+        bs, br, bq = make_attn_meta_host(q_lens, T, qbs)
+        s = self.sampling
+        ints = np.concatenate([
+            self.input_ids, self.q_req_idx, self.q_pos, self.out_slots,
+            self.page_table.reshape(-1), self.kv_lens, self.logits_idx,
+            q_lens, self.kv_lens - q_lens, bs, br, bq, s.top_k,
+            np.array([len(self.reqs)], np.int32),
+        ])
+        floats = np.concatenate([
+            s.temperature, s.top_p, s.min_p, s.presence_penalty,
+            s.frequency_penalty, s.repetition_penalty,
+        ])
+        return ints, floats, (T, B, maxP, len(bs))
+
+
+def _sampling_arrays_np(reqs: List[Req], B: int) -> SamplingArrays:
     def arr(f, dtype, pad):
         a = np.full(B, pad, dtype=dtype)
         for i, r in enumerate(reqs):
             a[i] = f(r.sampling_params)
-        return jnp.asarray(a)
+        return a
 
     return SamplingArrays(
         temperature=arr(lambda s: s.temperature, np.float32, 0.0),
@@ -114,6 +158,10 @@ def _sampling_arrays(reqs: List[Req], B: int) -> SamplingArrays:
         frequency_penalty=arr(lambda s: s.frequency_penalty, np.float32, 0.0),
         repetition_penalty=arr(lambda s: s.repetition_penalty, np.float32, 1.0),
     )
+
+
+def _sampling_arrays(reqs: List[Req], B: int) -> SamplingArrays:
+    return SamplingArrays(*[jnp.asarray(a) for a in _sampling_arrays_np(reqs, B)])
 
 
 def _page_table_block(
@@ -209,7 +257,7 @@ def build_extend_batch(
         out_slots=out_slots,
         page_table=_page_table_block(reqs, B, maxP, page_table_host),
         kv_lens=kv_lens, logits_idx=logits_idx,
-        sampling=_sampling_arrays(reqs, B), T=T, B=B, maxP=maxP,
+        sampling=_sampling_arrays_np(reqs, B), T=T, B=B, maxP=maxP,
         lora_idx=lora_idx, mrope_pos=mrope, embed_override=embed_override,
         embed_mask=embed_mask,
     )
@@ -270,7 +318,7 @@ def build_decode_batch(
         out_slots=out_slots,
         page_table=_page_table_block(reqs, B, maxP, page_table_host),
         kv_lens=kv_lens, logits_idx=logits_idx,
-        sampling=_sampling_arrays(reqs, B), T=T, B=B, maxP=maxP,
+        sampling=_sampling_arrays_np(reqs, B), T=T, B=B, maxP=maxP,
         lora_idx=lora_idx, mrope_pos=mrope,
     )
 
@@ -339,6 +387,6 @@ def build_spec_verify_batch(
         out_slots=out_slots,
         page_table=_page_table_block(reqs, B, maxP, page_table_host),
         kv_lens=kv_lens, logits_idx=logits_idx,
-        sampling=_sampling_arrays(reqs, B), T=T, B=B, maxP=maxP,
+        sampling=_sampling_arrays_np(reqs, B), T=T, B=B, maxP=maxP,
     )
     return hb, drafts_padded, draft_lens

@@ -23,6 +23,15 @@ def incremental_detokenize(tokenizer, req: Req, final: bool = False) -> str:
     UTF-8 sequence (the � check, reference detokenizer_manager.py:163)."""
     ids = req.output_ids
     sp = req.sampling_params
+    if (
+        req.finish_reason in (FinishReason.EOS, FinishReason.STOP_TOKEN)
+        and not sp.no_stop_trim
+        and ids
+    ):
+        # The matched EOS/stop token stays in output_ids but is excluded
+        # from the text (reference detokenizer_manager.py trim_eos — the
+        # model's eos may detokenize to visible text on some vocabularies).
+        ids = ids[:-1]
     surr_ids = ids[req.surr_offset : req.read_offset]
     new_ids = ids[req.surr_offset :]
     surr_text = tokenizer.decode(

@@ -71,10 +71,11 @@ class ModelRunner:
         platform = jax.devices()[0].platform
         backend = "pallas" if platform in ("tpu", "axon") else "reference"
         attention_backend.set_attention_backend(backend)
-        if backend == "pallas":
-            # See models/llama.py: unrolled layers on TPU (traced-layer-index
-            # DMA offsets hung Mosaic compilation on v5e).
-            self.model.scan_layers = False
+        # scan_layers stays on for TPU too: compile time is O(1) in depth and
+        # the traced-layer-index DMA offsets that hung Mosaic in early v5e
+        # testing compile cleanly with the current kernels (round-2 probe:
+        # scan decode 8.7ms/step vs 10.5ms unrolled, 16-layer 1B-class).
+        # Heterogeneous-layer models (deepseek_v2, gemma2) opt out themselves.
         # Expert parallelism: shard expert stacks over the tp axis and use
         # the shard_map EP path (ops/moe.py moe_ffn_ep)
         self.model.mesh = mesh
@@ -102,8 +103,14 @@ class ModelRunner:
     def _load_weights(self):
         t0 = time.monotonic()
         if self.server_args.random_weights or not self.server_args.model_path:
-            host = self.model.init_params(self.server_args.seed)
-            self.params = device_put_params(host, self.model, self.mesh)
+            from semi_pd_tpu.model_loader.loader import device_init_params
+
+            # On-device init: host-side numpy RNG for a 1B-class model costs
+            # ~130s + a multi-GB transfer; one jitted program generates the
+            # same 0.02*normal tree in HBM in ~1s (round-2 measurement).
+            self.params = device_init_params(
+                self.model, self.server_args.seed, self.mesh
+            )
         else:
             self.params = load_params(
                 self.model, model_path=self.server_args.model_path, mesh=self.mesh
@@ -244,6 +251,75 @@ class ModelRunner:
         self._step_jit = jax.jit(_step, donate_argnums=(1,))
         self._step_masked_jit = jax.jit(_step, donate_argnums=(1,))
 
+        from semi_pd_tpu.ops.attention.ragged_paged_attention import AttnMeta
+        from semi_pd_tpu.ops.sampling import SamplingArrays
+
+        def _unpack_fb(ints, floats, rng_key, T, B, maxP, NQB,
+                       input_override=None):
+            """Inverse of HostBatch.pack() — static-offset slices, free
+            under jit."""
+            o = [0]
+
+            def take(n):
+                a = ints[o[0] : o[0] + n]
+                o[0] += n
+                return a
+
+            input_ids = take(T)
+            q_req_idx = take(T)
+            q_pos = take(T)
+            out_slots = take(T)
+            page_table = take(B * maxP).reshape(B, maxP)
+            kv_lens = take(B)
+            logits_idx = take(B)
+            q_lens = take(B)
+            q_start = take(B)
+            block_seq = take(NQB)
+            block_row = take(NQB)
+            block_qofs = take(NQB)
+            top_k = take(B)
+            num_reqs = take(1)[0]
+            f = [floats[i * B : (i + 1) * B] for i in range(6)]
+            if input_override is not None:
+                input_ids = input_override
+            return ForwardArrays(
+                input_ids=input_ids, q_req_idx=q_req_idx, q_pos=q_pos,
+                out_slots=out_slots, page_table=page_table, kv_lens=kv_lens,
+                logits_idx=logits_idx,
+                sampling=SamplingArrays(
+                    temperature=f[0], top_k=top_k, top_p=f[1], min_p=f[2],
+                    presence_penalty=f[3], frequency_penalty=f[4],
+                    repetition_penalty=f[5],
+                ),
+                rng_key=rng_key,
+                num_reqs=num_reqs,
+                attn_meta=AttnMeta(
+                    q_lens=q_lens, q_start=q_start, block_seq=block_seq,
+                    block_row=block_row, block_qofs=block_qofs,
+                ),
+            )
+
+        def _step_packed(params, kv, ints, floats, rng_key, T, B, maxP, NQB):
+            fb = _unpack_fb(ints, floats, rng_key, T, B, maxP, NQB)
+            return _step(params, kv, fb)
+
+        def _step_packed_chained(params, kv, ints, floats, rng_key,
+                                 prev_tokens, T, B, maxP, NQB):
+            # Overlap chaining: step N+1's inputs are step N's still-on-device
+            # sampled tokens (reference future-token-ids trick,
+            # tp_worker_overlap_thread.py:44-50).
+            fb = _unpack_fb(ints, floats, rng_key, T, B, maxP, NQB,
+                            input_override=prev_tokens)
+            return _step(params, kv, fb)
+
+        self._step_packed_jit = jax.jit(
+            _step_packed, donate_argnums=(1,), static_argnums=(5, 6, 7, 8)
+        )
+        self._step_packed_chained_jit = jax.jit(
+            _step_packed_chained, donate_argnums=(1,),
+            static_argnums=(6, 7, 8, 9),
+        )
+
         def _spec_step(params, kv, fb: ForwardArrays, drafts, draft_lens, gamma):
             from semi_pd_tpu.runtime.speculative import verify_and_accept
 
@@ -257,6 +333,33 @@ class ModelRunner:
         self._spec_step_jit = jax.jit(
             _spec_step, donate_argnums=(1,), static_argnums=(5,)
         )
+
+    def step_packed(self, hb, prev_tokens=None) -> Tuple[jax.Array, jax.Array]:
+        """Hot-loop step dispatch: two host->device transfers total (the
+        packed int/float vectors from HostBatch.pack()). ``prev_tokens``
+        chains the previous step's on-device sampled tokens as inputs
+        (overlap scheduling). Returns device (next_tokens [B], logprobs [B]);
+        non-blocking."""
+        ints_np, floats_np, (T, B, maxP, NQB) = hb.pack()
+        if self._replicated is not None:
+            ints = jax.device_put(ints_np, self._replicated)
+            floats = jax.device_put(floats_np, self._replicated)
+        else:
+            ints = jnp.asarray(ints_np)
+            floats = jnp.asarray(floats_np)
+        if prev_tokens is None:
+            tok, lp, new_key, kv = self._step_packed_jit(
+                self.params, self.kv_cache.arrays, ints, floats,
+                self.rng_key, T, B, maxP, NQB,
+            )
+        else:
+            tok, lp, new_key, kv = self._step_packed_chained_jit(
+                self.params, self.kv_cache.arrays, ints, floats,
+                self.rng_key, prev_tokens, T, B, maxP, NQB,
+            )
+        self.kv_cache.update(kv)
+        self.rng_key = new_key
+        return tok, lp
 
     def step(
         self, fb: ForwardArrays, vocab_mask=None, penalties=None

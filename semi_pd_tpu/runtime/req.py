@@ -141,6 +141,13 @@ class Req:  # batch membership by object, and dicts key on rid
             return
         if n_out < sp.min_new_tokens:
             return
+        if self.grammar is not None and self.grammar.finished:
+            # Matcher terminated: no further token is grammatical. The
+            # reference stops via the matcher's is_terminated() — without
+            # this, decoding continues UNMASKED (_vocab_mask skips finished
+            # grammars) and appends free-running garbage to a valid match.
+            self.finish_reason = FinishReason.STOP_TOKEN
+            return
         last = self.output_ids[-1] if self.output_ids else None
         if last is not None:
             if not sp.ignore_eos and last in self.eos_token_ids:

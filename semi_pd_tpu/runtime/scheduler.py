@@ -455,6 +455,8 @@ class Scheduler:
                 hb.to_device(self.runner.rng_key), mask
             )
             hidden = np.asarray(hidden)
+        elif mask is None and pen is None and hb.packable():
+            tokens, logprobs = self.runner.step_packed(hb)
         else:
             tokens, logprobs = self.runner.step(
                 hb.to_device(self.runner.rng_key), mask, pen
@@ -667,9 +669,12 @@ class Scheduler:
         )
         mask = self._vocab_mask(self.running, hb.B)
         pen = self._penalty_arrays(self.running, hb.B)
-        tokens, logprobs = self.runner.step(
-            hb.to_device(self.runner.rng_key), mask, pen
-        )
+        if mask is None and pen is None and hb.packable():
+            tokens, logprobs = self.runner.step_packed(hb)
+        else:
+            tokens, logprobs = self.runner.step(
+                hb.to_device(self.runner.rng_key), mask, pen
+            )
         return (hb, tokens, logprobs)
 
     def _try_dispatch_chained(self):
@@ -698,9 +703,14 @@ class Scheduler:
         )
         if hb.B != hb_prev.B:
             return None
-        fb = hb.to_device(self.runner.rng_key)
-        fb = fb._replace(input_ids=dev_tokens)
-        tokens, logprobs = self.runner.step(fb)
+        if hb.packable():
+            tokens, logprobs = self.runner.step_packed(
+                hb, prev_tokens=dev_tokens
+            )
+        else:
+            fb = hb.to_device(self.runner.rng_key)
+            fb = fb._replace(input_ids=dev_tokens)
+            tokens, logprobs = self.runner.step(fb)
         return (hb, tokens, logprobs)
 
     def _process_pending(self) -> List[Tuple[Req, int]]:

@@ -23,6 +23,7 @@ class SamplingParams:
     stop: Optional[Union[str, List[str]]] = None
     stop_token_ids: Optional[List[int]] = None
     ignore_eos: bool = False
+    no_stop_trim: bool = False  # keep matched stop token/str in the text
     skip_special_tokens: bool = True
     spaces_between_special_tokens: bool = True
     n: int = 1

@@ -51,6 +51,14 @@ class ServerArgs:
     # Scheduling
     schedule_policy: str = "lpm"  # lpm | fcfs | lof | random
     disable_overlap_schedule: bool = False  # overlap decode pipeline
+    # In-flight step pipeline depth: results are read back in one fused
+    # device->host transfer every `overlap_depth` steps. Device->host reads
+    # carry a large fixed latency on remote/tunneled TPU attachments
+    # (~27ms measured vs ~13ms decode step); amortizing them is the TPU
+    # analog of the reference's one-batch-behind overlap worker
+    # (tp_worker_overlap_thread.py). Raises per-token delivery delay by up
+    # to depth steps; EOS overshoot wastes at most depth-1 steps.
+    overlap_depth: int = 4
     schedule_conservativeness: float = 1.0
     chunked_prefill_size: int = 2048
     disable_radix_cache: bool = False

@@ -86,6 +86,7 @@ class ModelRunner:
         self._load_weights()
         self._init_memory_pool()
         self._build_step_fns()
+        self._read_jits: Dict[tuple, Any] = {}
         self.draft_model = None
         self.draft_kv = None
         if server_args.speculative_algorithm == "EAGLE":
@@ -360,6 +361,36 @@ class ModelRunner:
         self.kv_cache.update(kv)
         self.rng_key = new_key
         return tok, lp
+
+    def read_results(self, toks, lps):
+        """Fused device->host readback of N steps' (tokens, logprobs): one
+        concatenated transfer instead of 2N. D2H transfers carry a ~27ms
+        fixed latency on tunneled TPU attachments (measured round 2) — this
+        plus the scheduler's in-flight ring amortizes it across
+        overlap_depth steps. Returns (list of np token vecs, list of np
+        logprob vecs)."""
+        lens = tuple(int(t.shape[0]) for t in toks)
+        fn = self._read_jits.get(lens)
+        if fn is None:
+            def _pack(ts, ls):
+                ti = jnp.concatenate([t.astype(jnp.int32) for t in ts])
+                li = jax.lax.bitcast_convert_type(
+                    jnp.concatenate([l.astype(jnp.float32) for l in ls]),
+                    jnp.int32,
+                )
+                return jnp.concatenate([ti, li])
+
+            fn = jax.jit(_pack)
+            self._read_jits[lens] = fn
+        flat = np.asarray(jax.device_get(fn(list(toks), list(lps))))
+        n = sum(lens)
+        ti, li = flat[:n], flat[n:].view(np.float32)
+        out_t, out_l, o = [], [], 0
+        for L in lens:
+            out_t.append(ti[o : o + L])
+            out_l.append(li[o : o + L])
+            o += L
+        return out_t, out_l
 
     def step(
         self, fb: ForwardArrays, vocab_mask=None, penalties=None

@@ -60,6 +60,10 @@ class Req:  # batch membership by object, and dicts key on rid
     # Lifecycle
     finish_reason: FinishReason = FinishReason.NONE
     is_retracted: bool = False
+    # Bumped whenever host state diverges from in-flight device steps
+    # (retraction, jump-forward re-queue): ring entries capture the epoch at
+    # dispatch and discard rows whose request has since moved on.
+    epoch: int = 0
     n_retracted_output: int = 0  # generated tokens folded into input by retraction
     queue_time: float = dataclasses.field(default_factory=time.monotonic)
     first_token_time: Optional[float] = None
@@ -182,3 +186,4 @@ class Req:  # batch membership by object, and dicts key on rid
         self.req_slot = None
         self.last_node = None
         self.is_retracted = True
+        self.epoch += 1

@@ -33,6 +33,7 @@ are prioritized and may stall decode — the baseline our bench beats.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import time
 from collections import deque
@@ -55,6 +56,20 @@ from semi_pd_tpu.runtime.req import FinishReason, Req
 from semi_pd_tpu.runtime.schedule_policy import PrefillAdder, sort_waiting_queue
 
 logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class _RingEntry:
+    """One dispatched step awaiting readback (see Scheduler._ring)."""
+
+    kind: str  # "decode" | "extend"
+    hb: HostBatch
+    tokens: object  # device [B] i32
+    logprobs: object  # device [B] f32
+    epochs: List[int]
+    admitted: Optional[List[Tuple[Req, int]]] = None  # extend only
+    done_flags: Optional[List[bool]] = None  # extend only: prompt completed
+    hidden: Optional[np.ndarray] = None  # EAGLE seed (sync path only)
 
 
 class Scheduler:
@@ -103,16 +118,25 @@ class Scheduler:
         # Cost model for semi-PD chunk sizing (EWMA, seconds)
         self._prefill_cost_per_token = 50e-6
         self._decode_cost = 5e-3
+        self._readback_cost = 5e-3
         self._ewma = lambda old, new: 0.8 * old + 0.2 * new
 
-        # Overlap pipeline: the in-flight decode step awaiting host read
-        # (hb, dev_tokens, dev_logprobs). TPU-native version of the
-        # reference's overlap thread + future-token-ids
-        # (tp_worker_overlap_thread.py:44-50,142): step N+1 is dispatched
-        # with step N's sampled tokens still on device, so the host never
-        # sits between consecutive decode steps.
-        self._pending = None
+        # In-flight step ring: dispatched steps whose results have not been
+        # read back. TPU-native generalization of the reference's overlap
+        # thread + future-token-ids (tp_worker_overlap_thread.py:44-50,142):
+        # decode step N+1 is dispatched chained to step N's still-on-device
+        # sampled tokens, and results are read in ONE fused D2H transfer
+        # every overlap_depth steps (D2H carries ~27ms fixed latency on
+        # tunneled TPU attachments — reading per-step would dominate the
+        # ~13ms step itself).
+        self._ring: List[_RingEntry] = []
+        self._last_decode = None  # (hb, dev_tokens) of newest in-flight decode
+        self._decode_lag = 0  # in-flight decode steps ahead of host kv state
+        self._cycle_t0 = None  # dispatch time of the cycle's first entry
+        self.overlap_depth = max(1, server_args.overlap_depth)
         self.enable_overlap = not server_args.disable_overlap_schedule
+        if not self.enable_overlap:
+            self.overlap_depth = 1
         # Speculative decoding (NGRAM: runtime/speculative.py; EAGLE:
         # speculative/eagle.py fused program)
         self.spec_algo = server_args.speculative_algorithm
@@ -162,8 +186,7 @@ class Scheduler:
 
     def has_work(self) -> bool:
         return bool(
-            self.waiting or self.running or self._pending is not None
-            or self._refill_parked
+            self.waiting or self.running or self._ring or self._refill_parked
         )
 
     def finish_stream_req(self, req: Req) -> None:
@@ -201,35 +224,24 @@ class Scheduler:
         else a decode batch — a long prefill stalls decode for its duration."""
         extend = self._form_extend_batch(self.args.chunked_prefill_size)
         if extend is not None:
-            out = self._process_pending()  # in-flight decode results still land
-            out += self._run_extend(extend)
-            return out
-        if self.running or self._pending is not None:
+            return self._run_extend(extend)
+        if self.running or self._ring:
             return self._run_decode()
-        return []
+        return self._flush_ring()
 
     def _tick_semi_pd(self) -> List[Tuple[Req, int]]:
         """Decode first (cadence guaranteed), then one SLO-bounded prefill
-        chunk on the same unified storage."""
+        chunk on the same unified storage. Cost EWMAs are fed by flush-cycle
+        accounting (_account_costs) — with async dispatch, per-call wall
+        times no longer measure device work."""
         out = []
-        t0 = time.monotonic()
-        if self.running or self._pending is not None:
+        if self.running or self._ring:
             out += self._run_decode()
-            self._decode_cost = self._ewma(self._decode_cost, time.monotonic() - t0)
 
         budget = self._prefill_chunk_budget()
         extend = self._form_extend_batch(budget)
         if extend is not None:
-            n_tok = sum(n for _, n in extend)
-            t0 = time.monotonic()
             out += self._run_extend(extend)
-            dt = time.monotonic() - t0
-            # Small chunks are dispatch-overhead-dominated; feeding them to
-            # the per-token model spirals the budget to the floor.
-            if n_tok >= 128:
-                self._prefill_cost_per_token = self._ewma(
-                    self._prefill_cost_per_token, dt / n_tok
-                )
         return out
 
     def _prefill_chunk_budget(self) -> int:
@@ -438,6 +450,9 @@ class Scheduler:
         return mask
 
     def _run_extend(self, admitted: List[Tuple[Req, int]]) -> List[Tuple[Req, int]]:
+        """Dispatch a prefill/extend step. The common (unconstrained) path
+        pushes the result onto the in-flight ring; grammar/penalty/EAGLE
+        paths stay synchronous (their host state depends on the tokens)."""
         hb = build_extend_batch(
             admitted,
             self.runner.req_pool.page_table,
@@ -449,60 +464,160 @@ class Scheduler:
         reqs_only = [r for r, _ in admitted]
         mask = self._vocab_mask(reqs_only, hb.B)
         pen = self._penalty_arrays(reqs_only, hb.B)
+        out = []
         hidden = None
+        sync = True
         if self.spec_algo == "EAGLE" and pen is None:
+            out += self._flush_ring()
             tokens, logprobs, hidden = self.runner.step_with_hidden(
                 hb.to_device(self.runner.rng_key), mask
             )
             hidden = np.asarray(hidden)
         elif mask is None and pen is None and hb.packable():
             tokens, logprobs = self.runner.step_packed(hb)
+            sync = False
         else:
+            out += self._flush_ring()  # keep token stream order
             tokens, logprobs = self.runner.step(
                 hb.to_device(self.runner.rng_key), mask, pen
             )
-        tokens = np.asarray(tokens)
-        logprobs = np.asarray(logprobs)
+        self._note_dispatch()
         self.n_prefill_tokens += sum(n for _, n in admitted)
 
-        out = []
-        for i, (req, n) in enumerate(admitted):
+        # Dispatch-time bookkeeping: chunked requests go back to the queue
+        # head immediately so the next chunk can dispatch before this one's
+        # results are read (reference add_chunked_req).
+        done_flags = []
+        for req, n in admitted:
             req.prefilled_len += n
-            if req.prefilled_len >= req.prompt_len:
-                tok = int(tokens[i])
-                req.output_ids.append(tok)
-                if hidden is not None:
-                    req.spec_hidden = hidden[i]
-                if req.grammar is not None:
-                    req.grammar.accept_token(tok)
-                if req.return_logprob:
-                    req.output_logprobs.append(float(logprobs[i]))
-                if req.first_token_time is None:
-                    req.first_token_time = time.monotonic()
-                req.is_retracted = False
-                req.check_finished()
-                if req.finished:
-                    self._release_finished(req)
-                else:
-                    self.running.append(req)
-                out.append((req, tok))
-                self._maybe_jump_forward(req, out)
-            else:
-                # Mid-chunk: back to the head of the queue for the next chunk
-                # (keeps its slot/pages; reference add_chunked_req).
+            done = req.prefilled_len >= req.prompt_len
+            done_flags.append(done)
+            if not done:
                 self.waiting.appendleft(req)
+        entry = _RingEntry(
+            kind="extend", hb=hb, tokens=tokens, logprobs=logprobs,
+            epochs=[r.epoch for r in reqs_only], admitted=list(admitted),
+            done_flags=done_flags, hidden=hidden,
+        )
+        if sync:
+            out += self._process_extend_entry(
+                entry, np.asarray(tokens), np.asarray(logprobs)
+            )
+            return out
+        return out + self._push_entry(entry)
+
+    def _process_extend_entry(
+        self, e: _RingEntry, tokens: np.ndarray, logprobs: np.ndarray
+    ) -> List[Tuple[Req, int]]:
+        out = []
+        for i, ((req, _n), done) in enumerate(zip(e.admitted, e.done_flags)):
+            if req.epoch != e.epochs[i]:
+                continue
+            if req.finished:
+                # aborted while in flight: release what it still holds
+                if req.req_slot is not None or req.pages:
+                    self._free_req_memory(req)
+                continue
+            if not done:
                 out.append((req, -1))
+                continue
+            tok = int(tokens[i])
+            req.output_ids.append(tok)
+            if e.hidden is not None:
+                req.spec_hidden = e.hidden[i]
+            if req.grammar is not None:
+                req.grammar.accept_token(tok)
+            if req.return_logprob:
+                req.output_logprobs.append(float(logprobs[i]))
+            if req.first_token_time is None:
+                req.first_token_time = time.monotonic()
+            req.is_retracted = False
+            req.check_finished()
+            if req.finished:
+                self._release_finished(req)
+            else:
+                self.running.append(req)
+            out.append((req, tok))
+            self._maybe_jump_forward(req, out)
         return out
+
+    # ================================================================ ring
+    def _note_dispatch(self) -> None:
+        """Start the flush-cycle clock at the first dispatch of a cycle so
+        idle host time never pollutes the cost model."""
+        if self._cycle_t0 is None:
+            self._cycle_t0 = time.monotonic()
+
+    def _push_entry(self, e: _RingEntry) -> List[Tuple[Req, int]]:
+        """Append to the in-flight ring, flushing first if the ring is at
+        depth. Returns tokens produced by the flush (possibly none)."""
+        out = []
+        if len(self._ring) >= self.overlap_depth:
+            out = self._flush_ring()
+            self._note_dispatch()
+            if e.kind == "decode":
+                # e was chained before the flush and stays in flight: it is
+                # now the one decode step ahead of (caught-up) host state.
+                self._last_decode = (e.hb, e.tokens)
+                self._decode_lag = 1
+        self._ring.append(e)
+        return out
+
+    def _flush_ring(self) -> List[Tuple[Req, int]]:
+        """Read back every in-flight step in ONE fused D2H transfer and
+        process results in dispatch order."""
+        if not self._ring:
+            return []
+        entries, self._ring = self._ring, []
+        self._last_decode = None
+        self._decode_lag = 0
+        t_read0 = time.monotonic()
+        toks_np, lps_np = self.runner.read_results(
+            [e.tokens for e in entries], [e.logprobs for e in entries]
+        )
+        now = time.monotonic()
+        self._readback_cost = self._ewma(self._readback_cost, now - t_read0)
+        if self._cycle_t0 is not None:
+            self._account_costs(entries, now - self._cycle_t0 - (now - t_read0))
+        self._cycle_t0 = None
+        out = []
+        for e, t_np, l_np in zip(entries, toks_np, lps_np):
+            if e.kind == "decode":
+                out += self._process_decode_entry(e, t_np, l_np)
+            else:
+                out += self._process_extend_entry(e, t_np, l_np)
+        return out
+
+    def _account_costs(self, entries: List[_RingEntry], dt: float) -> None:
+        """Attribute a flush cycle's wall time (sans readback) to the decode
+        and prefill cost EWMAs that drive the semi-PD chunk budget. The
+        device is saturated within a cycle, so wall ~= sum of step times."""
+        if dt <= 0:
+            return
+        n_dec = sum(1 for e in entries if e.kind == "decode")
+        pre_toks = sum(
+            sum(n for _, n in e.admitted)
+            for e in entries if e.kind == "extend"
+        )
+        if n_dec and not pre_toks:
+            self._decode_cost = self._ewma(self._decode_cost, dt / n_dec)
+        elif pre_toks:
+            est = dt - n_dec * self._decode_cost
+            # Small chunks are dispatch-overhead-dominated; feeding them to
+            # the per-token model spirals the budget to the floor.
+            if est > 0 and pre_toks >= 128:
+                self._prefill_cost_per_token = self._ewma(
+                    self._prefill_cost_per_token, est / pre_toks
+                )
 
     # ================================================================ decode
     def _run_decode(self) -> List[Tuple[Req, int]]:
-        """Overlap pipeline: (a) when the running batch is unchanged since the
-        in-flight step, dispatch the NEXT step chained to its on-device
-        tokens; (b) read + process the in-flight step; (c) if nothing could
-        be chained, dispatch fresh from host state (its results are read next
-        tick). A decode result is produced every tick either way."""
+        """In-flight pipeline: when the running batch is unchanged since the
+        newest in-flight decode, dispatch the NEXT step chained to its
+        on-device tokens (up to overlap_depth in flight); otherwise flush,
+        then dispatch fresh from host state."""
         if self.spec_gamma > 0:
-            out = self._process_pending()
+            out = self._flush_ring()
             if self.running:
                 if self.spec_algo == "EAGLE":
                     out += self._run_eagle_decode()
@@ -510,11 +625,14 @@ class Scheduler:
                     out += self._run_spec_decode()
             return out
         chained = self._try_dispatch_chained() if self.enable_overlap else None
-        out = self._process_pending()
         if chained is not None:
-            self._pending = chained
-        elif self.running:
-            self._pending = self._dispatch_decode()
+            return self._push_entry(chained)
+        out = self._flush_ring()
+        if self.running:
+            e = self._dispatch_decode()
+            if e is not None:
+                self._note_dispatch()
+                self._ring.append(e)
         return out
 
     def _run_eagle_decode(self) -> List[Tuple[Req, int]]:
@@ -526,12 +644,7 @@ class Scheduler:
             or getattr(r, "spec_hidden", None) is None
             for r in self.running
         ):
-            out = []
-            d = self._dispatch_decode()
-            if d is not None:
-                self._pending = d
-                out = self._process_pending()
-            return out
+            return self._fallback_plain_decode()
 
         drafts_dummy = [[0] * g for _ in self.running]
         for r in self.running:
@@ -583,11 +696,15 @@ class Scheduler:
         return out
 
     def _fallback_plain_decode(self) -> List[Tuple[Req, int]]:
-        d = self._dispatch_decode()
-        if d is None:
+        """Synchronous plain decode step (spec-decode fallback paths): the
+        ring is already flushed when these run, so dispatch + immediate
+        flush reads just this one step."""
+        e = self._dispatch_decode()
+        if e is None:
             return []
-        self._pending = d
-        return self._process_pending()
+        self._note_dispatch()
+        self._ring.append(e)
+        return self._flush_ring()
 
     def _run_spec_decode(self) -> List[Tuple[Req, int]]:
         """NGRAM speculative step: draft, verify in one forward, accept up to
@@ -602,12 +719,7 @@ class Scheduler:
             for r in self.running
         ):
             # masks depend on each accepted token: fall back to plain decode
-            out = []
-            d = self._dispatch_decode()
-            if d is not None:
-                self._pending = d
-                out = self._process_pending()
-            return out
+            return self._fallback_plain_decode()
 
         drafts = [ngram_draft(r, g) for r in self.running]
         # Allocate pages covering last token + drafts per request
@@ -655,9 +767,9 @@ class Scheduler:
         self.running = still
         return out
 
-    def _dispatch_decode(self):
+    def _dispatch_decode(self) -> Optional[_RingEntry]:
         """Build + dispatch a decode step from host state (inputs = last
-        sampled tokens known on host)."""
+        sampled tokens known on host). Called with the ring flushed."""
         if not self._prepare_decode_pages(lag=0):
             return None
         hb = build_decode_batch(
@@ -675,15 +787,21 @@ class Scheduler:
             tokens, logprobs = self.runner.step(
                 hb.to_device(self.runner.rng_key), mask, pen
             )
-        return (hb, tokens, logprobs)
+        self._last_decode = (hb, tokens)
+        self._decode_lag = 1
+        return _RingEntry(
+            kind="decode", hb=hb, tokens=tokens, logprobs=logprobs,
+            epochs=[r.epoch for r in hb.reqs],
+        )
 
-    def _try_dispatch_chained(self):
+    def _try_dispatch_chained(self) -> Optional[_RingEntry]:
         """Dispatch step N+1 with step N's device tokens as inputs. Only when
         the batch is provably identical and unconstrained (grammar/penalty
-        masks depend on token N, which the host hasn't read)."""
-        if self._pending is None or not self.running:
+        masks depend on token N, which the host hasn't read). ``lag`` is the
+        number of in-flight decode steps this batch is ahead of host state."""
+        if self._last_decode is None or not self.running:
             return None
-        hb_prev, dev_tokens, _ = self._pending
+        hb_prev, dev_tokens = self._last_decode
         if hb_prev.mode != ForwardMode.DECODE or hb_prev.reqs != self.running:
             return None
         if any(
@@ -691,7 +809,8 @@ class Scheduler:
             for r in self.running
         ):
             return None
-        if not self._prepare_decode_pages(lag=1, allow_retract=False):
+        lag = self._decode_lag
+        if not self._prepare_decode_pages(lag=lag, allow_retract=False):
             return None
         hb = build_decode_batch(
             self.running,
@@ -699,7 +818,7 @@ class Scheduler:
             self.page_size,
             self.b_buckets,
             self.p_buckets,
-            lag=1,
+            lag=lag,
         )
         if hb.B != hb_prev.B:
             return None
@@ -711,20 +830,22 @@ class Scheduler:
             fb = hb.to_device(self.runner.rng_key)
             fb = fb._replace(input_ids=dev_tokens)
             tokens, logprobs = self.runner.step(fb)
-        return (hb, tokens, logprobs)
+        self._last_decode = (hb, tokens)
+        self._decode_lag = lag + 1
+        return _RingEntry(
+            kind="decode", hb=hb, tokens=tokens, logprobs=logprobs,
+            epochs=[r.epoch for r in hb.reqs],
+        )
 
-    def _process_pending(self) -> List[Tuple[Req, int]]:
-        if self._pending is None:
-            return []
-        hb, tokens, logprobs = self._pending
-        self._pending = None
-        tokens = np.asarray(tokens)
-        logprobs = np.asarray(logprobs)
-
+    def _process_decode_entry(
+        self, e: _RingEntry, tokens: np.ndarray, logprobs: np.ndarray
+    ) -> List[Tuple[Req, int]]:
         out = []
-        for i, req in enumerate(hb.reqs):
-            if req.finished:
-                continue  # finished at N; its N+1 token is discarded
+        for i, req in enumerate(e.hb.reqs):
+            if req.epoch != e.epochs[i] or req.finished:
+                # finished/aborted/retracted/jumped at an earlier in-flight
+                # step: this step's token for it is discarded
+                continue
             tok = int(tokens[i])
             req.output_ids.append(tok)
             self.n_decode_tokens += 1
@@ -830,6 +951,9 @@ class Scheduler:
                 break
         if req in self.running:
             self.running.remove(req)
+        # Any in-flight step that sampled for this req is now stale: the
+        # jumped tokens supersede the chained continuation.
+        req.epoch += 1
         self._refill_parked.append(req)
 
     def _fold_refill_parked(self) -> None:

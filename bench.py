@@ -4,16 +4,27 @@ no checkpoints are available in this environment; serving performance is
 weight-value-independent).
 
 Reproduces the reference's experimental design (evaluation/*.sh +
-bench_serving.py: poisson arrivals, TTFT/TPOT/ITL percentiles, output
-throughput) in-process. Prints ONE JSON line:
+bench_serving.py:1402-1415: poisson arrivals, TTFT/TPOT/ITL percentiles,
+output throughput, request-rate sweep) in-process. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 where value = output tokens/s under the semi-PD scheduler and vs_baseline =
-semi-PD goodput / colocated goodput at the same TTFT+TPOT SLOs.
+semi-PD goodput / colocated goodput at the same TTFT+ITL SLOs.
+
+Budget discipline (round-1 postmortem: rc=124, no number landed):
+  - ONE ModelRunner is built and compiled; both modes swap Schedulers on it.
+  - The remote-TPU tunnel charges ~100s for the FIRST device->host transfer
+    of the session; we pay it in a background thread during engine build.
+  - Every phase checks a wall-clock deadline (BENCH_DEADLINE_S); on deadline
+    or error the JSON line is still emitted with whatever stats exist.
+  - The operating point is calibrated from a short saturated burst so each
+    timed pass fits its slice of the budget.
 """
 
+import dataclasses
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -24,13 +35,22 @@ from semi_pd_tpu.utils.compile_cache import enable_compile_cache
 
 enable_compile_cache()
 
+T_START = time.monotonic()
+DEADLINE = float(os.environ.get("BENCH_DEADLINE_S", "420"))
 
-def build_engine(semi_pd: bool):
-    from __graft_entry__ import _llama_config
+
+def remaining() -> float:
+    return DEADLINE - (time.monotonic() - T_START)
+
+
+def log(msg: str) -> None:
+    print(f"[bench +{time.monotonic()-T_START:5.1f}s] {msg}", file=sys.stderr)
+
+
+def make_server_args(semi_pd: bool):
     from semi_pd_tpu.config.server_args import ServerArgs
-    from semi_pd_tpu.runtime.engine import Engine
 
-    args = ServerArgs(
+    return ServerArgs(
         model_path="",
         random_weights=True,
         page_size=16,
@@ -40,18 +60,38 @@ def build_engine(semi_pd: bool):
         decode_slo_ms=float(os.environ.get("BENCH_SLO_MS", "150")),
         max_running_requests=256,
     )
+
+
+def build_engine():
+    from __graft_entry__ import _llama_config
+    from semi_pd_tpu.runtime.engine import Engine
+
     cfg = _llama_config(
         layers=int(os.environ.get("BENCH_LAYERS", "16")),
         hidden=2048, inter=8192, heads=32, kv_heads=8,
         vocab=int(os.environ.get("BENCH_VOCAB", "128256")),
         head_dim=64, ctx=8192,
     )
-    return Engine(server_args=args, model_config=cfg)
+    return Engine(server_args=make_server_args(False), model_config=cfg)
 
 
-def run_serving_sim(eng, n_reqs, rate, prompt_len, out_len, seed=0):
+def swap_scheduler(eng, semi_pd: bool):
+    """Reuse the compiled runner + KV pool; only the scheduling policy
+    differs between the two modes. flush_cache() first asserts the pool is
+    fully free (leak check), so the new Scheduler starts from clean state."""
+    from semi_pd_tpu.runtime.scheduler import Scheduler
+
+    assert eng.flush_cache()
+    args = make_server_args(semi_pd)
+    eng.server_args = args
+    eng.scheduler = Scheduler(args, eng.runner)
+
+
+def run_serving_sim(eng, n_reqs, rate, prompt_len, out_len, seed=0,
+                    budget_s=None):
     """Poisson open-loop arrivals driven through scheduler ticks; returns
-    per-request TTFT and ITL samples plus aggregate throughput."""
+    per-request TTFT and ITL samples plus aggregate throughput. Stops
+    submitting (and drains) if budget_s is exceeded."""
     from semi_pd_tpu.sampling.sampling_params import SamplingParams
 
     rng = np.random.default_rng(seed)
@@ -66,29 +106,36 @@ def run_serving_sim(eng, n_reqs, rate, prompt_len, out_len, seed=0):
     token_times = {r.rid: [] for r in reqs}
     t_start = time.monotonic()
     submitted = 0
-    done = set()
-    while len(done) < n_reqs:
+    truncated = False
+    while True:
         now = time.monotonic() - t_start
-        while submitted < n_reqs and arrivals[submitted] <= now:
-            eng.scheduler.add_request(reqs[submitted])
-            submitted += 1
+        if budget_s is not None and now > budget_s:
+            if not truncated:
+                truncated = True  # stop admitting; drain what's in flight
+            elif now > budget_s + 30:
+                # hard stop: abort the un-served backlog
+                for r in reqs[:submitted]:
+                    if not r.finished:
+                        eng.scheduler.abort_request(r.rid)
+        if not truncated:
+            while submitted < n_reqs and arrivals[submitted] <= now:
+                eng.scheduler.add_request(reqs[submitted])
+                submitted += 1
         produced = eng.scheduler.tick()
         tnow = time.monotonic() - t_start
         for req, tok in produced:
-            if tok < 0:
-                continue
-            token_times[req.rid].append(tnow)
-            if req.finished:
-                done.add(req.rid)
-        if not produced:
-            if submitted < n_reqs and not eng.scheduler.has_work():
-                time.sleep(min(0.002, max(0.0, arrivals[submitted] - (time.monotonic() - t_start))))
-            elif not eng.scheduler.has_work():
-                break
+            if tok >= 0:
+                token_times[req.rid].append(tnow)
+        if not eng.scheduler.has_work():
+            if truncated or submitted == n_reqs:
+                break  # everything admitted has finished
+            # idle: wait for the next poisson arrival
+            time.sleep(min(0.002, max(0.0, arrivals[submitted]
+                                      - (time.monotonic() - t_start))))
     wall = time.monotonic() - t_start
 
     ttfts, itls, n_tokens = [], [], 0
-    for i, r in enumerate(reqs):
+    for i, r in enumerate(reqs[:submitted]):
         ts = token_times[r.rid]
         n_tokens += len(ts)
         if not ts:
@@ -100,14 +147,17 @@ def run_serving_sim(eng, n_reqs, rate, prompt_len, out_len, seed=0):
         "out_tok_s": n_tokens / wall,
         "ttft": np.array(ttfts),
         "itl": np.array(itls) if itls else np.array([0.0]),
-        "reqs": reqs,
+        "reqs": reqs[:submitted],
         "arrivals": arrivals,
         "token_times": token_times,
+        "n_done": sum(1 for r in reqs[:submitted] if r.finished),
+        "truncated": truncated,
     }
 
 
 def goodput(res, ttft_slo, itl_slo):
-    """Requests meeting BOTH TTFT and p95-ITL SLOs, per second."""
+    """Requests meeting BOTH TTFT and p95-ITL SLOs, per second
+    (reference bench_serving.py goodput definition over its SLO flags)."""
     ok = 0
     for i, r in enumerate(res["reqs"]):
         ts = res["token_times"][r.rid]
@@ -124,91 +174,169 @@ def pct(a, q):
     return float(np.percentile(a, q)) if len(a) else 0.0
 
 
+def summarize(res, ttft_slo, itl_slo):
+    return {
+        "out_tok_s": round(res["out_tok_s"], 2),
+        "ttft_p50_ms": round(pct(res["ttft"], 50) * 1e3, 1),
+        "ttft_p99_ms": round(pct(res["ttft"], 99) * 1e3, 1),
+        "itl_p50_ms": round(pct(res["itl"], 50) * 1e3, 2),
+        "itl_p95_ms": round(pct(res["itl"], 95) * 1e3, 2),
+        "itl_p99_ms": round(pct(res["itl"], 99) * 1e3, 2),
+        "goodput_rps": round(goodput(res, ttft_slo, itl_slo), 3),
+        "n_reqs": len(res["reqs"]),
+        "n_done": res["n_done"],
+        "wall_s": round(res["wall_s"], 1),
+        "truncated": res["truncated"],
+    }
+
+
+def emit(payload: dict) -> None:
+    print(json.dumps(payload))
+    sys.stdout.flush()
+
+
 def main():
-    # Operating point near single-chip capacity for the 1B-class config
-    # (measured ~0.8 req/s service rate at 512/64): goodput differences
-    # between the schedulers are visible here, not at 5x overload.
-    n_reqs = int(os.environ.get("BENCH_REQS", "20"))
-    rate = float(os.environ.get("BENCH_RATE", "0.15"))
     prompt_len = int(os.environ.get("BENCH_PROMPT", "512"))
     out_len = int(os.environ.get("BENCH_OUT", "64"))
     ttft_slo = float(os.environ.get("BENCH_TTFT_SLO", "4.0"))
     itl_slo = float(os.environ.get("BENCH_ITL_SLO", "0.25"))
 
-    results = {}
-    for mode, semi in (("colocated", False), ("semi_pd", True)):
+    state = {"phase": "init", "detail": {}}
+
+    def partial_payload(err=None):
+        d = state["detail"]
+        semi = d.get("semi_pd", {})
+        colo = d.get("colocated", {})
+        vs = None
+        if semi and colo:
+            if colo.get("goodput_rps", 0) > 0:
+                vs = semi["goodput_rps"] / colo["goodput_rps"]
+            elif semi.get("goodput_rps", 0) > 0:
+                vs = 2.0
+            elif colo.get("out_tok_s", 0) > 0:
+                vs = semi["out_tok_s"] / colo["out_tok_s"]
+        return {
+            "metric": "semi-pd serving output throughput (1B-class bf16, 1 chip)",
+            "value": semi.get("out_tok_s", 0.0),
+            "unit": "tok/s",
+            "vs_baseline": round(vs, 3) if vs is not None else 0.0,
+            "detail": {**d, "phase_reached": state["phase"],
+                       **({"error": err} if err else {})},
+        }
+
+    try:
+        # Pay the tunnel's first-D2H warmup (~100s cold) concurrently with
+        # engine construction.
+        import jax
+        import jax.numpy as jnp
+
+        jax.devices()
+        t_warm = [None]
+
+        def _pay_d2h():
+            t0 = time.monotonic()
+            jax.device_get(jnp.zeros((8,), jnp.int32) + 1)
+            t_warm[0] = time.monotonic() - t0
+
+        warm_thread = threading.Thread(target=_pay_d2h, daemon=True)
+        warm_thread.start()
+
+        state["phase"] = "build"
         t0 = time.monotonic()
-        eng = build_engine(semi)
-        # Warmup: compile prefill + decode buckets
+        eng = build_engine()
+        log(f"engine built in {time.monotonic()-t0:.1f}s")
+        warm_thread.join(timeout=max(0.0, remaining() - 60))
+        log(f"first-D2H warmup {t_warm[0] and round(t_warm[0],1)}s")
+
+        # Compile coverage: the decode batch buckets and prefill token
+        # buckets the sim can touch (a mid-measurement XLA compile showed up
+        # as a 14s ITL outlier in round 1). All land in the persistent cache.
+        state["phase"] = "compile_warmup"
         from semi_pd_tpu.sampling.sampling_params import SamplingParams
 
-        eng.generate(
-            input_ids=[list(range(100, 100 + prompt_len))] * 2,
-            sampling_params=SamplingParams(max_new_tokens=4, temperature=0.0, ignore_eos=True),
-        )
-        # Cover the decode batch-size buckets and the prefill token buckets
-        # the sim can hit, so the timed pass never compiles (a single
-        # mid-measurement XLA compile showed up as a 14s ITL outlier).
-        for nb in sorted({b for b in eng.scheduler.b_buckets if b <= n_reqs}):
-            eng.generate(
-                input_ids=[[100 + i] * 8 for i in range(nb)],
-                sampling_params=SamplingParams(
-                    max_new_tokens=3, temperature=0.0, ignore_eos=True),
-            )
+        sp_w = SamplingParams(max_new_tokens=3, temperature=0.0, ignore_eos=True)
+        t0 = time.monotonic()
+        eng.generate(input_ids=[list(range(100, 100 + prompt_len))] * 2,
+                     sampling_params=sp_w)
+        for nb in sorted({b for b in eng.scheduler.b_buckets if b <= 256}):
+            if remaining() < 150:
+                log(f"warmup budget cut at bs bucket {nb}")
+                break
+            eng.generate(input_ids=[[100 + i] * 8 for i in range(nb)],
+                         sampling_params=sp_w)
         for tb in sorted({t for t in eng.scheduler.t_buckets
-                          if t <= 2 * prompt_len}):
-            eng.generate(
-                input_ids=[list(range(100, 100 + max(8, tb - 4)))],
-                sampling_params=SamplingParams(
-                    max_new_tokens=2, temperature=0.0, ignore_eos=True),
-            )
-        print(f"[bench] {mode}: engine+warmup {time.monotonic()-t0:.1f}s", file=sys.stderr)
-        # Full warm pass with the same seed: identical arrival pattern hits
-        # exactly the bucket shapes the timed pass needs, so the measurement
-        # contains zero XLA compiles (they also land in the persistent cache
-        # for future runs).
-        t1 = time.monotonic()
-        run_serving_sim(eng, n_reqs, rate, prompt_len, out_len)
-        print(f"[bench] {mode}: warm pass {time.monotonic()-t1:.1f}s", file=sys.stderr)
-        res = run_serving_sim(eng, n_reqs, rate, prompt_len, out_len)
-        res["goodput"] = goodput(res, ttft_slo, itl_slo)
-        results[mode] = res
-        print(
-            f"[bench] {mode}: {res['out_tok_s']:.1f} tok/s, "
-            f"TTFT p50/p99 {pct(res['ttft'],50)*1e3:.0f}/{pct(res['ttft'],99)*1e3:.0f} ms, "
-            f"ITL p50/p99 {pct(res['itl'],50)*1e3:.1f}/{pct(res['itl'],99)*1e3:.1f} ms, "
-            f"goodput {res['goodput']:.2f} req/s",
-            file=sys.stderr,
-        )
-        del eng
+                          if t <= 2 * prompt_len + 512}):
+            if remaining() < 120:
+                log(f"warmup budget cut at token bucket {tb}")
+                break
+            eng.generate(input_ids=[list(range(100, 100 + max(8, tb - 4)))],
+                         sampling_params=sp_w)
+        log(f"compile warmup {time.monotonic()-t0:.1f}s")
 
-    semi, colo = results["semi_pd"], results["colocated"]
-    if colo["goodput"] > 0:
-        vs = semi["goodput"] / colo["goodput"]
-    elif semi["goodput"] > 0:
-        vs = 2.0  # semi-PD meets SLOs where the baseline meets none
-    else:
-        # both outside SLO (e.g. CPU smoke runs): compare raw throughput
-        vs = semi["out_tok_s"] / max(colo["out_tok_s"], 1e-9)
-    print(json.dumps({
-        "metric": "semi-pd serving output throughput (1B-class bf16, 1 chip)",
-        "value": round(semi["out_tok_s"], 2),
-        "unit": "tok/s",
-        "vs_baseline": round(vs, 3),
-        "detail": {
-            "semi_pd": {
-                "ttft_p99_ms": round(pct(semi["ttft"], 99) * 1e3, 1),
-                "itl_p99_ms": round(pct(semi["itl"], 99) * 1e3, 2),
-                "goodput_rps": round(semi["goodput"], 3),
-            },
-            "colocated": {
-                "ttft_p99_ms": round(pct(colo["ttft"], 99) * 1e3, 1),
-                "itl_p99_ms": round(pct(colo["itl"], 99) * 1e3, 2),
-                "goodput_rps": round(colo["goodput"], 3),
-                "out_tok_s": round(colo["out_tok_s"], 2),
-            },
-        },
-    }))
+        # Calibrate service capacity with a short saturated burst (requests
+        # all arrive at t=0), then pick an open-loop operating point at
+        # ~70% utilization so scheduler differences are visible.
+        state["phase"] = "calibrate"
+        assert eng.flush_cache()
+        cal = run_serving_sim(eng, n_reqs=24, rate=1e9, prompt_len=prompt_len,
+                              out_len=out_len, seed=123,
+                              budget_s=min(45.0, remaining() - 120))
+        cap_rps = 24 / cal["wall_s"] if not cal["truncated"] else (
+            max(cal["n_done"], 1) / cal["wall_s"])
+        log(f"calibration: capacity ~{cap_rps:.2f} req/s "
+            f"({cal['out_tok_s']:.0f} tok/s, wall {cal['wall_s']:.1f}s)")
+        rate = float(os.environ.get("BENCH_RATE", 0.0)) or 0.7 * cap_rps
+        # Arrivals span <= half the per-pass budget; >=40 reqs for stats.
+        pass_budget = max(30.0, min(60.0, (remaining() - 40) / 2.2))
+        n_reqs = int(os.environ.get("BENCH_REQS", 0)) or int(
+            min(200, max(40, rate * pass_budget * 0.6)))
+        log(f"operating point: rate={rate:.2f} req/s n={n_reqs} "
+            f"pass_budget={pass_budget:.0f}s")
+
+        results = {}
+        for mode, semi in (("colocated", False), ("semi_pd", True)):
+            state["phase"] = f"run_{mode}"
+            swap_scheduler(eng, semi)
+            res = run_serving_sim(eng, n_reqs, rate, prompt_len, out_len,
+                                  seed=0, budget_s=pass_budget)
+            results[mode] = res
+            state["detail"][mode] = summarize(res, ttft_slo, itl_slo)
+            log(f"{mode}: {json.dumps(state['detail'][mode])}")
+
+        # Rate sweep (tiny version of the reference's --request-rate-extent)
+        # with whatever budget is left.
+        sweep = []
+        for mult in (1.3, 0.45):
+            need = 2 * (n_reqs / rate * 0.75 + 12)
+            if remaining() < need + 25:
+                break
+            state["phase"] = f"sweep_{mult}"
+            r2 = rate * mult
+            n2 = max(30, int(n_reqs * min(mult, 1.0)))
+            row = {"rate_rps": round(r2, 2)}
+            for mode, semi in (("colocated", False), ("semi_pd", True)):
+                swap_scheduler(eng, semi)
+                res = run_serving_sim(eng, n2, r2, prompt_len, out_len,
+                                      seed=7, budget_s=min(60.0, remaining() - 15))
+                row[mode] = summarize(res, ttft_slo, itl_slo)
+            sweep.append(row)
+            log(f"sweep x{mult}: {json.dumps(row)}")
+        if sweep:
+            state["detail"]["rate_sweep"] = sweep
+
+        state["phase"] = "done"
+        state["detail"]["operating_point"] = {
+            "rate_rps": round(rate, 3), "n_reqs": n_reqs,
+            "prompt_len": prompt_len, "out_len": out_len,
+            "ttft_slo_s": ttft_slo, "itl_slo_s": itl_slo,
+            "first_d2h_warmup_s": t_warm[0] and round(t_warm[0], 1),
+        }
+        emit(partial_payload())
+    except Exception as e:  # noqa: BLE001 — always land a JSON line
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        emit(partial_payload(err=f"{type(e).__name__}: {e}"))
 
 
 if __name__ == "__main__":

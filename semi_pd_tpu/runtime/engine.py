@@ -476,6 +476,7 @@ class Engine:
     # ---------------------------------------------------------- maintenance
     def flush_cache(self) -> bool:
         """Reference scheduler.py flush_cache_wrapped: only when idle."""
+        self.scheduler.drain()
         if self.scheduler.has_work():
             return False
         self.scheduler.tree_cache.evict(10**9)

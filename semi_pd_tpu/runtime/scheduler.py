@@ -115,8 +115,13 @@ class Scheduler:
             p *= 4
         self.p_buckets.append(maxp)
 
-        # Cost model for semi-PD chunk sizing (EWMA, seconds)
+        # Cost model for semi-PD chunk sizing (EWMA, seconds). Prefill cost
+        # is affine: chunk_time = overhead + cost_per_token * n — modeling
+        # the fixed dispatch overhead separately keeps small chunks from
+        # being overpriced per-token (which used to spiral the EWMA budget
+        # down to a hard floor; observed 4x slowdown on hardware).
         self._prefill_cost_per_token = 50e-6
+        self._prefill_overhead = 3e-3
         self._decode_cost = 5e-3
         self._readback_cost = 5e-3
         self._ewma = lambda old, new: 0.8 * old + 0.2 * new
@@ -189,6 +194,12 @@ class Scheduler:
             self.waiting or self.running or self._ring or self._refill_parked
         )
 
+    def drain(self) -> None:
+        """Read back any in-flight steps whose requests have all finished
+        (their results are discards). Makes an idle scheduler truly idle."""
+        if self._ring and not (self.running or self.waiting or self._refill_parked):
+            self._flush_ring()
+
     def finish_stream_req(self, req: Req) -> None:
         """Release a request finished by a host-side condition (stop string
         found after detokenization)."""
@@ -245,7 +256,13 @@ class Scheduler:
         return out
 
     def _prefill_chunk_budget(self) -> int:
-        """The MPS-%-equivalent knob: tokens of prefill allowed per tick."""
+        """The MPS-%-equivalent knob: tokens of prefill allowed per tick.
+
+        With the in-flight ring, one flush delivers ``overlap_depth`` decode
+        tokens at once, so the observed ITL is the whole flush cycle:
+        depth x (decode step + prefill chunk) + one readback. The per-tick
+        slack is therefore the SLO divided by depth, minus the amortized
+        readback, minus the decode step itself."""
         if self.args.prefill_chunk_budget_tokens:
             return min(
                 self.args.prefill_chunk_budget_tokens, self.args.chunked_prefill_size
@@ -253,22 +270,22 @@ class Scheduler:
         if not self.running:
             # No decode cadence to protect: full-size chunks.
             return self.args.chunked_prefill_size
-        slack = self.args.decode_slo_ms / 1e3 - self._decode_cost
-        slack *= self.args.semi_pd_prefill_share
+        depth = max(self.overlap_depth, 1)
+        tick_slo = (self.args.decode_slo_ms / 1e3 - self._readback_cost) / depth
+        slack = (tick_slo - self._decode_cost) * self.args.semi_pd_prefill_share
         # If the SLO is unattainable (one decode step alone exceeds it),
         # degrade to MPS-style proportional sharing — the reference's SM
         # split always grants prefill its share regardless of latency — so
-        # prefill is throttled, not starved to the page-size floor.
+        # prefill is throttled, not starved.
         floor_time = self._decode_cost * self.args.semi_pd_prefill_share
-        slack = max(slack, floor_time)
-        tokens = int(slack / max(self._prefill_cost_per_token, 1e-9))
+        budget_time = max(slack, floor_time)
+        tokens = int(
+            (budget_time - self._prefill_overhead)
+            / max(self._prefill_cost_per_token, 1e-9)
+        )
         tokens = (tokens // self.page_size) * self.page_size
-        # Floor at 1/8 of the full chunk: a per-dispatch fixed overhead makes
-        # tiny chunks look expensive per token, which would otherwise spiral
-        # the EWMA budget down to the page-size floor (observed 4x slowdown
-        # on hardware with a high-latency dispatch path).
-        floor_tokens = max(self.page_size, self.args.chunked_prefill_size // 8)
-        return max(min(tokens, self.args.chunked_prefill_size), floor_tokens)
+        # Minimum one page per tick: prefill always makes progress.
+        return max(min(tokens, self.args.chunked_prefill_size), self.page_size)
 
     # ================================================================ prefill
     def _form_extend_batch(self, token_budget: int) -> Optional[List[Tuple[Req, int]]]:
@@ -589,26 +606,35 @@ class Scheduler:
         return out
 
     def _account_costs(self, entries: List[_RingEntry], dt: float) -> None:
-        """Attribute a flush cycle's wall time (sans readback) to the decode
-        and prefill cost EWMAs that drive the semi-PD chunk budget. The
-        device is saturated within a cycle, so wall ~= sum of step times."""
+        """Attribute a flush cycle's wall time (sans readback) to the cost
+        EWMAs that drive the semi-PD chunk budget. The device is saturated
+        within a cycle, so wall ~= sum of step times. Prefill is modeled as
+        affine (overhead + per_token * n): large-chunk cycles update the
+        per-token slope, small-chunk cycles the per-dispatch overhead."""
         if dt <= 0:
             return
         n_dec = sum(1 for e in entries if e.kind == "decode")
-        pre_toks = sum(
-            sum(n for _, n in e.admitted)
-            for e in entries if e.kind == "extend"
-        )
+        exts = [e for e in entries if e.kind == "extend"]
+        pre_toks = sum(sum(n for _, n in e.admitted) for e in exts)
         if n_dec and not pre_toks:
             self._decode_cost = self._ewma(self._decode_cost, dt / n_dec)
-        elif pre_toks:
-            est = dt - n_dec * self._decode_cost
-            # Small chunks are dispatch-overhead-dominated; feeding them to
-            # the per-token model spirals the budget to the floor.
-            if est > 0 and pre_toks >= 128:
+            return
+        if not exts:
+            return
+        est = dt - n_dec * self._decode_cost
+        if est <= 0:
+            return
+        if pre_toks / len(exts) >= 256:
+            slope = (est - len(exts) * self._prefill_overhead) / pre_toks
+            if slope > 0:
                 self._prefill_cost_per_token = self._ewma(
-                    self._prefill_cost_per_token, est / pre_toks
+                    self._prefill_cost_per_token, slope
                 )
+        else:
+            ovh = (est - self._prefill_cost_per_token * pre_toks) / len(exts)
+            self._prefill_overhead = self._ewma(
+                self._prefill_overhead, max(ovh, 0.0)
+            )
 
     # ================================================================ decode
     def _run_decode(self) -> List[Tuple[Req, int]]:

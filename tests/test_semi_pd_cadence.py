@@ -1,0 +1,160 @@
+"""Semi-PD isolation claim, tested directly: with a long prefill draining
+through SLO-bounded chunks, the decode stream's inter-token latency must stay
+under the decode SLO — the reason phase-disaggregation exists (reference
+design intent: semi_pd_decode_scheduler.py:90-151, decode-first cadence).
+
+These tests drive the REAL chunk-budget controller (`_prefill_chunk_budget` +
+`_account_costs` on a real Scheduler) with an injected deterministic device
+cost model (decode step cost, affine prefill chunk cost, readback cost), so
+they run on CPU in milliseconds and assert timing *logic*, not wall clock.
+"""
+
+import numpy as np
+import pytest
+
+from semi_pd_tpu.config.model_config import ModelConfig
+from semi_pd_tpu.config.server_args import ServerArgs
+from semi_pd_tpu.runtime.scheduler import _RingEntry
+
+
+# Injected "true" device costs (seconds)
+DECODE_COST = 5e-3
+CHUNK_OVERHEAD = 3e-3
+COST_PER_TOKEN = 40e-6
+READBACK_COST = 10e-3
+
+
+def make_scheduler(**kw):
+    from transformers import LlamaConfig as HFLlamaConfig
+
+    from semi_pd_tpu.runtime.engine import Engine
+
+    hf_cfg = HFLlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, tie_word_embeddings=False,
+    )
+    mc = ModelConfig.from_hf_config(hf_cfg, dtype="float32")
+    args = ServerArgs(
+        model_path="", random_weights=True, page_size=16,
+        max_total_tokens=4096, chunked_prefill_size=2048,
+        enable_semi_pd=True, **kw,
+    )
+    eng = Engine(server_args=args, model_config=mc)
+    return eng.scheduler
+
+
+class CadenceSim:
+    """Replays the semi-PD tick/flush cadence against the real controller,
+    charging the injected cost model instead of running the device."""
+
+    def __init__(self, sched, prefill_tokens):
+        self.s = sched
+        self.remaining = prefill_tokens
+        self.t = 0.0  # simulated wall clock
+        self.decode_deliveries = []  # times at which decode tokens reach host
+        self.chunks = []  # (budget_at_dispatch, n, slack_feasible)
+        self.s._readback_cost = READBACK_COST  # measured on first flush IRL
+        # the scheduler believes there is one running decode stream
+        self.s.running = [object()]
+
+    def chunk_cost(self, n):
+        return CHUNK_OVERHEAD + COST_PER_TOKEN * n
+
+    def run(self, n_cycles):
+        depth = self.s.overlap_depth
+        for _ in range(n_cycles):
+            entries, cycle_dt = [], 0.0
+            for _ in range(depth):
+                # decode step (dispatched; lands at next flush)
+                cycle_dt += DECODE_COST
+                entries.append(_RingEntry(
+                    kind="decode", hb=None, tokens=None, logprobs=None,
+                    epochs=[]))
+                # SLO-bounded prefill chunk
+                if self.remaining > 0:
+                    budget = self.s._prefill_chunk_budget()
+                    n = min(budget, self.remaining)
+                    self.remaining -= n
+                    cycle_dt += self.chunk_cost(n)
+                    entries.append(_RingEntry(
+                        kind="extend", hb=None, tokens=None, logprobs=None,
+                        epochs=[], admitted=[(None, n)]))
+                    self.chunks.append((budget, n))
+            # flush: readback, then all `depth` decode tokens reach the host
+            self.t += cycle_dt + READBACK_COST
+            for _ in range(depth):
+                self.decode_deliveries.append(self.t)
+            self.s._account_costs(entries, cycle_dt)
+
+    def itl_p95(self, skip_cycles=3):
+        d = self.s.overlap_depth
+        gaps = np.diff(self.decode_deliveries[skip_cycles * d:])
+        return float(np.percentile(gaps, 95)) if len(gaps) else 0.0
+
+
+def test_decode_itl_bounded_under_8k_prefill():
+    """An 8k-token prompt drains in chunks while a decode stream runs; after
+    the cost EWMAs converge (3 cycles), the delivered inter-token latency
+    must stay under decode_slo_ms, and the prefill must fully drain."""
+    slo_ms = 150.0
+    sched = make_scheduler(decode_slo_ms=slo_ms)
+    sim = CadenceSim(sched, prefill_tokens=8192)
+    n_cycles = 0
+    while sim.remaining > 0:
+        sim.run(1)
+        n_cycles += 1
+        assert n_cycles < 500, "prefill starved: 8k tokens never drained"
+    sim.run(3)  # trailing pure-decode cycles
+    assert sim.itl_p95() <= slo_ms / 1e3 * 1.05, (
+        f"decode ITL p95 {sim.itl_p95()*1e3:.1f}ms exceeds the "
+        f"{slo_ms}ms SLO while a long prefill streams"
+    )
+    # Throughput sanity: the drain must not be page-size-crumbs (the old
+    # EWMA spiral). Mean chunk well above one page proves the affine cost
+    # model prices small chunks correctly.
+    mean_chunk = np.mean([n for _, n in sim.chunks])
+    assert mean_chunk >= 8 * sched.page_size, f"chunk spiral: mean {mean_chunk}"
+
+
+def test_budget_respects_feasible_slack():
+    """When slack-based sizing is feasible, the chunk the controller grants
+    must FIT the slack under the true cost model — no floor may push a chunk
+    past the SLO (round-1 verdict: the 1/8-chunk floor could)."""
+    slo_ms = 150.0
+    sched = make_scheduler(decode_slo_ms=slo_ms)
+    sim = CadenceSim(sched, prefill_tokens=32768)
+    sim.run(30)
+    depth = sched.overlap_depth
+    share = sched.args.semi_pd_prefill_share
+    tick_slo = (slo_ms / 1e3 - READBACK_COST) / depth
+    slack = (tick_slo - DECODE_COST) * share
+    assert slack > sim.chunk_cost(sched.page_size), "scenario must be feasible"
+    for budget, _n in sim.chunks[3 * depth:]:
+        assert sim.chunk_cost(budget) <= slack * 1.3, (
+            f"granted chunk {budget} costs {sim.chunk_cost(budget)*1e3:.1f}ms "
+            f"> feasible slack {slack*1e3:.1f}ms"
+        )
+
+
+def test_cost_model_converges():
+    """The affine EWMA must learn the injected slope/overhead, not a blend."""
+    sched = make_scheduler(decode_slo_ms=150.0)
+    sim = CadenceSim(sched, prefill_tokens=65536)
+    sim.run(40)
+    assert sched._prefill_cost_per_token == pytest.approx(COST_PER_TOKEN, rel=0.5)
+    assert sched._decode_cost == pytest.approx(DECODE_COST, rel=0.5)
+
+
+def test_infeasible_slo_degrades_to_proportional():
+    """SLO below one decode step: the controller must degrade to
+    proportional sharing (prefill still progresses >= one page per tick,
+    never starves) instead of chasing an unattainable bound."""
+    sched = make_scheduler(decode_slo_ms=4.0)  # < DECODE_COST per tick
+    sim = CadenceSim(sched, prefill_tokens=4096)
+    n_cycles = 0
+    while sim.remaining > 0:
+        sim.run(1)
+        n_cycles += 1
+        assert n_cycles < 2000, "prefill starved under infeasible SLO"
+    assert all(n >= sched.page_size for _, n in sim.chunks)

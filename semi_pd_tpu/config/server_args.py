@@ -59,6 +59,10 @@ class ServerArgs:
     # (tp_worker_overlap_thread.py). Raises per-token delivery delay by up
     # to depth steps; EOS overshoot wastes at most depth-1 steps.
     overlap_depth: int = 4
+    # EAGLE tree drafting: >1 enables top-k tree speculation (greedy
+    # requests; sampled requests fall back to chain drafts). The tree shape
+    # is static: see speculative/tree.py default_tree_template.
+    speculative_eagle_topk: int = 1
     schedule_conservativeness: float = 1.0
     chunked_prefill_size: int = 2048
     disable_radix_cache: bool = False

@@ -27,6 +27,26 @@ from semi_pd_tpu.runtime.forward_batch import ForwardArrays
 
 _BACKEND = "reference"
 
+# Speculation-tree context: static per-node ancestor bitmasks (see
+# speculative/tree.py). Set at TRACE time around model.forward / draft steps
+# inside the fused EAGLE-tree program; baked into the compiled attention as a
+# compile-time constant (the tree SHAPE is static, only tokens are data).
+_SPEC_TREE = None
+
+
+class spec_tree_context:
+    def __init__(self, anc_bits):
+        self.anc = tuple(anc_bits) if anc_bits is not None else None
+
+    def __enter__(self):
+        global _SPEC_TREE
+        self._saved = _SPEC_TREE
+        _SPEC_TREE = self.anc
+
+    def __exit__(self, *exc):
+        global _SPEC_TREE
+        _SPEC_TREE = self._saved
+
 
 def set_attention_backend(name: str) -> None:
     global _BACKEND
@@ -62,7 +82,7 @@ def paged_attention(
         kv_cache = kv_cache.at[layer_idx, fb.out_slots].set(
             val.astype(kv_cache.dtype)
         )
-        if _BACKEND == "pallas":
+        if _BACKEND == "pallas" and _SPEC_TREE is None:
             from semi_pd_tpu.ops.attention.ragged_paged_attention import (
                 ragged_paged_attention_chunked,
             )
@@ -84,8 +104,10 @@ def paged_attention(
             )  # [L, 2, S, H, D]
             out = ragged_paged_attention_reference(
                 q, kv5, layer_idx, fb.page_table, fb.q_req_idx,
-                fb.q_pos, fb.kv_lens, page_size=page_size, scale=scale,
+                fb.mask_pos if fb.mask_pos is not None else fb.q_pos,
+                fb.kv_lens, page_size=page_size, scale=scale,
                 logit_cap=logit_cap, sliding_window=sliding_window,
+                spec_anc=_SPEC_TREE, win_base=fb.win_base,
             )
         return out, kv_cache
 
@@ -94,6 +116,7 @@ def paged_attention(
         jnp.swapaxes(kv_new, 0, 1).astype(kv_cache.dtype)
     )
 
+    spec_anc = _SPEC_TREE
     if _BACKEND == "pallas":
         from semi_pd_tpu.ops.attention.ragged_paged_attention import (
             ragged_paged_attention,
@@ -103,6 +126,7 @@ def paged_attention(
             q, kv_cache, layer_idx, fb.page_table, fb.kv_lens,
             fb.attn_meta, page_size=page_size, scale=scale,
             logit_cap=logit_cap, sliding_window=sliding_window,
+            spec_anc=spec_anc, win_base=fb.win_base,
         )
     else:
         from semi_pd_tpu.ops.attention.reference import (
@@ -111,8 +135,10 @@ def paged_attention(
 
         out = ragged_paged_attention_reference(
             q, kv_cache, layer_idx, fb.page_table, fb.q_req_idx,
-            fb.q_pos, fb.kv_lens, page_size=page_size, scale=scale,
+            fb.mask_pos if fb.mask_pos is not None else fb.q_pos,
+            fb.kv_lens, page_size=page_size, scale=scale,
             logit_cap=logit_cap, sliding_window=sliding_window,
+            spec_anc=spec_anc, win_base=fb.win_base,
         )
     return out, kv_cache
 
@@ -143,6 +169,7 @@ def paged_attention_mla(
     kv_cache = kv_cache.at[layer_idx, 0, fb.out_slots, 0].set(
         latent_new.astype(kv_cache.dtype)
     )
+    spec_anc = _SPEC_TREE
     if _BACKEND == "pallas":
         from semi_pd_tpu.ops.attention.ragged_paged_attention import (
             ragged_paged_attention,
@@ -151,6 +178,7 @@ def paged_attention_mla(
         out = ragged_paged_attention(
             q, kv_cache, layer_idx, fb.page_table, fb.kv_lens,
             fb.attn_meta, page_size=page_size, scale=scale, v_dim=v_dim,
+            spec_anc=spec_anc, win_base=fb.win_base,
         )
     else:
         from semi_pd_tpu.ops.attention.reference import (
@@ -159,7 +187,8 @@ def paged_attention_mla(
 
         out = ragged_paged_attention_reference(
             q, kv_cache, layer_idx, fb.page_table, fb.q_req_idx,
-            fb.q_pos, fb.kv_lens, page_size=page_size, scale=scale,
-            v_dim=v_dim,
+            fb.mask_pos if fb.mask_pos is not None else fb.q_pos,
+            fb.kv_lens, page_size=page_size, scale=scale,
+            v_dim=v_dim, spec_anc=spec_anc, win_base=fb.win_base,
         )
     return out, kv_cache

@@ -88,6 +88,28 @@ def num_q_blocks(T: int, B: int, q_block_size: int) -> int:
     return min(T // q_block_size + B, (T + q_block_size - 1) // q_block_size + B)
 
 
+def _spec_tree_mask(valid, spec_anc, win_base, q_abs, kv_pos):
+    """Refine the causal mask with the static speculation-tree ancestor
+    bitmasks (speculative/tree.py): kv slots inside the window
+    [win_base, win_base + W) are visible to a q row only if the row's
+    ancestor bit for that slot is set. q_abs must be SLOT-ORDER positions
+    (BFS node index relative to win_base), which makes plain causal a
+    superset of the tree mask outside the window."""
+    W = len(spec_anc)
+    win_q = q_abs - win_base
+    # int32 select-chain gather of the static mask table (no vector gather
+    # on Mosaic); trees are capped at 31 nodes so masks stay positive i32,
+    # and the bit test lowers to shift+and+cmp (trunci-to-i1 is unsupported).
+    bits = jnp.zeros(win_q.shape, jnp.int32)
+    for idx, a in enumerate(spec_anc):
+        bits = jnp.where(win_q == idx, jnp.int32(a), bits)
+    win_kv = kv_pos - win_base
+    in_win = (win_kv >= 0) & (win_kv < W)
+    shift = jnp.clip(win_kv, 0, 31)
+    tree_ok = (jax.lax.shift_right_logical(bits, shift) & 1) > 0
+    return valid & (~in_win | tree_ok)
+
+
 def _rpa_kernel(
     # scalar prefetch
     layer_ref,  # [1]
@@ -99,6 +121,7 @@ def _rpa_kernel(
     block_seq_ref,  # [NQB]
     block_row_ref,  # [NQB]
     block_qofs_ref,  # [NQB]
+    win_base_ref,  # [B] speculation-tree window start (unused unless spec_anc)
     # inputs (ANY/HBM)
     q_hbm,  # [Tpad, Hq, D]
     kv_hbm,  # [L*2*S, Hkv, D] flattened pool; row of (layer, comp, slot) =
@@ -127,6 +150,7 @@ def _rpa_kernel(
     sliding_window: Optional[int],
     ncomp: int,
     v_dim: Optional[int],
+    spec_anc: Optional[tuple] = None,
 ):
     i = pl.program_id(0)
     ki = pl.program_id(1)
@@ -232,6 +256,10 @@ def _rpa_kernel(
         valid = (kv_pos <= q_abs) & (kv_pos < kv_len) & (q_local < n_rows)
         if sliding_window is not None and sliding_window > 0:
             valid &= kv_pos > (q_abs - sliding_window)
+        if spec_anc is not None:
+            valid = _spec_tree_mask(
+                valid, spec_anc, win_base_ref[bsafe], q_abs, kv_pos
+            )
 
         # Per-kv-head flash update (unrolled: Mosaic batched matmul needs
         # leading batch dims on both sides, which the KV layout can't give).
@@ -316,9 +344,9 @@ def _rpa_kernel(
 
 
 def _rpa_kernel_merged(
-    # scalar prefetch (same 9 as _rpa_kernel)
+    # scalar prefetch (same 10 as _rpa_kernel)
     layer_ref, num_slots_ref, page_table_ref, kv_lens_ref, q_lens_ref,
-    q_start_ref, block_seq_ref, block_row_ref, block_qofs_ref,
+    q_start_ref, block_seq_ref, block_row_ref, block_qofs_ref, win_base_ref,
     # HBM refs — CHUNKED head-dim layouts: q [Tpad, Hq*D/128, 128],
     # kv [L*2*S, Hkv*D/128, 128], out like q. Rank-3 keeps dim 0 untiled
     # (arbitrary dynamic row offsets OK) while the minor dims are exactly
@@ -327,7 +355,7 @@ def _rpa_kernel_merged(
     # scratch
     q_buf, k_buf, v_buf, o_buf, m_scr, l_scr, acc_scr, q_sem, kv_sems, o_sem,
     *, page_size, QBLK, KVBLK, scale, logit_cap, sliding_window, ncomp,
-    D, Hq, Hkv,
+    D, Hq, Hkv, spec_anc=None,
 ):
     """Variant of _rpa_kernel for head dims that are not lane-tile multiples
     (e.g. D=64). Mosaic rejects dynamically-offset slices of [*, H, D<128]
@@ -430,6 +458,10 @@ def _rpa_kernel_merged(
         valid = (kv_pos <= q_abs) & (kv_pos < kv_len) & (q_local < n_rows)
         if sliding_window is not None and sliding_window > 0:
             valid &= kv_pos > (q_abs - sliding_window)
+        if spec_anc is not None:
+            valid = _spec_tree_mask(
+                valid, spec_anc, win_base_ref[bsafe], q_abs, kv_pos
+            )
 
         for h in range(Hkv):
             k_h = head(k, h)  # [KVBLK, D]
@@ -496,12 +528,16 @@ def ragged_paged_attention(
     kv_block: int = 256,
     interpret: bool = False,
     force_merged: bool = False,
+    spec_anc: Optional[tuple] = None,
+    win_base: Optional[jax.Array] = None,
 ) -> jax.Array:
     T, Hq, D = q.shape
     B, maxP = page_table.shape
     L, ncomp, S, Hkv, _ = kv_cache.shape
     Dv = v_dim if v_dim is not None else D
     max_kv = maxP * page_size
+    if spec_anc is not None:
+        assert win_base is not None, "spec_anc requires win_base"
 
     is_decode = T == B
     # Decode default is 16, not 8: the (QBLK=8, KVBLK=256) instantiation
@@ -539,7 +575,7 @@ def ragged_paged_attention(
             q, kv_cache, layer_idx, page_table, kv_lens, meta,
             page_size=page_size, scale=scale, logit_cap=logit_cap,
             sliding_window=sliding_window, q_block=QBLK, kv_block=kv_block,
-            interpret=interpret,
+            interpret=interpret, spec_anc=spec_anc, win_base=win_base,
         )
 
     # q rows DMA may overrun by QBLK-1 rows: pad the flat token dim.
@@ -547,7 +583,7 @@ def ragged_paged_attention(
     Tpad = q_in.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=10,
         grid=(NQB, KB),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # q
@@ -593,6 +629,7 @@ def ragged_paged_attention(
         sliding_window=sliding_window,
         ncomp=ncomp,
         v_dim=v_dim,
+        spec_anc=spec_anc,
     )
 
     layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
@@ -620,6 +657,7 @@ def ragged_paged_attention(
         meta.block_seq,
         meta.block_row,
         meta.block_qofs,
+        win_base if win_base is not None else jnp.zeros_like(kv_lens),
         q_in,
         kv_flat,
     )
@@ -630,6 +668,7 @@ def _ragged_paged_attention_merged(
     q, kv_cache, layer_idx, page_table, kv_lens, meta, *,
     page_size, scale, logit_cap=None, sliding_window=None,
     q_block=None, kv_block=256, interpret=False,
+    spec_anc=None, win_base=None,
 ):
     """Merged-lane driver (see _rpa_kernel_merged): q/kv/out reshaped to
     [rows, H*D/128, 128] outside the kernel (free bitcasts)."""
@@ -664,7 +703,7 @@ def _ragged_paged_attention_merged(
     kv_flat = kv_cache.reshape(L * ncomp * S, CK, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=10,
         grid=(NQB, KB),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -697,6 +736,7 @@ def _ragged_paged_attention_merged(
         D=D,
         Hq=Hq,
         Hkv=Hkv,
+        spec_anc=spec_anc,
     )
 
     layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
@@ -718,6 +758,7 @@ def _ragged_paged_attention_merged(
         meta.block_seq,
         meta.block_row,
         meta.block_qofs,
+        win_base if win_base is not None else jnp.zeros_like(kv_lens),
         q_in,
         kv_flat,
     )

@@ -24,6 +24,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def ragged_paged_attention_reference(
@@ -39,11 +40,19 @@ def ragged_paged_attention_reference(
     logit_cap: Optional[float] = None,
     sliding_window: Optional[int] = None,
     v_dim: Optional[int] = None,
+    spec_anc: Optional[tuple] = None,
+    win_base: Optional[jax.Array] = None,  # [B] i32 window start per request
 ) -> jax.Array:
     """``v_dim``: MLA mode — the cache has one component (the latent
     [c_kv | k_pe] row); V is the first v_dim dims of K (reference
     MLATokenToKVPool memory_pool.py:379 + DeepseekV2AttentionMLA
-    forward_absorb deepseek_v2.py:633)."""
+    forward_absorb deepseek_v2.py:633).
+
+    ``spec_anc``: static speculation-tree ancestor bitmasks (one int per
+    window node; see speculative/tree.py). When set, ``q_pos`` must be
+    SLOT-ORDER positions (window node index relative to ``win_base``), and
+    kv slots inside the window [win_base, win_base+W) additionally require
+    the matching ancestor bit — tree attention for draft/verify batches."""
     T, Hq, D = q.shape
     Hkv = kv_cache.shape[3]
     B, maxP = page_table.shape
@@ -76,6 +85,19 @@ def ragged_paged_attention_reference(
     valid = (kv_pos <= q_pos[:, None]) & (kv_pos < kv_lens[q_req_idx][:, None])
     if sliding_window is not None and sliding_window > 0:
         valid &= kv_pos > (q_pos[:, None] - sliding_window)
+    if spec_anc is not None and win_base is not None:
+        W = len(spec_anc)
+        anc = jnp.asarray(
+            np.asarray(spec_anc, dtype=np.uint64).astype(np.uint32)
+        )
+        wb = win_base[q_req_idx]  # [T]
+        win_q = q_pos - wb  # node index of each q row
+        bits = anc[jnp.clip(win_q, 0, W - 1)]  # [T]
+        win_kv = kv_pos - wb[:, None]  # [T, max_kv]
+        in_win = (win_kv >= 0) & (win_kv < W)
+        shift = jnp.clip(win_kv, 0, 31).astype(jnp.uint32)
+        tree_ok = ((bits[:, None] >> shift) & jnp.uint32(1)) == jnp.uint32(1)
+        valid &= jnp.where(in_win, tree_ok, True)
     scores = jnp.where(valid[:, None, None, :], scores, -jnp.inf)
 
     probs = jax.nn.softmax(scores, axis=-1)

@@ -60,6 +60,8 @@ class HostBatch:
     embed_override: np.ndarray = None
     embed_mask: np.ndarray = None
     mrope_pos: np.ndarray = None
+    mask_pos: np.ndarray = None  # [T] slot-order positions (tree verify)
+    win_base: np.ndarray = None  # [B] tree window start
 
     def to_device(self, rng_key) -> ForwardArrays:
         if self.mode == ForwardMode.DECODE:
@@ -94,6 +96,12 @@ class HostBatch:
             embed_mask=(
                 jnp.asarray(self.embed_mask)
                 if self.embed_mask is not None else None
+            ),
+            mask_pos=(
+                jnp.asarray(self.mask_pos) if self.mask_pos is not None else None
+            ),
+            win_base=(
+                jnp.asarray(self.win_base) if self.win_base is not None else None
             ),
         )
 
@@ -390,3 +398,64 @@ def build_spec_verify_batch(
         sampling=_sampling_arrays_np(reqs, B), T=T, B=B, maxP=maxP,
     )
     return hb, drafts_padded, draft_lens
+
+
+def build_tree_verify_batch(
+    reqs: List[Req],
+    tree,  # speculative.tree.TreeTemplate
+    page_table_host: np.ndarray,
+    page_size: int,
+    b_buckets: Sequence[int],
+    p_buckets: Sequence[int],
+) -> HostBatch:
+    """EAGLE-tree verify batch: every request contributes N rows, one per
+    tree node in BFS order. Node i occupies KV slot (kv_len + i) but its
+    ROPE position is (kv_len + depth(i)) — q_pos carries rope, mask_pos the
+    slot order, win_base the window start (see speculative/tree.py and the
+    spec_anc mask in the attention backends). Pages covering kv_len + N
+    positions must already be allocated. input_ids row 0 holds the last
+    committed token; the other rows are substituted on device by the fused
+    draft phase (eagle_tree_round)."""
+    N = tree.num_nodes
+    B = bucket_of(len(reqs), b_buckets)
+    T = B * N
+    need_pages = max(
+        (r.kv_len + N + page_size - 1) // page_size + 1 for r in reqs
+    )
+    maxP = bucket_of(need_pages, p_buckets)
+
+    input_ids = np.zeros(T, np.int32)
+    q_req_idx = np.zeros(T, np.int32)
+    q_pos = np.zeros(T, np.int32)
+    mask_pos = np.zeros(T, np.int32)
+    out_slots = np.zeros(T, np.int32)
+    kv_lens = np.zeros(B, np.int32)
+    win_base = np.zeros(B, np.int32)
+    logits_idx = np.arange(T, dtype=np.int32)
+
+    for i, r in enumerate(reqs):
+        rbase = i * N
+        start = r.kv_len
+        input_ids[rbase] = r.output_ids[-1] if r.output_ids else r.input_ids[-1]
+        for j in range(N):
+            row = rbase + j
+            q_req_idx[row] = i
+            q_pos[row] = start + int(tree.depths[j])
+            mask_pos[row] = start + j
+            pos = start + j
+            out_slots[row] = (
+                r.pages[pos // page_size] * page_size + pos % page_size
+            )
+        kv_lens[i] = start + N
+        win_base[i] = start
+
+    return HostBatch(
+        mode=ForwardMode.EXTEND, reqs=list(reqs),
+        extend_lens=[N] * len(reqs),
+        input_ids=input_ids, q_req_idx=q_req_idx, q_pos=q_pos,
+        out_slots=out_slots,
+        page_table=_page_table_block(reqs, B, maxP, page_table_host),
+        kv_lens=kv_lens, logits_idx=logits_idx,
+        sampling=_sampling_arrays_np(reqs, B), T=T, B=B, maxP=maxP,
+        mask_pos=mask_pos, win_base=win_base,
+    )

@@ -59,6 +59,11 @@ class ForwardArrays(NamedTuple):
     embed_mask: Optional[jax.Array] = None  # [T] bool
     # Qwen2-VL m-rope: per-token (t, h, w) positions; None for 1D-rope models
     mrope_pos: Optional[jax.Array] = None  # [T, 3] i32
+    # Speculation-tree batches (speculative/tree.py): slot-order positions
+    # for causal masking (q_pos keeps the ROPE position = tree depth) and
+    # the window start per request; None outside tree rounds.
+    mask_pos: Optional[jax.Array] = None  # [T] i32
+    win_base: Optional[jax.Array] = None  # [B] i32
 
 
 def build_attn_meta(q_lens_np: np.ndarray, kv_lens_np: np.ndarray, T: int) -> AttnMeta:

@@ -500,6 +500,26 @@ class ModelRunner:
             _eagle, donate_argnums=(2, 3), static_argnums=(6,)
         )
 
+        self.tree_template = None
+        if self.server_args.speculative_eagle_topk > 1:
+            from semi_pd_tpu.speculative.eagle import eagle_tree_round
+            from semi_pd_tpu.speculative.tree import default_tree_template
+
+            self.tree_template = default_tree_template(
+                self.server_args.speculative_eagle_topk,
+                self.server_args.speculative_num_draft_tokens,
+            )
+
+            def _eagle_tree(params, dparams, kv, dkv, fb, prev_hidden, tree):
+                return eagle_tree_round(
+                    model, draft, params, dparams, kv, dkv, fb, prev_hidden,
+                    tree,
+                )
+
+            self._eagle_tree_jit = jax.jit(
+                _eagle_tree, donate_argnums=(2, 3), static_argnums=(6,)
+            )
+
     def eagle_step(self, fb: ForwardArrays, prev_hidden, gamma: int):
         """Fused EAGLE round. Returns device (accept_len, next_tok,
         drafts [B, gamma], next_hidden [B, H])."""
@@ -518,6 +538,26 @@ class ModelRunner:
         self.draft_kv.update((dkv,))
         self.rng_key = new_key
         return accept_len, next_tok, drafts, next_hidden
+
+    def eagle_tree_step(self, fb: ForwardArrays, prev_hidden):
+        """Fused EAGLE tree round (speculative/eagle.py eagle_tree_round).
+        Returns device (accept_len [B], next_tok [B], path_tokens [B, depth],
+        next_hidden [B, H])."""
+        fb = fb._replace(rng_key=self.rng_key)
+        ph = jnp.asarray(prev_hidden, dtype=self.model.dtype)
+        if self._replicated is not None:
+            fb = jax.device_put(fb, self._replicated)
+            ph = jax.device_put(ph, self._replicated)
+        (accept_len, next_tok, path_tokens, next_hidden, new_key, kv, dkv) = (
+            self._eagle_tree_jit(
+                self.params, self.draft_params, self.kv_cache.arrays,
+                self.draft_kv.arrays[0], fb, ph, self.tree_template,
+            )
+        )
+        self.kv_cache.update(kv)
+        self.draft_kv.update((dkv,))
+        self.rng_key = new_key
+        return accept_len, next_tok, path_tokens, next_hidden
 
     def step_with_hidden(self, fb: ForwardArrays, vocab_mask=None):
         """Like step() but also returns the last-token hidden states [B, H]

@@ -672,6 +672,12 @@ class Scheduler:
         ):
             return self._fallback_plain_decode()
 
+        tree = getattr(self.runner, "tree_template", None)
+        if tree is not None and all(
+            r.sampling_params.temperature <= 0.0 for r in self.running
+        ):
+            return self._run_eagle_tree_decode(tree)
+
         drafts_dummy = [[0] * g for _ in self.running]
         for r in self.running:
             target = r.kv_len + 1 + g
@@ -704,6 +710,67 @@ class Scheduler:
         still = []
         for i, req in enumerate(hb.reqs):
             toks = drafts[i][: int(accept_len[i])].tolist() + [int(next_tok[i])]
+            self.n_spec_steps += 1
+            self.n_spec_accepted += int(accept_len[i])
+            req.spec_hidden = next_hidden[i]
+            for tok in toks:
+                req.output_ids.append(tok)
+                self.n_decode_tokens += 1
+                req.check_finished()
+                out.append((req, tok))
+                if req.finished:
+                    break
+            if req.finished:
+                self._release_finished(req)
+            else:
+                still.append(req)
+        self.running = still
+        return out
+
+    def _run_eagle_tree_decode(self, tree) -> List[Tuple[Req, int]]:
+        """EAGLE top-k TREE round (speculative/eagle.py eagle_tree_round):
+        one fused dispatch drafts a static token tree, verifies every node
+        with the target, accepts the deepest matching path and compacts its
+        KV into slot order. Greedy-only (caller checked). Reference:
+        eagle_worker.py:162-366 + build_eagle_tree.py."""
+        from semi_pd_tpu.runtime.batch import build_tree_verify_batch
+
+        N = tree.num_nodes
+        for r in self.running:
+            target = r.kv_len + N
+            need = (target + self.page_size - 1) // self.page_size - len(r.pages)
+            if need > 0:
+                pages = self._alloc_pages(need)
+                if pages is None:
+                    return self._fallback_plain_decode()
+                self.runner.req_pool.write(r.req_slot, len(r.pages), pages)
+                r.pages.extend(pages.tolist())
+
+        hb = build_tree_verify_batch(
+            self.running, tree,
+            self.runner.req_pool.page_table, self.page_size,
+            self.b_buckets, self.p_buckets,
+        )
+        H = self.runner.model_config.hidden_size
+        prev_hidden = np.zeros((hb.B, H), np.float32)
+        for i, r in enumerate(hb.reqs):
+            prev_hidden[i] = r.spec_hidden
+        accept_len, next_tok, path_tokens, next_hidden = (
+            self.runner.eagle_tree_step(
+                hb.to_device(self.runner.rng_key), prev_hidden
+            )
+        )
+        accept_len = np.asarray(accept_len)
+        next_tok = np.asarray(next_tok)
+        path_tokens = np.asarray(path_tokens)
+        next_hidden = np.asarray(next_hidden)
+
+        out = []
+        still = []
+        for i, req in enumerate(hb.reqs):
+            toks = path_tokens[i][: int(accept_len[i])].tolist() + [
+                int(next_tok[i])
+            ]
             self.n_spec_steps += 1
             self.n_spec_accepted += int(accept_len[i])
             req.spec_hidden = next_hidden[i]

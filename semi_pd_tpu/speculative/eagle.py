@@ -125,11 +125,13 @@ class EagleDraftModel:
         tok_embed: jax.Array,  # [B, H] embedding of the input token
         hidden_feed: jax.Array,  # [B, H] previous hidden (target or draft)
         draft_kv: jax.Array,  # [1, 2, S, Hkv, D]
-        positions: jax.Array,  # [B] absolute position being written
+        positions: jax.Array,  # [B] ROPE position being written
         out_slots: jax.Array,  # [B] slot for this position
         page_table: jax.Array,
-        kv_lens: jax.Array,  # [B] = positions + 1
+        kv_lens: jax.Array,  # [B] = mask position + 1
         attn_meta,
+        mask_positions: Optional[jax.Array] = None,  # [B] slot-order positions
+        win_base: Optional[jax.Array] = None,  # [B] tree window start
     ) -> Tuple[jax.Array, jax.Array]:
         """One draft decode step. Returns (hidden [B, H], draft_kv')."""
         c = self.config
@@ -153,6 +155,7 @@ class EagleDraftModel:
             sampling=None, rng_key=None,
             num_reqs=jnp.asarray(B, jnp.int32),
             attn_meta=attn_meta,
+            mask_pos=mask_positions, win_base=win_base,
         )
         attn, draft_kv = paged_attention(
             q, k, v, draft_kv, 0, fb_like,
@@ -244,3 +247,157 @@ def eagle_round(
         h_rows, accept_len[:, None, None], axis=1
     )[:, 0, :]
     return accept_len, next_tok, drafts, next_hidden, new_key, kv, draft_kv
+
+
+def eagle_tree_round(
+    target_model,
+    draft_model: EagleDraftModel,
+    params,
+    draft_params,
+    kv,
+    draft_kv,  # [1, 2, S, Hd, Dd]
+    fb: ForwardArrays,  # tree-verify batch (B*N rows; see build_tree_verify_batch)
+    prev_hidden: jax.Array,  # [B, H] target hidden seeding the draft
+    tree,  # TreeTemplate (static)
+):
+    """EAGLE top-k TREE round, fully fused in one dispatch (reference:
+    eagle_worker.py:162-366 + build_eagle_tree.py, which run draft CUDA
+    graphs, tree construction kernels and a verify graph as separate
+    launches). Greedy acceptance only — the scheduler falls back to chain
+    drafts for sampled requests.
+
+    Phases (all under one spec_tree_context so every attention call applies
+    the static ancestor masks):
+      1. draft, level by level (unrolled — level widths are static): run the
+         1-layer draft on every node of the level, writing draft KV at the
+         node's slot; top-k of each node's logits provides its children's
+         tokens per the template ranks.
+      2. target verify over all B*N tree rows in ONE extend forward.
+      3. greedy acceptance: node is accepted iff its parent is and its token
+         equals the target argmax at the parent; the deepest accepted node
+         wins; bonus token = target argmax at that node.
+      4. KV compaction: both pools copy the accepted path's rows into
+         slot order [base+1 .. base+accept_len] so committed positions are
+         contiguous (tree slots are BFS-order, not path-order).
+
+    Returns (accept_len [B], next_tok [B], path_tokens [B, depth],
+    next_hidden [B, H], new_key, kv', draft_kv')."""
+    from semi_pd_tpu.layers.attention import spec_tree_context
+    from semi_pd_tpu.ops.attention.ragged_paged_attention import AttnMeta
+
+    N = tree.num_nodes
+    B = fb.page_table.shape[0]
+    embed_w = params["embed"]["w"]
+    head = params.get("lm_head") or {"w": embed_w.T}
+
+    win_slots = fb.out_slots.reshape(B, N)
+    rope_pos = fb.q_pos.reshape(B, N)  # base + depth(node)
+    mask_pos = fb.mask_pos.reshape(B, N)  # base + node
+    base = mask_pos[:, 0]  # window start per request
+
+    tok0 = fb.input_ids.reshape(B, N)[:, 0]
+    node_tokens = {0: tok0}
+    node_hidden = {}
+
+    with spec_tree_context(tree.anc_bits):
+        # ---- 1. draft, level by level
+        for d, level in enumerate(tree.level_nodes):
+            n = len(level)
+            Bn = B * n
+            toks = jnp.concatenate([node_tokens[j] for j in level])  # [Bn]
+            if d == 0:
+                hfeed = prev_hidden
+            else:
+                hfeed = jnp.concatenate(
+                    [node_hidden[tree.parents[j]] for j in level]
+                )
+            slots = jnp.concatenate([win_slots[:, j] for j in level])
+            rpos = jnp.concatenate([rope_pos[:, j] for j in level])
+            mpos = jnp.concatenate([mask_pos[:, j] for j in level])
+            pt = jnp.tile(fb.page_table, (n, 1))
+            meta = AttnMeta(
+                q_lens=jnp.ones(Bn, jnp.int32),
+                q_start=mpos,
+                block_seq=jnp.arange(Bn, dtype=jnp.int32),
+                block_row=jnp.arange(Bn, dtype=jnp.int32),
+                block_qofs=jnp.zeros(Bn, jnp.int32),
+            )
+            h, draft_kv = draft_model.step(
+                draft_params,
+                jnp.take(embed_w, toks, axis=0),
+                hfeed,
+                draft_kv,
+                rpos,
+                slots,
+                pt,
+                mpos + 1,
+                meta,
+                mask_positions=mpos,
+                win_base=jnp.tile(base, n),
+            )
+            for li, j in enumerate(level):
+                node_hidden[j] = h[li * B : (li + 1) * B]
+            if d < tree.depth:
+                k_d = tree.branching[d]
+                logits = apply_linear(head, h).astype(jnp.float32)  # [Bn, V]
+                _, topk_idx = jax.lax.top_k(logits, k_d)  # [Bn, k_d]
+                for li, j in enumerate(level):
+                    rows = topk_idx[li * B : (li + 1) * B]  # [B, k_d]
+                    for child in range(len(tree.parents)):
+                        if tree.parents[child] == j:
+                            node_tokens[child] = rows[
+                                :, int(tree.ranks[child])
+                            ].astype(jnp.int32)
+
+        # ---- 2. target verify over the whole tree
+        window = jnp.stack([node_tokens[i] for i in range(N)], axis=1)  # [B, N]
+        fb = fb._replace(input_ids=window.reshape(B * N))
+        logits, kv, hidden = target_model.forward(
+            params, fb, kv, return_hidden=True
+        )
+
+    # ---- 3. greedy acceptance over the tree
+    g = jnp.argmax(logits.reshape(B, N, -1).astype(jnp.float32), axis=-1)
+    g = g.astype(jnp.int32)  # [B, N] target's token AFTER node i
+    acc = [None] * N
+    acc[0] = jnp.ones(B, bool)
+    for j in range(1, N):
+        p = int(tree.parents[j])
+        acc[j] = acc[p] & (window[:, j] == g[:, p])
+    acc = jnp.stack(acc, axis=1)  # [B, N]
+    depths = jnp.asarray(tree.depths, jnp.int32)  # [N]
+    score = jnp.where(acc, depths[None, :], -1)
+    best = jnp.argmax(score, axis=1).astype(jnp.int32)  # first deepest accepted
+    accept_len = jnp.take_along_axis(score, best[:, None], axis=1)[:, 0]
+    accept_len = jnp.maximum(accept_len, 0)
+    next_tok = jnp.take_along_axis(g, best[:, None], axis=1)[:, 0]
+
+    # accepted path: ancestor of `best` at each depth (static table gather)
+    anc_at_depth = jnp.asarray(tree.anc_at_depth, jnp.int32)  # [N, D+1]
+    path_nodes = anc_at_depth[best]  # [B, D+1]; col 0 = root
+    path_tokens = jnp.take_along_axis(window, path_nodes[:, 1:], axis=1)
+
+    # ---- 4. KV compaction: path node -> slot order (both pools)
+    D_ = tree.depth
+    d_idx = jnp.arange(1, D_ + 1, dtype=jnp.int32)[None, :]  # [1, D]
+    on_path = d_idx <= accept_len[:, None]  # [B, D]
+    src_nodes = jnp.where(on_path, path_nodes[:, 1:], d_idx)  # no-op when off
+    src = jnp.take_along_axis(win_slots, src_nodes, axis=1).reshape(-1)
+    dst = win_slots[:, 1 : D_ + 1].reshape(-1)
+    kv = jax.tree.map(lambda a: _compact_slots(a, src, dst), kv)
+    draft_kv = _compact_slots(draft_kv, src, dst)
+
+    next_hidden = jnp.take_along_axis(
+        hidden.reshape(B, N, -1), best[:, None, None], axis=1
+    )[:, 0, :]
+    new_key, _ = jax.random.split(fb.rng_key)
+    return (accept_len, next_tok, path_tokens, next_hidden, new_key, kv,
+            draft_kv)
+
+
+def _compact_slots(pool, src, dst):
+    """Copy KV rows src -> dst on the slot axis. Pool layouts: 5D
+    [L, C, S, H, D] (slot axis 2) or 4D chunked [L, S, CT, 128] (axis 1)."""
+    if pool.ndim == 5:
+        return pool.at[:, :, dst].set(pool[:, :, src])
+    return pool.at[:, dst].set(pool[:, src])

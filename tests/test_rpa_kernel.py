@@ -224,3 +224,42 @@ def test_chunked_combined_pool_matches_reference():
     )
     np.testing.assert_allclose(
         np.asarray(out)[:T], np.asarray(ref)[:T], rtol=2e-5, atol=2e-5)
+
+
+def test_spec_tree_mask_matches_reference():
+    """Speculation-tree ancestor masks (spec_anc + win_base): the Pallas
+    kernels (aligned and merged) must agree with the reference backend on a
+    tree-verify-shaped batch where each request's last N kv slots form the
+    tree window."""
+    from semi_pd_tpu.speculative.tree import build_tree_template
+
+    tree = build_tree_template((3, 2))  # N = 10 nodes
+    N = tree.num_nodes
+    rng = np.random.default_rng(12)
+    for Hq, Hkv, D, merged in [(4, 2, 32, False), (4, 2, 64, True)]:
+        B = 2
+        prefix = [23, 9]
+        kv_lens = [p + N for p in prefix]
+        q, kvc, pt, qri, _, kvl, layer, ps = _setup(
+            rng, B, [N] * B, kv_lens, Hq=Hq, Hkv=Hkv, D=D
+        )
+        # slot-order mask positions: base + node index
+        mask_pos = jnp.asarray(np.concatenate(
+            [np.arange(p, p + N, dtype=np.int32) for p in prefix]
+        ))
+        win_base = jnp.asarray(np.asarray(prefix, np.int32))
+        meta = build_attn_meta(
+            np.full(B, N, np.int64), np.asarray(kv_lens, np.int64), B * N
+        )
+        ref = ragged_paged_attention_reference(
+            q, kvc, layer, pt, qri, mask_pos, kvl, page_size=ps, scale=0.25,
+            spec_anc=tree.anc_bits, win_base=win_base,
+        )
+        out = ragged_paged_attention(
+            q, kvc, layer, pt, kvl, meta, page_size=ps, scale=0.25,
+            interpret=True, force_merged=merged,
+            spec_anc=tree.anc_bits, win_base=win_base,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )

@@ -89,7 +89,7 @@ class ModelRunner:
         self._read_jits: Dict[tuple, Any] = {}
         self.draft_model = None
         self.draft_kv = None
-        if server_args.speculative_algorithm == "EAGLE":
+        if server_args.speculative_algorithm in ("EAGLE", "NEXTN"):
             self._init_eagle()
         self.rng_key = jax.random.PRNGKey(server_args.seed)
         if self.mesh is not None:
@@ -464,13 +464,21 @@ class ModelRunner:
     def _init_eagle(self):
         """EAGLE draft net + draft KV pool sharing the target's slot space
         (speculative/eagle.py)."""
-        from semi_pd_tpu.mem.pool import KVCache, KVCacheSpec
+        from semi_pd_tpu.mem.pool import KVCache
         from semi_pd_tpu.model_loader.loader import device_put_params, load_params
+        from semi_pd_tpu.models.deepseek_v2 import DeepseekV2ForCausalLM
         from semi_pd_tpu.speculative.eagle import EagleDraftModel, eagle_round
 
         mc = self.model_config
-        self.draft_model = EagleDraftModel(mc)
-        self.draft_model.page_size = self.server_args.page_size
+        if isinstance(self.model, DeepseekV2ForCausalLM):
+            # DeepSeek targets draft with the NextN/MTP head (reference
+            # srt/models/deepseek_nextn.py) — MLA latent draft pool.
+            from semi_pd_tpu.speculative.nextn import NextNDraftModel
+
+            self.draft_model = NextNDraftModel(self.model)
+        else:
+            self.draft_model = EagleDraftModel(mc)
+            self.draft_model.page_size = self.server_args.page_size
         path = self.server_args.speculative_draft_model_path
         if path:
             self.draft_params = load_params(
@@ -479,14 +487,9 @@ class ModelRunner:
         else:
             host = self.draft_model.init_params(self.server_args.seed + 1)
             self.draft_params = device_put_params(host, self.draft_model, self.mesh)
-        dspec = KVCacheSpec(
-            num_layers=1,
-            num_pages=self.kv_spec.num_pages,
-            page_size=self.kv_spec.page_size,
-            num_kv_heads=mc.num_key_value_heads,
-            head_dim=mc.head_dim,
-            dtype=self.kv_spec.dtype,
-        )
+        # Draft pool = one layer of the target pool layout (MHA or MLA
+        # latent alike), sharing the unified slot space.
+        dspec = dataclasses.replace(self.kv_spec, num_layers=1, chunked=False)
         self.draft_kv = KVCache(dspec)
         model = self.model
         draft = self.draft_model

@@ -145,6 +145,10 @@ class Scheduler:
         # Speculative decoding (NGRAM: runtime/speculative.py; EAGLE:
         # speculative/eagle.py fused program)
         self.spec_algo = server_args.speculative_algorithm
+        if self.spec_algo == "NEXTN":
+            # NextN/MTP (deepseek) rides the EAGLE round machinery; the
+            # runner picked the NextN draft module by target architecture.
+            self.spec_algo = "EAGLE"
         self.spec_gamma = (
             server_args.speculative_num_draft_tokens
             if self.spec_algo in ("NGRAM", "EAGLE") else 0

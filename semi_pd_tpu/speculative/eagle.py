@@ -166,6 +166,11 @@ class EagleDraftModel:
         h = h + apply_linear(dp["down"], silu_and_mul(apply_linear(dp["gate_up"], y)))
         return h, draft_kv
 
+    def pre_head(self, dp, h):
+        """Hidden -> lm_head input (identity: the EAGLE llama draft feeds
+        the shared head directly; NextN applies shared_head.norm here)."""
+        return h
+
 
 def eagle_round(
     target_model,
@@ -219,7 +224,9 @@ def eagle_round(
             positions + 1,
             meta,
         )
-        logits = apply_linear(head, h).astype(jnp.float32)
+        logits = apply_linear(
+            head, draft_model.pre_head(draft_params, h)
+        ).astype(jnp.float32)
         nxt = jnp.argmax(logits, -1).astype(jnp.int32)
         return (nxt, h, dkv), nxt
 
@@ -339,7 +346,9 @@ def eagle_tree_round(
                 node_hidden[j] = h[li * B : (li + 1) * B]
             if d < tree.depth:
                 k_d = tree.branching[d]
-                logits = apply_linear(head, h).astype(jnp.float32)  # [Bn, V]
+                logits = apply_linear(
+                    head, draft_model.pre_head(draft_params, h)
+                ).astype(jnp.float32)  # [Bn, V]
                 _, topk_idx = jax.lax.top_k(logits, k_d)  # [Bn, k_d]
                 for li, j in enumerate(level):
                     rows = topk_idx[li * B : (li + 1) * B]  # [B, k_d]

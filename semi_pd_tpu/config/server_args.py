@@ -59,10 +59,6 @@ class ServerArgs:
     # (tp_worker_overlap_thread.py). Raises per-token delivery delay by up
     # to depth steps; EOS overshoot wastes at most depth-1 steps.
     overlap_depth: int = 4
-    # EAGLE tree drafting: >1 enables top-k tree speculation (greedy
-    # requests; sampled requests fall back to chain drafts). The tree shape
-    # is static: see speculative/tree.py default_tree_template.
-    speculative_eagle_topk: int = 1
     schedule_conservativeness: float = 1.0
     chunked_prefill_size: int = 2048
     disable_radix_cache: bool = False
@@ -102,9 +98,12 @@ class ServerArgs:
     grammar_backend: Optional[str] = "outlines_like"
 
     # Speculative decoding
-    speculative_algorithm: Optional[str] = None  # EAGLE | NGRAM
+    speculative_algorithm: Optional[str] = None  # EAGLE | NEXTN | NGRAM
     speculative_num_steps: int = 3
     speculative_num_draft_tokens: int = 4
+    # EAGLE tree drafting: >1 enables top-k tree speculation (greedy
+    # requests; sampled requests fall back to chain drafts). The tree shape
+    # is static: see speculative/tree.py default_tree_template.
     speculative_eagle_topk: int = 1
     speculative_draft_model_path: Optional[str] = None
 
@@ -118,6 +117,8 @@ class ServerArgs:
     api_key: Optional[str] = None
     served_model_name: Optional[str] = None
     chat_template: Optional[str] = None
+    # OpenAI files/batches storage (reference adapter.py:169 storage_dir)
+    file_storage_path: str = "/tmp/semi_pd_tpu_file_storage"
 
     # Observability / debug
     log_level: str = "info"

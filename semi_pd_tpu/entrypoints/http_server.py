@@ -57,6 +57,9 @@ def build_app(async_engine: AsyncEngine) -> web.Application:
         web.post("/v1/chat/completions", v1_chat_completions),
         web.get("/v1/models", v1_models),
     ])
+    from semi_pd_tpu.entrypoints.openai_files import add_routes as add_file_routes
+
+    add_file_routes(app, async_engine.engine.server_args.file_storage_path)
     return app
 
 

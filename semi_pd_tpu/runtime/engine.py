@@ -129,6 +129,11 @@ class Engine:
             input_ids = self.tokenizer.encode(prompt)
         if image_data is not None:
             input_ids = self._expand_image_tokens(list(input_ids), image_data)
+        if not input_ids:
+            # An empty request would sit in the waiting queue forever (no
+            # prefill tokens to admit); fail it up front like the reference's
+            # TokenizerManager input validation.
+            raise ValueError("input is empty (no prompt tokens)")
         req = Req(
             rid=rid or uuid.uuid4().hex,
             input_ids=list(input_ids),

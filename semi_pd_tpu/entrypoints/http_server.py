@@ -51,6 +51,8 @@ def build_app(async_engine: AsyncEngine) -> web.Application:
         web.post("/flush_cache", flush_cache),
         web.post("/abort_request", abort_request),
         web.post("/update_weights_from_disk", update_weights_from_disk),
+        web.post("/init_weights_update_group", init_weights_update_group),
+        web.post("/update_weights_from_distributed", update_weights_from_distributed),
         web.post("/start_profile", start_profile),
         web.post("/stop_profile", stop_profile),
         web.post("/v1/completions", v1_completions),
@@ -251,6 +253,37 @@ async def update_weights_from_disk(request: web.Request) -> web.Response:
         ok = ae.engine.update_weights_from_disk(body["model_path"])
         return web.json_response({"success": ok})
     except Exception as e:
+        return web.json_response({"success": False, "message": str(e)}, status=400)
+
+
+async def init_weights_update_group(request: web.Request) -> web.Response:
+    """Join a trainer's weight-update group (reference http_server.py
+    /init_weights_update_group -> NCCL group; here utils/weight_sync.py TCP)."""
+    ae: AsyncEngine = request.app["engine"]
+    body = await _json_body(request)
+    try:
+        ok = await ae.run_job(lambda: ae.engine.init_weights_update_group(
+            master_address=body["master_address"],
+            master_port=int(body["master_port"]),
+            group_name=body.get("group_name", "weight_update_group"),
+        ))
+        return web.json_response({"success": ok})
+    except Exception as e:  # noqa: BLE001
+        return web.json_response({"success": False, "message": str(e)}, status=400)
+
+
+async def update_weights_from_distributed(request: web.Request) -> web.Response:
+    """Receive announced tensors from the trainer group and swap them in
+    (reference adapter /update_weights_from_distributed: name/dtype/shape per
+    call, bytes over the group transport)."""
+    ae: AsyncEngine = request.app["engine"]
+    body = await _json_body(request)
+    try:
+        ok = await ae.run_job(lambda: ae.engine.update_weights_from_distributed(
+            body["name"], body["dtype"], body["shape"],
+        ))
+        return web.json_response({"success": ok})
+    except Exception as e:  # noqa: BLE001
         return web.json_response({"success": False, "message": str(e)}, status=400)
 
 

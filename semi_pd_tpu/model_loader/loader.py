@@ -113,37 +113,23 @@ def _set_path(tree: Dict[str, Any], dotted: str, value):
     node[parts[-1]] = value
 
 
-def load_params(
-    model,
-    weights: Optional[Iterable[Tuple[str, Any]]] = None,
-    model_path: Optional[str] = None,
-    mesh: Optional[jax.sharding.Mesh] = None,
-) -> Dict[str, Any]:
-    """Assemble the model's param pytree from checkpoint weights.
-
-    ``model`` must expose param_specs(), param_partition_specs(), and
-    hf_weight_plan(). Exactly one of ``weights`` / ``model_path`` given.
-    """
-    specs = model.param_specs()
-    plan = model.hf_weight_plan()
-
-    # Compile name templates to regexes ({L} = layer index, {E} = expert index).
+def _compile_plan(plan):
+    """Compile name templates to regexes ({L}=layer idx, {E}=expert idx)."""
     compiled = []
     for tmpl, action in plan.items():
         pattern = re.escape(tmpl)
         pattern = pattern.replace(re.escape("{L}"), r"(?P<L>\d+)")
         pattern = pattern.replace(re.escape("{E}"), r"(?P<E>\d+)")
         compiled.append((re.compile("^" + pattern + "$"), tmpl, action))
+    return compiled
 
-    # Host-side staging buffers in target dtype.
-    host = jax.tree.map(
-        lambda s: np.zeros(s.shape, dtype=_np_dtype(s.dtype)), specs
-    )
 
-    if weights is None:
-        assert model_path is not None
-        weights = iterate_hf_weights(model_path)
+def _apply_weights(model, compiled, weights, get_leaf) -> set:
+    """Write checkpoint tensors into host leaves fetched via get_leaf(dotted).
 
+    Shared by full load (zero-init staging tree) and partial update (lazy
+    device->host pull of only the touched leaves). Returns matched templates.
+    """
     matched = set()
     for name, tensor in weights:
         for rx, tmpl, (path, out_slice, transform) in compiled:
@@ -162,7 +148,7 @@ def load_params(
                 # slice) under rpath; stacked {L}/{E} dims index as usual.
                 pieces = model.postprocess_weight(transform, _to_numpy(tensor))
                 for leaf, val in pieces.items():
-                    tgt = _get_path(host, f"{rpath}.{leaf}" if leaf else rpath)
+                    tgt = get_leaf(f"{rpath}.{leaf}" if leaf else rpath)
                     for key in ("L", "E"):
                         if key in gd and ("{%s}" % key) not in path:
                             tgt = tgt[int(gd[key])]
@@ -174,7 +160,7 @@ def load_params(
                 matched.add(tmpl)
                 break
             arr = _TRANSFORMS[transform](_to_numpy(tensor))
-            dest = _get_path(host, rpath)
+            dest = get_leaf(rpath)
             # Indices not consumed by path substitution index stacked leading
             # dims of the destination array ([L, ...] stacked layers, [E, ...]
             # stacked experts).
@@ -192,12 +178,79 @@ def load_params(
         else:
             if not name.endswith(("rotary_emb.inv_freq",)):
                 logger.debug("unmatched checkpoint tensor: %s", name)
+    return matched
 
-    missing = set(plan.keys()) - matched
+
+def load_params(
+    model,
+    weights: Optional[Iterable[Tuple[str, Any]]] = None,
+    model_path: Optional[str] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> Dict[str, Any]:
+    """Assemble the model's param pytree from checkpoint weights.
+
+    ``model`` must expose param_specs(), param_partition_specs(), and
+    hf_weight_plan(). Exactly one of ``weights`` / ``model_path`` given.
+    """
+    specs = model.param_specs()
+    compiled = _compile_plan(model.hf_weight_plan())
+
+    # Host-side staging buffers in target dtype.
+    host = jax.tree.map(
+        lambda s: np.zeros(s.shape, dtype=_np_dtype(s.dtype)), specs
+    )
+
+    if weights is None:
+        assert model_path is not None
+        weights = iterate_hf_weights(model_path)
+
+    matched = _apply_weights(model, compiled, weights, lambda p: _get_path(host, p))
+
+    missing = {tmpl for _, tmpl, _ in compiled} - matched
     if missing:
         logger.warning("weight plan entries never matched: %s", sorted(missing))
 
     return device_put_params(host, model, mesh)
+
+
+def update_params(
+    model,
+    params: Dict[str, Any],
+    weights: Iterable[Tuple[str, Any]],
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> Dict[str, Any]:
+    """Partial in-place weight update: only leaves named by ``weights`` are
+    pulled to host, overwritten, and re-put (sharded) — the rest of the
+    pytree is untouched. This is the semantics the reference's RL-loop paths
+    need (model_runner.py:845 update_weights_from_distributed / :878
+    update_weights_from_tensor update one named tensor per call); a full
+    re-load there would zero every parameter not in the batch.
+    """
+    compiled = _compile_plan(model.hf_weight_plan())
+    pulled: Dict[str, np.ndarray] = {}
+
+    def get_leaf(dotted: str) -> np.ndarray:
+        if dotted not in pulled:
+            pulled[dotted] = np.array(_get_path(params, dotted))
+        return pulled[dotted]
+
+    _apply_weights(model, compiled, weights, get_leaf)
+
+    pspecs = model.param_partition_specs() if mesh is not None else None
+    for dotted, arr in pulled.items():
+        if mesh is None:
+            val = jnp.asarray(arr)
+        else:
+            val = jax.device_put(
+                arr,
+                jax.sharding.NamedSharding(mesh, _get_path(pspecs, dotted)),
+            )
+        parts = dotted.split(".")
+        node = params
+        for part in parts[:-1]:
+            node = node[int(part)] if part.isdigit() else node[part]
+        node[parts[-1] if not parts[-1].isdigit() else int(parts[-1])] = val
+    return params
 
 
 def device_put_params(

@@ -497,8 +497,37 @@ class Engine:
     def update_weights_from_tensor(self, named_tensors) -> bool:
         """Live weight update from in-memory tensors (reference
         model_runner.py:878 update_weights_from_tensor — RL loops). Both
-        phases see the new weights atomically (single params pytree)."""
-        self.runner.update_weights(named_tensors)
+        phases see the new weights atomically (single params pytree). Partial:
+        only the named tensors change."""
+        self.runner.update_weights(named_tensors, partial=True)
+        return True
+
+    def init_weights_update_group(
+        self, master_address: str, master_port: int,
+        group_name: str = "weight_update_group",
+    ) -> bool:
+        """Join a trainer's weight-update group (reference
+        model_runner.py init_weights_update_group — NCCL group join; here a
+        TCP tensor stream, utils/weight_sync.py)."""
+        from semi_pd_tpu.utils.weight_sync import WeightSyncGroup
+
+        if getattr(self, "_weight_sync", None) is not None:
+            self._weight_sync.close()
+        self._weight_sync = WeightSyncGroup(master_address, master_port, group_name)
+        return True
+
+    def update_weights_from_distributed(self, names, dtypes, shapes) -> bool:
+        """Receive the announced tensors from the trainer group and update
+        params in place (reference model_runner.py:845
+        update_weights_from_distributed: one broadcast per tensor)."""
+        ws = getattr(self, "_weight_sync", None)
+        if ws is None:
+            raise ValueError("init_weights_update_group has not been called")
+        if isinstance(names, str):
+            names, dtypes, shapes = [names], [dtypes], [shapes]
+        self.runner.update_weights(
+            ws.recv_tensors(names, dtypes, shapes), partial=True
+        )
         return True
 
     def get_server_info(self) -> Dict[str, Any]:

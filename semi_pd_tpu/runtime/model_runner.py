@@ -675,8 +675,19 @@ class ModelRunner:
         )
 
     # ------------------------------------------------------------- misc
-    def update_weights(self, weights_iter) -> None:
+    def update_weights(self, weights_iter, partial: bool = False) -> None:
         """Live weight update (reference model_runner.py:733
         update_weights_from_disk / :845 from_distributed). Both phases see the
-        new weights atomically because there is one params pytree."""
-        self.params = load_params(self.model, weights=weights_iter, mesh=self.mesh)
+        new weights atomically because there is one params pytree. With
+        ``partial`` only the named tensors are touched (RL loops send one
+        tensor per call; a full reload would zero the rest)."""
+        if partial:
+            from semi_pd_tpu.model_loader.loader import update_params
+
+            self.params = update_params(
+                self.model, self.params, weights_iter, mesh=self.mesh
+            )
+        else:
+            self.params = load_params(
+                self.model, weights=weights_iter, mesh=self.mesh
+            )

@@ -251,11 +251,19 @@ class ModelConfig:
         dtype: str = "bfloat16",
         quantization: Optional[str] = None,
     ) -> "ModelConfig":
-        from transformers import AutoConfig
+        if model_path.endswith(".gguf"):
+            # Single-file GGUF checkpoint: synthesize the HF config from the
+            # container's metadata (reference loader.py gguf path reads it
+            # via the gguf package; gguf_reader.py parses it directly).
+            from semi_pd_tpu.model_loader.gguf_reader import hf_config_from_gguf
 
-        hf_config = AutoConfig.from_pretrained(
-            model_path, trust_remote_code=trust_remote_code
-        )
+            hf_config = hf_config_from_gguf(model_path)
+        else:
+            from transformers import AutoConfig
+
+            hf_config = AutoConfig.from_pretrained(
+                model_path, trust_remote_code=trust_remote_code
+            )
         return cls.from_hf_config(
             hf_config, model_path=model_path, context_length=context_length,
             dtype=dtype, quantization=quantization,

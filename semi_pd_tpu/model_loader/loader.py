@@ -67,7 +67,18 @@ def _np_dtype(jdt) -> np.dtype:
 
 def iterate_hf_weights(model_path: str) -> Iterator[Tuple[str, np.ndarray]]:
     """Yield (name, numpy array) from a HF checkpoint dir (safetensors
-    preferred, *.bin fallback; reference weight_utils.py safetensors iter)."""
+    preferred, *.bin fallback, single-file or in-dir *.gguf; reference
+    weight_utils.py safetensors iter + gguf_quant_weights_iterator)."""
+    gguf_files = (
+        [model_path] if model_path.endswith(".gguf")
+        else sorted(glob.glob(os.path.join(model_path, "*.gguf")))
+    )
+    if gguf_files:
+        from semi_pd_tpu.model_loader.gguf_reader import iterate_gguf_weights
+
+        for f in gguf_files:
+            yield from iterate_gguf_weights(f)
+        return
     st_files = sorted(glob.glob(os.path.join(model_path, "*.safetensors")))
     if st_files:
         from safetensors import safe_open

@@ -52,7 +52,10 @@ class Engine:
                     trust_remote_code=server_args.trust_remote_code,
                 )
             except Exception as e:  # random-weights bench without a tokenizer
-                if not server_args.random_weights:
+                # Single-file GGUF checkpoints carry a ggml vocab, not an HF
+                # tokenizer dir; point --tokenizer-path at one for text APIs.
+                if not (server_args.random_weights
+                        or server_args.tokenizer_path.endswith(".gguf")):
                     raise RuntimeError(
                         f"failed to load tokenizer from "
                         f"{server_args.tokenizer_path!r}: {e}"

@@ -244,8 +244,25 @@ def main():
         t0 = time.monotonic()
         eng = build_engine()
         log(f"engine built in {time.monotonic()-t0:.1f}s")
+        # The device can wedge for many minutes (observed: probes hanging
+        # >10min); run the warmup D2H under a watchdog so the JSON line
+        # still lands before the driver's timeout instead of rc=124.
+        import threading
+
         t0 = time.monotonic()
-        jax.device_get(jnp.zeros((8,), jnp.int32) + 1)
+        done = threading.Event()
+
+        def _warm():
+            jax.device_get(jnp.zeros((8,), jnp.int32) + 1)
+            done.set()
+
+        threading.Thread(target=_warm, daemon=True).start()
+        while not done.wait(timeout=5.0):
+            if remaining() < 60:
+                state["detail"]["tunnel_warmup_s"] = None
+                emit(partial_payload(err="device wedged: first D2H never "
+                                         "completed within the budget"))
+                return
         t_tunnel = time.monotonic() - t0
         state["detail"]["tunnel_warmup_s"] = round(t_tunnel, 1)
         log(f"tunnel first-D2H warmup {t_tunnel:.1f}s; {remaining():.0f}s left")

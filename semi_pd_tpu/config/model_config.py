@@ -205,6 +205,28 @@ class ModelConfig:
         if arch.startswith(("Qwen2", "Qwen")) and "Moe" not in arch:
             cfg.attention_bias = True if g("attention_bias") is None else cfg.attention_bias
 
+        # ExaOne names depth/activation differently (reference exaone.py).
+        if arch == "ExaoneForCausalLM":
+            cfg.num_hidden_layers = g("num_layers", cfg.num_hidden_layers)
+            cfg.hidden_act = g("activation_function", "silu")
+
+        # Qwen v1: intermediate_size is stored as the FUSED w1+w2 width
+        # (reference qwen.py builds QWenMLP with intermediate_size // 2);
+        # rope base/seq length live under QWen-specific keys.
+        if arch == "QWenLMHeadModel":
+            cfg.intermediate_size //= 2
+            cfg.rope_theta = g("rotary_emb_base", 10000.0)
+            cfg.max_position_embeddings = g("seq_length", 8192)
+            cfg.context_length = context_length or cfg.max_position_embeddings
+
+        # XVerse-MoE keys (reference xverse_moe.py: moe_top_k, per-expert
+        # width == intermediate_size, ungated shared experts).
+        if arch == "XverseMoeForCausalLM":
+            cfg.num_experts_per_tok = g("moe_top_k", 2)
+            cfg.moe_intermediate_size = cfg.intermediate_size
+            cfg.num_shared_experts = g("num_shared_experts") or 0
+            cfg.norm_topk_prob = g("norm_topk_prob", True)
+
         # MoE detection (mixtral/qwen2_moe/deepseek/olmoe...)
         n_experts = (
             g("num_local_experts") or g("n_routed_experts") or g("num_experts")
@@ -261,9 +283,24 @@ class ModelConfig:
         else:
             from transformers import AutoConfig
 
-            hf_config = AutoConfig.from_pretrained(
-                model_path, trust_remote_code=trust_remote_code
-            )
+            try:
+                hf_config = AutoConfig.from_pretrained(
+                    model_path, trust_remote_code=trust_remote_code
+                )
+            except ValueError:
+                # Remote-code model types (internlm2, baichuan, exaone,
+                # chatglm, ...) are unknown to AutoConfig when their modeling
+                # code isn't fetchable; the raw config.json carries every
+                # field from_hf_config reads. (Reference relies on
+                # trust_remote_code downloads; we stay offline.)
+                import json
+                import os
+                from types import SimpleNamespace
+
+                with open(os.path.join(model_path, "config.json")) as f:
+                    hf_config = SimpleNamespace(**json.load(f))
+                if not getattr(hf_config, "architectures", None):
+                    raise
         return cls.from_hf_config(
             hf_config, model_path=model_path, context_length=context_length,
             dtype=dtype, quantization=quantization,

@@ -53,8 +53,31 @@ def _ensure_populated():
         "MistralForCausalLM",
         "Qwen2ForCausalLM",
         "Qwen3ForCausalLM",
+        # XVerse is llama-exact incl. weight naming (reference xverse.py)
+        "XverseForCausalLM",
     ):
         _REGISTRY.setdefault(arch, LlamaForCausalLM)
+
+    from semi_pd_tpu.models.llama_variants import (
+        BaichuanForCausalLM,
+        DeepseekForCausalLM,
+        ExaoneForCausalLM,
+        InternLM2ForCausalLM,
+        InternLM2ForRewardModel,
+        MiniCPMForCausalLM,
+        QWenLMHeadModel,
+        XverseMoeForCausalLM,
+    )
+
+    _REGISTRY.setdefault("InternLM2ForCausalLM", InternLM2ForCausalLM)
+    _REGISTRY.setdefault("InternLM2ForRewardModel", InternLM2ForRewardModel)
+    _REGISTRY.setdefault("ExaoneForCausalLM", ExaoneForCausalLM)
+    _REGISTRY.setdefault("BaichuanForCausalLM", BaichuanForCausalLM)
+    _REGISTRY.setdefault("BaiChuanForCausalLM", BaichuanForCausalLM)
+    _REGISTRY.setdefault("QWenLMHeadModel", QWenLMHeadModel)
+    _REGISTRY.setdefault("MiniCPMForCausalLM", MiniCPMForCausalLM)
+    _REGISTRY.setdefault("XverseMoeForCausalLM", XverseMoeForCausalLM)
+    _REGISTRY.setdefault("DeepseekForCausalLM", DeepseekForCausalLM)
 
     from semi_pd_tpu.models.qwen2_moe import (
         MixtralForCausalLM,

@@ -204,6 +204,13 @@ def emit(payload: dict) -> None:
     sys.stdout.flush()
 
 
+def finish(code: int = 0) -> None:
+    """Exit without interpreter teardown: a wedged device leaves runtime
+    threads blocked in D2H and normal exit aborts (observed rc=134)."""
+    sys.stderr.flush()
+    os._exit(code)
+
+
 def main():
     prompt_len = int(os.environ.get("BENCH_PROMPT", "512"))
     out_len = int(os.environ.get("BENCH_OUT", "64"))
@@ -262,7 +269,7 @@ def main():
                 state["detail"]["tunnel_warmup_s"] = None
                 emit(partial_payload(err="device wedged: first D2H never "
                                          "completed within the budget"))
-                return
+                finish(0)
         t_tunnel = time.monotonic() - t0
         state["detail"]["tunnel_warmup_s"] = round(t_tunnel, 1)
         log(f"tunnel first-D2H warmup {t_tunnel:.1f}s; {remaining():.0f}s left")
@@ -359,11 +366,13 @@ def main():
             "tunnel_warmup_s": round(t_tunnel, 1),
         }
         emit(partial_payload())
+        finish(0)
     except Exception as e:  # noqa: BLE001 — always land a JSON line
         import traceback
 
         traceback.print_exc(file=sys.stderr)
         emit(partial_payload(err=f"{type(e).__name__}: {e}"))
+        finish(0)
 
 
 if __name__ == "__main__":

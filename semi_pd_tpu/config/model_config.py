@@ -219,6 +219,23 @@ class ModelConfig:
             cfg.max_position_embeddings = g("seq_length", 8192)
             cfg.context_length = context_length or cfg.max_position_embeddings
 
+        # ChatGLM ggml-era configs name everything differently
+        # (reference chatglm.py reads these keys).
+        if arch in ("ChatGLMModel", "ChatGLMForConditionalGeneration",
+                    "ChatGLMForCausalLM"):
+            cfg.num_hidden_layers = g("num_layers", cfg.num_hidden_layers)
+            cfg.vocab_size = g("padded_vocab_size", cfg.vocab_size)
+            cfg.intermediate_size = g("ffn_hidden_size", cfg.intermediate_size)
+            cfg.head_dim = g("kv_channels") or cfg.head_dim
+            if g("multi_query_attention", False):
+                cfg.num_key_value_heads = g("multi_query_group_num", 2)
+            cfg.rms_norm_eps = g("layernorm_epsilon", 1e-5)
+            cfg.max_position_embeddings = g("seq_length", 8192)
+            cfg.context_length = context_length or cfg.max_position_embeddings
+            cfg.rope_theta = 10000.0 * g("rope_ratio", 1.0)
+            cfg.partial_rotary_factor = 0.5
+            cfg.tie_word_embeddings = g("tie_word_embeddings", False)
+
         # XVerse-MoE keys (reference xverse_moe.py: moe_top_k, per-expert
         # width == intermediate_size, ungated shared experts).
         if arch == "XverseMoeForCausalLM":

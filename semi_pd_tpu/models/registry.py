@@ -79,6 +79,18 @@ def _ensure_populated():
     _REGISTRY.setdefault("XverseMoeForCausalLM", XverseMoeForCausalLM)
     _REGISTRY.setdefault("DeepseekForCausalLM", DeepseekForCausalLM)
 
+    from semi_pd_tpu.models.glm import (
+        ChatGLMForCausalLM,
+        Glm4ForCausalLM,
+        GlmForCausalLM,
+    )
+
+    _REGISTRY.setdefault("GlmForCausalLM", GlmForCausalLM)
+    _REGISTRY.setdefault("Glm4ForCausalLM", Glm4ForCausalLM)
+    _REGISTRY.setdefault("ChatGLMModel", ChatGLMForCausalLM)
+    _REGISTRY.setdefault("ChatGLMForConditionalGeneration", ChatGLMForCausalLM)
+    _REGISTRY.setdefault("ChatGLMForCausalLM", ChatGLMForCausalLM)
+
     from semi_pd_tpu.models.qwen2_moe import (
         MixtralForCausalLM,
         OlmoeForCausalLM,

@@ -85,6 +85,11 @@ def _ensure_populated():
         GlmForCausalLM,
     )
 
+    from semi_pd_tpu.models.grok import Grok1ForCausalLM
+
+    _REGISTRY.setdefault("Grok1ForCausalLM", Grok1ForCausalLM)
+    _REGISTRY.setdefault("Grok1ModelForCausalLM", Grok1ForCausalLM)
+
     _REGISTRY.setdefault("GlmForCausalLM", GlmForCausalLM)
     _REGISTRY.setdefault("Glm4ForCausalLM", Glm4ForCausalLM)
     _REGISTRY.setdefault("ChatGLMModel", ChatGLMForCausalLM)

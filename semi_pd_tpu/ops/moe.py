@@ -78,6 +78,7 @@ def moe_ffn(
     down: jax.Array,  # [E, f, d]
     weights: jax.Array,  # [T, K] f32 routing weights
     expert_idx: jax.Array,  # [T, K] i32
+    act=silu_and_mul,  # gated activation over [.., 2f] (grok: gelu_and_mul)
 ) -> jax.Array:
     """Sort-by-expert grouped-GEMM MoE forward. [T, d] -> [T, d]."""
     T, d = x.shape
@@ -95,7 +96,7 @@ def moe_ffn(
     h = jax.lax.ragged_dot(
         xs.astype(gate_up.dtype), gate_up, group_sizes.astype(jnp.int32)
     )  # [TK, 2f]
-    h = silu_and_mul(h)
+    h = act(h)
     out_rows = jax.lax.ragged_dot(
         h, down, group_sizes.astype(jnp.int32)
     )  # [TK, d]
@@ -137,6 +138,7 @@ def moe_ffn_ep(
     mesh,
     axis: str = "tp",
     capacity_factor: float = 2.0,
+    act=silu_and_mul,
 ):
     """Expert-parallel MoE (reference EPMoE, layers/moe/ep_moe/layer.py:106:
     experts split across ranks + grouped GEMM). TPU-native: shard_map over the
@@ -196,7 +198,7 @@ def moe_ffn_ep(
         gsz = gsz.at[E_local - 1].add(C - jnp.sum(gsz))
 
         h = jax.lax.ragged_dot(xs.astype(gu.dtype), gu[0:E_local], gsz)
-        h = silu_and_mul(h)
+        h = act(h)
         out_rows = jax.lax.ragged_dot(h, dn[0:E_local], gsz)  # [C, d]
         out = jnp.zeros((T, d), out_rows.dtype).at[rows_tok].add(
             out_rows * rows_w[:, None].astype(out_rows.dtype)

@@ -170,9 +170,146 @@ class Qwen2VisionTower:
         return x @ mp["fc2"]["w"] + mp["fc2"]["b"]
 
 
+class Qwen25VisionTower(Qwen2VisionTower):
+    """Qwen2.5-VL ViT (HF Qwen2_5_VisionTransformerPretrainedModel):
+    RMSNorm blocks, SwiGLU MLP with bias, and WINDOW attention — every block
+    attends within window_size x window_size pixel windows except
+    fullatt_block_indexes; patches are permuted into window order
+    (get_window_index) before the blocks and un-permuted after the merger."""
+
+    def __init__(self, vcfg, out_hidden: int, dtype):
+        class _Shim:
+            pass
+
+        shim = _Shim()
+        shim.embed_dim = vcfg.hidden_size
+        shim.depth = vcfg.depth
+        shim.num_heads = vcfg.num_heads
+        shim.mlp_ratio = vcfg.intermediate_size / vcfg.hidden_size
+        shim.in_channels = getattr(vcfg, "in_channels", 3)
+        shim.patch_size = vcfg.patch_size
+        shim.temporal_patch_size = getattr(vcfg, "temporal_patch_size", 2)
+        shim.spatial_merge_size = getattr(vcfg, "spatial_merge_size", 2)
+        super().__init__(shim, out_hidden, dtype)
+        self.mlp_dim = vcfg.intermediate_size
+        self.window_size = getattr(vcfg, "window_size", 112)
+        self.fullatt = set(getattr(vcfg, "fullatt_block_indexes", []) or [])
+
+    def param_specs(self) -> Dict[str, Any]:
+        d, E, M = self.dtype, self.embed_dim, self.mlp_dim
+        sd = lambda *sh: jax.ShapeDtypeStruct(sh, d)
+        blk = {
+            "ln1": sd(self.depth, E),  # RMSNorm (no bias)
+            "ln2": sd(self.depth, E),
+            "qkv": {"w": sd(self.depth, E, 3 * E), "b": sd(self.depth, 3 * E)},
+            "proj": {"w": sd(self.depth, E, E), "b": sd(self.depth, E)},
+            "gate_up": {"w": sd(self.depth, E, 2 * M), "b": sd(self.depth, 2 * M)},
+            "down": {"w": sd(self.depth, M, E), "b": sd(self.depth, E)},
+        }
+        m2 = self.merge ** 2
+        return {
+            "patch": {"w": sd(self.patch_in, E)},
+            "blocks": blk,
+            "merger": {
+                "ln_q": sd(E),
+                "fc1": {"w": sd(E * m2, E * m2), "b": sd(E * m2)},
+                "fc2": {"w": sd(E * m2, self.out_hidden), "b": sd(self.out_hidden)},
+            },
+        }
+
+    def hf_weight_plan(self) -> Dict[str, Tuple]:
+        pre = "blocks.{L}."
+        M = self.mlp_dim
+        return {
+            "patch_embed.proj.weight": ("patch", None, "vconv"),
+            "merger.ln_q.weight": ("merger.ln_q", None, "none"),
+            "merger.mlp.0.weight": ("merger.fc1.w", None, "t"),
+            "merger.mlp.0.bias": ("merger.fc1.b", None, "none"),
+            "merger.mlp.2.weight": ("merger.fc2.w", None, "t"),
+            "merger.mlp.2.bias": ("merger.fc2.b", None, "none"),
+            pre + "norm1.weight": ("blocks.ln1", None, "none"),
+            pre + "norm2.weight": ("blocks.ln2", None, "none"),
+            pre + "attn.qkv.weight": ("blocks.qkv.w", None, "t"),
+            pre + "attn.qkv.bias": ("blocks.qkv.b", None, "none"),
+            pre + "attn.proj.weight": ("blocks.proj.w", None, "t"),
+            pre + "attn.proj.bias": ("blocks.proj.b", None, "none"),
+            pre + "mlp.gate_proj.weight": ("blocks.gate_up.w", (0, M), "t"),
+            pre + "mlp.gate_proj.bias": ("blocks.gate_up.b", (0, M), "none"),
+            pre + "mlp.up_proj.weight": ("blocks.gate_up.w", (M, M), "t"),
+            pre + "mlp.up_proj.bias": ("blocks.gate_up.b", (M, M), "none"),
+            pre + "mlp.down_proj.weight": ("blocks.down.w", None, "t"),
+            pre + "mlp.down_proj.bias": ("blocks.down.b", None, "none"),
+        }
+
+    def _window_index(self, t: int, h: int, w: int):
+        """HF get_window_index: merged-token permutation into window order +
+        per-window raw-patch counts."""
+        m = self.merge
+        lh, lw = h // m, w // m
+        ws = self.window_size // m // self.patch
+        idx = np.arange(t * lh * lw).reshape(t, lh, lw)
+        pad_h = (-lh) % ws
+        pad_w = (-lw) % ws
+        padded = np.full((t, lh + pad_h, lw + pad_w), -100, np.int64)
+        padded[:, :lh, :lw] = idx
+        nh, nw = (lh + pad_h) // ws, (lw + pad_w) // ws
+        padded = padded.reshape(t, nh, ws, nw, ws).transpose(0, 1, 3, 2, 4)
+        padded = padded.reshape(t, nh * nw, ws, ws)
+        seqlens = (padded != -100).sum(axis=(2, 3)).reshape(-1)
+        flat = padded.reshape(-1)
+        window_index = flat[flat != -100]
+        return window_index, seqlens[seqlens > 0] * (m ** 2)
+
+    def forward(self, params, patches: jax.Array, grid: Tuple[int, int, int]):
+        t, h, w = grid
+        x = patches.astype(self.dtype) @ params["patch"]["w"]
+        pos = np.asarray(self._grid_pos(t, h, w))  # [L, 2] merged-block order
+        L = x.shape[0]
+        m2 = self.merge ** 2
+
+        window_index, win_patch_counts = self._window_index(t, h, w)
+        # permute raw patches (groups of m^2) into window order
+        perm = (window_index[:, None] * m2 + np.arange(m2)[None, :]).reshape(-1)
+        x = x[jnp.asarray(perm)]
+        pos = jnp.asarray(pos[perm], jnp.int32)
+        # window id per raw patch (window-attention mask)
+        win_id = np.repeat(np.arange(len(win_patch_counts)), win_patch_counts)
+        win_mask = jnp.asarray(win_id[:, None] == win_id[None, :])
+
+        from semi_pd_tpu.ops.elementwise import rms_norm, silu_and_mul
+
+        for l in range(self.depth):
+            bp = jax.tree.map(lambda a: a[l], params["blocks"])
+            y = rms_norm(x, bp["ln1"], 1e-6)
+            qkv = y @ bp["qkv"]["w"] + bp["qkv"]["b"]
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = self._vrope(q.reshape(L, self.num_heads, self.head_dim), pos)
+            k = self._vrope(k.reshape(L, self.num_heads, self.head_dim), pos)
+            v = v.reshape(L, self.num_heads, self.head_dim)
+            att = jnp.einsum("lhd,mhd->hlm", q, k).astype(jnp.float32)
+            att = att * (self.head_dim ** -0.5)
+            if l not in self.fullatt:
+                att = jnp.where(win_mask[None], att, -jnp.inf)
+            att = jax.nn.softmax(att, axis=-1)
+            o = jnp.einsum("hlm,mhd->lhd", att.astype(v.dtype), v)
+            x = x + (o.reshape(L, self.embed_dim) @ bp["proj"]["w"] + bp["proj"]["b"])
+            y = rms_norm(x, bp["ln2"], 1e-6)
+            y = silu_and_mul(y @ bp["gate_up"]["w"] + bp["gate_up"]["b"])
+            x = x + (y @ bp["down"]["w"] + bp["down"]["b"])
+
+        x = rms_norm(x, params["merger"]["ln_q"], 1e-6)
+        x = x.reshape(-1, self.embed_dim * m2)
+        x = x @ params["merger"]["fc1"]["w"] + params["merger"]["fc1"]["b"]
+        x = jax.nn.gelu(x, approximate=False)
+        x = x @ params["merger"]["fc2"]["w"] + params["merger"]["fc2"]["b"]
+        # un-permute merged tokens back to original order
+        return x[jnp.asarray(np.argsort(window_index))]
+
+
 class Qwen2VLForConditionalGeneration(LlamaForCausalLM):
     is_multimodal = True
     uses_mrope = True
+    TOWER_CLS = Qwen2VisionTower
 
     def __init__(self, config: ModelConfig):
         config.attention_bias = True
@@ -180,8 +317,9 @@ class Qwen2VLForConditionalGeneration(LlamaForCausalLM):
         hf = config.hf_config
         self.image_token_index = getattr(hf, "image_token_id", 151655)
         self.vision_cfg = hf.vision_config
-        self.tower = Qwen2VisionTower(
-            self.vision_cfg, config.hidden_size, self.dtype
+        out_hidden = getattr(self.vision_cfg, "out_hidden_size", None) or config.hidden_size
+        self.tower = self.TOWER_CLS(
+            self.vision_cfg, out_hidden, self.dtype
         )
         sect = (config.rope_scaling or {}).get("mrope_section")
         if not sect:
@@ -281,3 +419,11 @@ class Qwen2VLForConditionalGeneration(LlamaForCausalLM):
 
     def forward(self, params, fb, kv, return_hidden=False, all_logits=False):
         return super().forward(params, fb, kv, return_hidden, all_logits)
+
+
+class Qwen2_5_VLForConditionalGeneration(Qwen2VLForConditionalGeneration):
+    """Qwen2.5-VL (reference srt/models/qwen2_5_vl.py): same M-RoPE trunk as
+    Qwen2-VL; the ViT gains window attention, RMSNorm and SwiGLU
+    (Qwen25VisionTower)."""
+
+    TOWER_CLS = Qwen25VisionTower

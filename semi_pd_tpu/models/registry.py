@@ -172,3 +172,9 @@ def _ensure_populated():
     from semi_pd_tpu.models.qwen2_vl import Qwen2VLForConditionalGeneration
 
     _REGISTRY.setdefault("Qwen2VLForConditionalGeneration", Qwen2VLForConditionalGeneration)
+
+    from semi_pd_tpu.models.qwen2_vl import Qwen2_5_VLForConditionalGeneration
+
+    _REGISTRY.setdefault(
+        "Qwen2_5_VLForConditionalGeneration", Qwen2_5_VLForConditionalGeneration
+    )

@@ -139,3 +139,107 @@ class LlavaForConditionalGeneration:
 
     def forward_embedding(self, params, fb, kv):
         return self.lm.forward_embedding(params["lm"], fb, kv)
+
+
+class YiVLForCausalLM(LlavaForConditionalGeneration):
+    """Yi-VL (reference srt/models/yivl.py): llava with LayerNorms after each
+    projector linear (checkpoint names model.mm_projector.{0,1,3,4})."""
+
+    def param_specs(self) -> Dict[str, Any]:
+        specs = super().param_specs()
+        d, Ht = self.dtype, self.lm.config.hidden_size
+        specs["proj"]["ln1"] = {"w": jax.ShapeDtypeStruct((Ht,), d),
+                                "b": jax.ShapeDtypeStruct((Ht,), d)}
+        specs["proj"]["ln2"] = {"w": jax.ShapeDtypeStruct((Ht,), d),
+                                "b": jax.ShapeDtypeStruct((Ht,), d)}
+        return specs
+
+    def param_partition_specs(self) -> Dict[str, Any]:
+        specs = super().param_partition_specs()
+        specs["proj"]["ln1"] = {"w": P(), "b": P()}
+        specs["proj"]["ln2"] = {"w": P(), "b": P()}
+        return specs
+
+    def hf_weight_plan(self) -> Dict[str, Tuple]:
+        plan = super().hf_weight_plan()
+        # Yi-VL ships llama weights at top level and the projector under
+        # model.mm_projector.N (reference yivl.py:70-75)
+        for tmpl, (path, sl, tf) in self.lm.hf_weight_plan().items():
+            plan.setdefault(tmpl, ("lm." + path, sl, tf))
+        plan.update({
+            "model.mm_projector.0.weight": ("proj.fc1.w", None, "t"),
+            "model.mm_projector.0.bias": ("proj.fc1.b", None, "none"),
+            "model.mm_projector.1.weight": ("proj.ln1.w", None, "none"),
+            "model.mm_projector.1.bias": ("proj.ln1.b", None, "none"),
+            "model.mm_projector.3.weight": ("proj.fc2.w", None, "t"),
+            "model.mm_projector.3.bias": ("proj.fc2.b", None, "none"),
+            "model.mm_projector.4.weight": ("proj.ln2.w", None, "none"),
+            "model.mm_projector.4.bias": ("proj.ln2.b", None, "none"),
+        })
+        for tmpl, (path, sl, tf) in self.tower.hf_weight_plan().items():
+            plan["model.vision_tower.vision_tower." + tmpl] = (
+                "vision." + path, sl, tf)
+        return plan
+
+    def encode_images(self, params, pixel_values: jax.Array) -> jax.Array:
+        from semi_pd_tpu.ops.elementwise import layer_norm
+
+        feats = self.tower.forward(
+            params["vision"], pixel_values, self.select_layer
+        )
+        x = feats @ params["proj"]["fc1"]["w"] + params["proj"]["fc1"]["b"]
+        x = layer_norm(x, params["proj"]["ln1"], 1e-5)
+        x = jax.nn.gelu(x, approximate=False)
+        x = x @ params["proj"]["fc2"]["w"] + params["proj"]["fc2"]["b"]
+        return layer_norm(x, params["proj"]["ln2"], 1e-5)
+
+
+class LlavaVidForCausalLM(LlavaForConditionalGeneration):
+    """LLaVA-Vid (reference srt/models/llavavid.py): video frames are CLIP-
+    encoded per frame, 2x2 average-pooled on the patch grid
+    (mm_spatial_pool_stride), projected, and concatenated — one <image>
+    placeholder expands to num_frames * pooled-patches tokens."""
+
+    def __init__(self, config: ModelConfig):
+        super().__init__(config)
+        hf = config.hf_config
+        self.pool_stride = getattr(hf, "mm_spatial_pool_stride", 2)
+        self.num_frames = getattr(hf, "num_frames", 16)
+
+    @property
+    def n_image_tokens(self) -> int:
+        side = self.tower.image_size // self.tower.patch
+        return self.num_frames * (side // self.pool_stride) ** 2
+
+    def hf_weight_plan(self) -> Dict[str, Tuple]:
+        plan = super().hf_weight_plan()
+        # llavavid checkpoints carry llama at top level + model.mm_projector
+        for tmpl, (path, sl, tf) in self.lm.hf_weight_plan().items():
+            plan.setdefault(tmpl, ("lm." + path, sl, tf))
+        plan.update({
+            "model.mm_projector.0.weight": ("proj.fc1.w", None, "t"),
+            "model.mm_projector.0.bias": ("proj.fc1.b", None, "none"),
+            "model.mm_projector.2.weight": ("proj.fc2.w", None, "t"),
+            "model.mm_projector.2.bias": ("proj.fc2.b", None, "none"),
+        })
+        for tmpl, (path, sl, tf) in self.tower.hf_weight_plan().items():
+            plan["model.vision_tower.vision_tower." + tmpl] = (
+                "vision." + path, sl, tf)
+        return plan
+
+    def encode_images(self, params, pixel_values: jax.Array) -> jax.Array:
+        """[T, 3, H, W] frames -> [T, pooled, Ht] (flattened by the caller)."""
+        T = pixel_values.shape[0]
+        assert T == self.num_frames, (
+            f"LlavaVid expects num_frames={self.num_frames} frames, got {T}")
+        feats = self.tower.forward(
+            params["vision"], pixel_values, self.select_layer
+        )  # [T, n_patches, Hv]
+        side = self.tower.image_size // self.tower.patch
+        s = self.pool_stride
+        Hv = feats.shape[-1]
+        g = feats.reshape(T, side // s, s, side // s, s, Hv)
+        pooled = g.mean(axis=(2, 4)).reshape(T, -1, Hv)
+        x = pooled @ params["proj"]["fc1"]["w"] + params["proj"]["fc1"]["b"]
+        x = jax.nn.gelu(x, approximate=False)
+        return x @ params["proj"]["fc2"]["w"] + params["proj"]["fc2"]["b"]

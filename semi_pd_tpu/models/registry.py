@@ -165,9 +165,23 @@ def _ensure_populated():
     _REGISTRY.setdefault("RWForCausalLM", FalconForCausalLM)
     _REGISTRY.setdefault("DbrxForCausalLM", DbrxForCausalLM)
 
-    from semi_pd_tpu.models.llava import LlavaForConditionalGeneration
+    from semi_pd_tpu.models.llava import (
+        LlavaForConditionalGeneration,
+        LlavaVidForCausalLM,
+        YiVLForCausalLM,
+    )
 
     _REGISTRY.setdefault("LlavaForConditionalGeneration", LlavaForConditionalGeneration)
+    _REGISTRY.setdefault("LlavaLlamaForCausalLM", LlavaForConditionalGeneration)
+    _REGISTRY.setdefault("YiVLForCausalLM", YiVLForCausalLM)
+    _REGISTRY.setdefault("LlavaVidForCausalLM", LlavaVidForCausalLM)
+
+    # Embedding trunks (reference llama_embedding.py LlamaEmbeddingModel /
+    # MistralModel): the llama forward_embedding path serves them;
+    # from_hf_config flags is_embedding for *Model archs.
+    _REGISTRY.setdefault("LlamaEmbeddingModel", LlamaForCausalLM)
+    _REGISTRY.setdefault("MistralModel", LlamaForCausalLM)
+    _REGISTRY.setdefault("LlamaModel", LlamaForCausalLM)
 
     from semi_pd_tpu.models.qwen2_vl import Qwen2VLForConditionalGeneration
 

@@ -75,6 +75,14 @@ class ServerArgs:
     # Parallelism (mesh)
     tp_size: int = 1
     dp_size: int = 1
+    # DP-attention (reference srt/layers/dp_attention.py:31-240): requests
+    # (and the KV pool's slot axis) shard over the "dp" mesh axis; weights
+    # replicate over dp. Lifts the reference's restriction that DP-attention
+    # and semi-PD are mutually exclusive (server_args.py:290-295) — the
+    # single-controller design runs both. Radix cache is disabled (a shared
+    # prefix tree would pin pages across dp partitions); speculative decoding
+    # and EP are not yet composed with it.
+    enable_dp_attention: bool = False
     ep_size: int = 1  # expert parallel; folded onto the tp axis
     # Per-rank EP dispatch capacity = ceil(cf * T*K / ep_size) rows; routing
     # skew beyond it drops assignments (GShard-style). Raise toward ep_size
@@ -147,6 +155,19 @@ class ServerArgs:
 
         if self.quantization == "awq_int4" and self.kv_cache_dtype == "auto":
             self.kv_cache_dtype = "bfloat16"
+
+        if self.enable_dp_attention:
+            if self.dp_size <= 1:
+                raise ValueError("--enable-dp-attention requires dp_size > 1")
+            if self.speculative_algorithm:
+                raise ValueError(
+                    "DP-attention is not composed with speculative decoding yet"
+                )
+            if self.ep_size > 1:
+                raise ValueError(
+                    "DP-attention is not composed with expert parallelism yet"
+                )
+            self.disable_radix_cache = True
 
         if self.decode_bs_buckets is None:
             self.decode_bs_buckets = [1, 2, 4, 8, 16, 32, 64, 128, 256]

@@ -44,40 +44,70 @@ logger = logging.getLogger(__name__)
 class PageAllocator:
     """Freelist allocator over KV pages (reference: TokenToKVPoolAllocator
     memory_pool.py:124-185, generalized to page granularity like
-    paged_allocator.py:29)."""
+    paged_allocator.py:29).
 
-    def __init__(self, num_pages: int, page_size: int):
+    With ``partitions > 1`` (DP-attention, reference layers/dp_attention.py):
+    pages split into equal contiguous ranges, one per dp rank, so the pool's
+    slot axis shards cleanly over the "dp" mesh axis; each partition reserves
+    its FIRST page as a rank-local dump page (local page id 0 after the
+    shard-local offset subtraction), and a request allocates only from its
+    assigned partition."""
+
+    def __init__(self, num_pages: int, page_size: int, partitions: int = 1):
+        assert num_pages % partitions == 0, (num_pages, partitions)
         self.num_pages = num_pages
         self.page_size = page_size
-        # Page 0 reserved as dump page for padding writes.
-        self.free_pages: List[int] = list(range(num_pages - 1, 0, -1))
-        self._total_free = len(self.free_pages)
+        self.partitions = partitions
+        self.pages_per_part = num_pages // partitions
+        # First page of each partition reserved as its dump page (page 0 for
+        # the single-partition case — padding writes land there).
+        self._free: List[List[int]] = [
+            list(range((r + 1) * self.pages_per_part - 1,
+                       r * self.pages_per_part, -1))
+            for r in range(partitions)
+        ]
+        self._total_free = sum(len(f) for f in self._free)
 
-    def available_pages(self) -> int:
-        return len(self.free_pages)
+    @property
+    def usable_pages(self) -> int:
+        return self.num_pages - self.partitions
+
+    @property
+    def free_pages(self) -> List[int]:  # single-partition compat view
+        assert self.partitions == 1
+        return self._free[0]
+
+    def available_pages(self, part: Optional[int] = None) -> int:
+        if part is not None:
+            return len(self._free[part])
+        return sum(len(f) for f in self._free)
 
     def available_tokens(self) -> int:
-        return len(self.free_pages) * self.page_size
+        return self.available_pages() * self.page_size
 
-    def alloc(self, n_pages: int) -> Optional[np.ndarray]:
-        if n_pages > len(self.free_pages):
+    def alloc(self, n_pages: int, part: int = 0) -> Optional[np.ndarray]:
+        free = self._free[part]
+        if n_pages > len(free):
             return None
         if n_pages == 0:
             return np.empty((0,), dtype=np.int32)
-        out = np.array(
-            [self.free_pages.pop() for _ in range(n_pages)], dtype=np.int32
+        return np.array(
+            [free.pop() for _ in range(n_pages)], dtype=np.int32
         )
-        return out
 
     def free(self, pages: np.ndarray) -> None:
         for p in pages.tolist() if isinstance(pages, np.ndarray) else pages:
-            if p != 0:
-                self.free_pages.append(int(p))
+            p = int(p)
+            if p % self.pages_per_part != 0:  # dump pages are never freed
+                self._free[p // self.pages_per_part].append(p)
+
+    def least_loaded_partition(self) -> int:
+        return max(range(self.partitions), key=lambda r: len(self._free[r]))
 
     def check_leak(self) -> bool:
         """Reference scheduler.py:981-1030 crashes with 'memory leak' when the
         pool is not full at idle; we expose the same invariant."""
-        return len(self.free_pages) == self._total_free
+        return self.available_pages() == self._total_free
 
 
 class ReqToPagePool:

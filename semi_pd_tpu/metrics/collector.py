@@ -33,7 +33,7 @@ def update_gauges(engine) -> None:
         return
     s = engine.scheduler
     alloc = engine.runner.page_allocator
-    total_pages = alloc.num_pages - 1
+    total_pages = alloc.usable_pages
     used = total_pages - alloc.available_pages()
 
     _get(Gauge, "semi_pd_tpu_num_running_reqs", "running requests").set(len(s.running))

@@ -199,7 +199,9 @@ def build_extend_batch(
     T = bucket_of(total, t_buckets)
     B = bucket_of(len(reqs), b_buckets)
     need_pages = max(
-        (r.prefilled_len + n + page_size - 1) // page_size for r, n in admitted
+        ((r.prefilled_len + n + page_size - 1) // page_size
+         for r, n in admitted),
+        default=1,  # empty rank block (DP-attention): all-padding batch
     )
     maxP = bucket_of(need_pages, p_buckets)
 
@@ -289,7 +291,10 @@ def build_decode_batch(
     of the reference's future-token-ids trick, tp_worker_overlap_thread.py:44)."""
     B = bucket_of(len(reqs), b_buckets)
     T = B
-    need_pages = max((r.kv_len + lag + page_size) // page_size for r in reqs)
+    need_pages = max(
+        ((r.kv_len + lag + page_size) // page_size for r in reqs),
+        default=1,  # empty rank block (DP-attention)
+    )
     maxP = bucket_of(need_pages, p_buckets)
 
     input_ids = np.zeros(T, np.int32)

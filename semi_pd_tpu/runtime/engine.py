@@ -134,9 +134,13 @@ class Engine:
             input_ids = self._expand_image_tokens(list(input_ids), image_data)
         if not input_ids:
             # An empty request would sit in the waiting queue forever (no
-            # prefill tokens to admit); fail it up front like the reference's
-            # TokenizerManager input validation.
-            raise ValueError("input is empty (no prompt tokens)")
+            # prefill tokens to admit). Start from BOS when the tokenizer has
+            # one (empty-prompt generation, e.g. the lang DSL); otherwise
+            # fail up front like the reference's input validation.
+            bos = getattr(self.tokenizer, "bos_token_id", None)
+            if bos is None:
+                raise ValueError("input is empty (no prompt tokens)")
+            input_ids = [int(bos)]
         req = Req(
             rid=rid or uuid.uuid4().hex,
             input_ids=list(input_ids),
@@ -546,5 +550,5 @@ class Engine:
             "decode_tokens": s.n_decode_tokens,
             "cached_prefix_tokens": s.n_cached_prefix_tokens,
             "kv_pages_free": self.runner.page_allocator.available_pages(),
-            "kv_pages_total": self.runner.page_allocator.num_pages - 1,
+            "kv_pages_total": self.runner.page_allocator.usable_pages,
         }

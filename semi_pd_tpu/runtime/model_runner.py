@@ -142,7 +142,14 @@ class ModelRunner:
             num_tokens = args.max_total_tokens
         else:
             num_tokens = self._profile_kv_tokens(kv_dtype)
-        num_pages = max(num_tokens // page_size, 8) + 1  # +1 dump page
+        # DP-attention: one dump page per dp partition; page count must split
+        # evenly so the slot axis shards over "dp" without padding.
+        self.dp_attn = args.dp_size if args.enable_dp_attention else 1
+        if self.dp_attn > 1:
+            n = max(num_tokens // page_size, 8 * self.dp_attn) + self.dp_attn
+            num_pages = -(-n // self.dp_attn) * self.dp_attn
+        else:
+            num_pages = max(num_tokens // page_size, 8) + 1  # +1 dump page
 
         max_context = min(mc.context_length, num_tokens)
         self.max_running_requests = args.max_running_requests or min(
@@ -179,18 +186,28 @@ class ModelRunner:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            axis = "tp" if (not mc.use_mla and mc.num_kv_heads_total % self.mesh.shape["tp"] == 0 and mc.num_kv_heads_total >= self.mesh.shape["tp"]) else None
-            if self.kv_spec.chunked:
-                # [L, S, CT, 128]: shard the chunk axis iff K and V segments
-                # each split evenly across ranks
-                half = self.kv_spec.chunks_total // 2
-                caxis = "tp" if (axis and half % self.mesh.shape["tp"] == 0) else None
-                kv_sharding = NamedSharding(self.mesh, P(None, None, caxis, None))
+            if self.dp_attn > 1:
+                # DP-attention: the SLOT axis shards over "dp" — each rank
+                # owns its partition's pages (allocator guarantees locality).
+                if self.kv_spec.chunked:
+                    kv_sharding = NamedSharding(self.mesh, P(None, "dp", None, None))
+                else:
+                    kv_sharding = NamedSharding(self.mesh, P(None, None, "dp", None, None))
             else:
-                # pool layout [L, comp, S, H, D] — shard the kv-head axis
-                kv_sharding = NamedSharding(self.mesh, P(None, None, None, axis, None))
+                axis = "tp" if (not mc.use_mla and mc.num_kv_heads_total % self.mesh.shape["tp"] == 0 and mc.num_kv_heads_total >= self.mesh.shape["tp"]) else None
+                if self.kv_spec.chunked:
+                    # [L, S, CT, 128]: shard the chunk axis iff K and V segments
+                    # each split evenly across ranks
+                    half = self.kv_spec.chunks_total // 2
+                    caxis = "tp" if (axis and half % self.mesh.shape["tp"] == 0) else None
+                    kv_sharding = NamedSharding(self.mesh, P(None, None, caxis, None))
+                else:
+                    # pool layout [L, comp, S, H, D] — shard the kv-head axis
+                    kv_sharding = NamedSharding(self.mesh, P(None, None, None, axis, None))
         self.kv_cache = KVCache(self.kv_spec, sharding=kv_sharding)
-        self.page_allocator = PageAllocator(num_pages, page_size)
+        self.page_allocator = PageAllocator(
+            num_pages, page_size, partitions=self.dp_attn
+        )
         self.req_pool = ReqToPagePool(self.max_running_requests, max_context, page_size)
         self.max_context_len = max_context
         logger.info(
@@ -321,6 +338,9 @@ class ModelRunner:
             static_argnums=(6, 7, 8, 9),
         )
 
+        if self.dp_attn > 1:
+            self._build_dp_step_fns(_step, _unpack_fb)
+
         def _spec_step(params, kv, fb: ForwardArrays, drafts, draft_lens, gamma):
             from semi_pd_tpu.runtime.speculative import verify_and_accept
 
@@ -334,6 +354,160 @@ class ModelRunner:
         self._spec_step_jit = jax.jit(
             _spec_step, donate_argnums=(1,), static_argnums=(5,)
         )
+
+    def _build_dp_step_fns(self, _step, _unpack_fb):
+        """DP-attention step (reference srt/layers/dp_attention.py:31-240 +
+        scheduler idle-batch sync :1339-1423, re-derived for TPU): the step is
+        shard_mapped MANUALLY over the "dp" mesh axis — each dp rank holds its
+        partition of the KV pool's slot axis and runs attention + MLP +
+        sampling over ITS requests only — while "tp" stays an AUTO (GSPMD)
+        axis, so weights keep their tensor-parallel sharding inside the
+        manual region. Batches arrive as per-rank packed vectors (see
+        _dp_blocked) with rank-LOCAL page/slot/request indices; sampled
+        tokens are regathered to the scheduler's global request order with a
+        host-computed permutation, in-program."""
+        mesh = self.mesh
+        n = self.dp_attn
+
+        def _core(params, kv, ints, floats, keys, override, shapes):
+            T, B, maxP, NQB = shapes
+            ov = override[0] if override is not None else None
+            fb = _unpack_fb(ints[0], floats[0], keys[0], T, B, maxP, NQB,
+                            input_override=ov)
+            tok, lp, newk, kv = _step(params, kv, fb)
+            return tok[None], lp[None], newk[None], kv
+
+        from jax.sharding import PartitionSpec as P
+
+        def _kv_specs(kv):
+            return tuple(
+                P(None, "dp", None, None) if a.ndim == 4
+                else P(None, None, "dp", None, None)
+                for a in kv
+            )
+
+        def _dp_step(params, kv, ints, floats, keys, perm, b2g, prev_tokens,
+                     T, B, maxP, NQB):
+            pspecs = jax.tree.map(lambda _: P(), params)
+            kvs = _kv_specs(kv)
+            override = None
+            ov_spec = None
+            if prev_tokens is not None:
+                # chained decode: previous step's GLOBAL-order device tokens
+                # become this step's inputs, scattered to rank-blocked rows
+                override = prev_tokens[b2g].reshape(n, B)
+                ov_spec = P("dp", None)
+            f = jax.shard_map(
+                lambda p, k, i, fl, ke, ov: _core(p, k, i, fl, ke, ov,
+                                                  (T, B, maxP, NQB)),
+                mesh=mesh, axis_names={"dp"},
+                in_specs=(pspecs, kvs, P("dp", None), P("dp", None),
+                          P("dp"), ov_spec),
+                out_specs=(P("dp", None), P("dp", None), P("dp"), kvs),
+                check_vma=False,
+            )
+            tokb, lpb, keys2, kv = f(params, kv, ints, floats, keys, override)
+            # blocked [n*B] -> global request order
+            tok = tokb.reshape(-1)[perm]
+            lp = lpb.reshape(-1)[perm]
+            return tok, lp, keys2, kv
+
+        self._dp_step_jit = jax.jit(
+            _dp_step, donate_argnums=(1,),
+            static_argnums=(8, 9, 10, 11), static_argnames=(),
+        )
+        # per-rank PRNG keys (each rank samples its own requests);
+        # created lazily — rng_key is set after _build_step_fns in __init__
+        self._dp_keys = None
+
+    def _dp_blocked(self, hb):
+        """Split a global HostBatch into per-dp-rank sub-batches with LOCAL
+        indices, pack each, and stack. Returns (ints [n, Li], floats [n, Lf],
+        shapes, perm [B_glob], b2g [n*B_blk])."""
+        from semi_pd_tpu.runtime.batch import (
+            build_decode_batch,
+            build_extend_batch,
+        )
+        from semi_pd_tpu.runtime.forward_batch import ForwardMode
+
+        n = self.dp_attn
+        ppp = self.page_allocator.pages_per_part
+        spr = ppp * self.server_args.page_size  # slots per rank
+        args = self.server_args
+
+        if hb.mode == ForwardMode.DECODE:
+            groups = [[] for _ in range(n)]
+            for r in hb.reqs:
+                groups[r.dp_rank].append(r)
+            B_blk = max(len(g) for g in groups)
+            B_blk = next(b for b in args.decode_bs_buckets if b >= B_blk)
+            subs = []
+            for rank, g in enumerate(groups):
+                sub = build_decode_batch(
+                    g, self.req_pool.page_table, args.page_size,
+                    [B_blk], [hb.maxP],
+                )
+                subs.append(sub)
+        else:
+            admitted = list(zip(hb.reqs, hb.extend_lens))
+            groups = [[] for _ in range(n)]
+            for item in admitted:
+                groups[item[0].dp_rank].append(item)
+            T_blk = max((sum(x for _, x in g) for g in groups if g), default=8)
+            T_blk = next(
+                (t for t in args.prefill_token_buckets if t >= T_blk),
+                args.prefill_token_buckets[-1] if args.prefill_token_buckets
+                else T_blk,
+            )
+            B_blk = max(len(g) for g in groups)
+            B_blk = next(b for b in args.decode_bs_buckets if b >= B_blk)
+            subs = []
+            for rank, g in enumerate(groups):
+                sub = build_extend_batch(
+                    g, self.req_pool.page_table, args.page_size,
+                    [T_blk], [B_blk], [hb.maxP],
+                )
+                subs.append(sub)
+
+        perm = np.zeros(hb.B, np.int32)
+        b2g = np.zeros(n * subs[0].B, np.int32)
+        for rank, sub in enumerate(subs):
+            off_p, off_s = rank * ppp, rank * spr
+            sub.page_table = np.maximum(sub.page_table - off_p, 0)
+            sub.out_slots = np.maximum(sub.out_slots - off_s, 0)
+        pos_in_rank = [0] * n
+        for i, r in enumerate(hb.reqs):
+            rank = r.dp_rank
+            j = pos_in_rank[rank]
+            pos_in_rank[rank] += 1
+            perm[i] = rank * subs[0].B + j
+            b2g[rank * subs[0].B + j] = i
+        packed = [sub.pack() for sub in subs]
+        ints = np.stack([p[0] for p in packed])
+        floats = np.stack([p[1] for p in packed])
+        shapes = packed[0][2]  # (T, B, maxP, NQB)
+        return ints, floats, shapes, perm, b2g
+
+    def step_packed_dp(self, hb, prev_tokens=None):
+        """DP-attention hot-loop step: per-rank packed vectors, one sharded
+        dispatch; returns (tokens [B_glob], logprobs [B_glob]) in the
+        scheduler's global request order."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ints_np, floats_np, (T, B, maxP, NQB), perm, b2g = self._dp_blocked(hb)
+        dp_sh = NamedSharding(self.mesh, P("dp", None))
+        if self._dp_keys is None:
+            self._dp_keys = jax.random.split(self.rng_key, self.dp_attn)
+        ints = jax.device_put(ints_np, dp_sh)
+        floats = jax.device_put(floats_np, dp_sh)
+        perm_d = jax.device_put(perm, self._replicated)
+        b2g_d = jax.device_put(b2g, self._replicated)
+        tok, lp, self._dp_keys, kv = self._dp_step_jit(
+            self.params, self.kv_cache.arrays, ints, floats, self._dp_keys,
+            perm_d, b2g_d, prev_tokens, T, B, maxP, NQB,
+        )
+        self.kv_cache.update(kv)
+        return tok, lp
 
     def step_packed(self, hb, prev_tokens=None) -> Tuple[jax.Array, jax.Array]:
         """Hot-loop step dispatch: two host->device transfers total (the

@@ -56,6 +56,9 @@ class Req:  # batch membership by object, and dicts key on rid
     mrope_pos: Any = None
     mrope_delta: int = 0
     cached_tokens: int = 0  # prefix tokens reused from the radix cache
+    # DP-attention: the dp partition owning this request's KV pages (assigned
+    # at first page allocation; None outside dp-attention mode)
+    dp_rank: Optional[int] = None
 
     # Lifecycle
     finish_reason: FinishReason = FinishReason.NONE
@@ -183,6 +186,7 @@ class Req:  # batch membership by object, and dicts key on rid
         self.spec_hidden = None
         self.pages = []
         self.n_prefix_pages = 0
+        self.dp_rank = None  # re-balance onto the least-loaded dp partition
         self.req_slot = None
         self.last_node = None
         self.is_retracted = True

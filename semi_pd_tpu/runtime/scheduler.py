@@ -169,6 +169,15 @@ class Scheduler:
         self.n_prefill_tokens = 0
         self.n_decode_tokens = 0
 
+        # DP-attention fast path (runner._build_dp_step_fns): the packed
+        # step shards requests + the KV slot axis over "dp"; the masked /
+        # penalty / speculative paths stay on the global-view GSPMD program,
+        # which is still correct over the dp-sharded pool (just not local).
+        self._step_packed = (
+            runner.step_packed_dp if getattr(runner, "dp_attn", 1) > 1
+            else runner.step_packed
+        )
+
     # ================================================================ API
     def add_request(self, req: Req) -> None:
         if len(req.input_ids) >= self.runner.max_context_len:
@@ -219,7 +228,7 @@ class Scheduler:
         if now - self._last_stats_log > 10 and self.running:
             # reference log_decode_stats (scheduler.py:925-980)
             alloc = self.runner.page_allocator
-            total = alloc.num_pages - 1
+            total = alloc.usable_pages
             used = total - alloc.available_pages()
             logger.info(
                 "decode stats: #running=%d #queue=%d kv=%.1f%% "
@@ -326,6 +335,17 @@ class Scheduler:
             if self._allocate_for_extend(req, n):
                 self.waiting.remove(req)
                 final.append((req, n))
+            elif (
+                self.runner.page_allocator.partitions > 1
+                and req.pages and not final and not self.running
+            ):
+                # DP-attention deadlock breaker: mid-prefill requests pinned
+                # to the same exhausted partition can starve each other (each
+                # holds pages the other needs, and waiting requests are never
+                # retracted). With nothing running and nothing admitted, free
+                # this one so it rebalances onto another partition.
+                self.waiting.remove(req)
+                self._retract(req)  # frees pages, resets, re-queues at head
         return final or None
 
     def _attach_prefix(self, req: Req) -> int:
@@ -407,7 +427,7 @@ class Scheduler:
             target_kv + self.page_size - 1
         ) // self.page_size - len(req.pages)
         if need > 0:
-            pages = self._alloc_pages(need)
+            pages = self._alloc_pages(need, req)
             if pages is None:
                 return False
             self.runner.req_pool.write(req.req_slot, len(req.pages), pages)
@@ -495,7 +515,7 @@ class Scheduler:
             )
             hidden = np.asarray(hidden)
         elif mask is None and pen is None and hb.packable():
-            tokens, logprobs = self.runner.step_packed(hb)
+            tokens, logprobs = self._step_packed(hb)
             sync = False
         else:
             out += self._flush_ring()  # keep token stream order
@@ -687,7 +707,7 @@ class Scheduler:
             target = r.kv_len + 1 + g
             need = (target + self.page_size - 1) // self.page_size - len(r.pages)
             if need > 0:
-                pages = self._alloc_pages(need)
+                pages = self._alloc_pages(need, r)
                 if pages is None:
                     return self._fallback_plain_decode()
                 self.runner.req_pool.write(r.req_slot, len(r.pages), pages)
@@ -744,7 +764,7 @@ class Scheduler:
             target = r.kv_len + N
             need = (target + self.page_size - 1) // self.page_size - len(r.pages)
             if need > 0:
-                pages = self._alloc_pages(need)
+                pages = self._alloc_pages(need, r)
                 if pages is None:
                     return self._fallback_plain_decode()
                 self.runner.req_pool.write(r.req_slot, len(r.pages), pages)
@@ -824,7 +844,7 @@ class Scheduler:
             target = r.kv_len + 1 + len(d)
             need = (target + self.page_size - 1) // self.page_size - len(r.pages)
             if need > 0:
-                pages = self._alloc_pages(need)
+                pages = self._alloc_pages(need, r)
                 if pages is None:
                     # Even a cleared draft still needs one page for the bonus
                     # token when kv_len lands on a page boundary: let plain
@@ -879,7 +899,7 @@ class Scheduler:
         mask = self._vocab_mask(self.running, hb.B)
         pen = self._penalty_arrays(self.running, hb.B)
         if mask is None and pen is None and hb.packable():
-            tokens, logprobs = self.runner.step_packed(hb)
+            tokens, logprobs = self._step_packed(hb)
         else:
             tokens, logprobs = self.runner.step(
                 hb.to_device(self.runner.rng_key), mask, pen
@@ -920,7 +940,7 @@ class Scheduler:
         if hb.B != hb_prev.B:
             return None
         if hb.packable():
-            tokens, logprobs = self.runner.step_packed(
+            tokens, logprobs = self._step_packed(
                 hb, prev_tokens=dev_tokens
             )
         else:
@@ -973,7 +993,26 @@ class Scheduler:
             ]
             if not need_idx:
                 return True
-            pages = self._alloc_pages(len(need_idx))
+            if self.runner.page_allocator.partitions > 1:
+                # DP-attention: a request's page must come from ITS partition
+                got, ok = [], True
+                for i in need_idx:
+                    p = self._alloc_pages(1, self.running[i])
+                    if p is None:
+                        ok = False
+                        break
+                    got.append((i, p))
+                if ok:
+                    for i, p in got:
+                        r = self.running[i]
+                        self.runner.req_pool.write(r.req_slot, len(r.pages), p)
+                        r.pages.append(int(p[0]))
+                    return True
+                for _, p in got:  # roll back partial allocation
+                    self.runner.page_allocator.free(p)
+                pages = None
+            else:
+                pages = self._alloc_pages(len(need_idx))
             if pages is not None:
                 for j, i in enumerate(need_idx):
                     r = self.running[i]
@@ -1000,12 +1039,21 @@ class Scheduler:
         self.waiting.appendleft(req)
 
     # ================================================================ memory
-    def _alloc_pages(self, n: int) -> Optional[np.ndarray]:
-        pages = self.runner.page_allocator.alloc(n)
+    def _alloc_pages(self, n: int, req: Optional[Req] = None) -> Optional[np.ndarray]:
+        alloc = self.runner.page_allocator
+        part = 0
+        if alloc.partitions > 1:
+            # DP-attention: a request is pinned to one dp partition (its KV
+            # lives on that rank's pool shard); assign on first allocation.
+            assert req is not None, "dp-attention allocation needs the request"
+            if req.dp_rank is None:
+                req.dp_rank = alloc.least_loaded_partition()
+            part = req.dp_rank
+        pages = alloc.alloc(n, part)
         if pages is None:
-            missing = n - self.runner.page_allocator.available_pages()
+            missing = n - alloc.available_pages(part if alloc.partitions > 1 else None)
             self.tree_cache.evict(missing)
-            pages = self.runner.page_allocator.alloc(n)
+            pages = alloc.alloc(n, part)
         return pages
 
     def _free_req_memory(self, req: Req) -> None:
@@ -1122,7 +1170,7 @@ class Scheduler:
         assert not self.running and not self.waiting
         cached = self.tree_cache.total_cached_pages()
         avail = self.runner.page_allocator.available_pages()
-        total = self.runner.page_allocator.num_pages - 1
+        total = self.runner.page_allocator.usable_pages
         if cached + avail != total:
             raise AssertionError(
                 f"KV page leak: {avail} free + {cached} cached != {total}"

@@ -13,6 +13,7 @@ from semi_pd_tpu.runtime.engine import Engine
 class _CharTok:
     """Char-level tokenizer over ASCII (ids = ord - 32)."""
 
+    bos_token_id = 96
     eos_token_id = 97
     vocab_size = 128
 

@@ -59,6 +59,11 @@ def make_server_args(semi_pd: bool):
         enable_semi_pd=semi_pd,
         decode_slo_ms=float(os.environ.get("BENCH_SLO_MS", "150")),
         max_running_requests=256,
+        # Coarse buckets: each bucket is one compiled program AND one warmup
+        # generation on a device whose steps can stall for tens of seconds
+        # (observed); 7 programs instead of 13 halves the warmup exposure.
+        decode_bs_buckets=[8, 32, 128, 256],
+        prefill_token_buckets=[256, 1024, 2048],
     )
 
 
@@ -308,7 +313,7 @@ def main():
         state["phase"] = "calibrate"
         assert eng.flush_cache()
         cal_budget = max(12.0, min(40.0, remaining() - 2 * 35 - 15))
-        cal = run_serving_sim(eng, n_reqs=24, rate=1e9, prompt_len=prompt_len,
+        cal = run_serving_sim(eng, n_reqs=12, rate=1e9, prompt_len=prompt_len,
                               out_len=out_len, seed=123, budget_s=cal_budget)
         if cal["n_done"] >= 4 and cal["wall_s"] >= 1.0:
             cap_rps = cal["n_done"] / cal["wall_s"]

@@ -1,0 +1,164 @@
+"""Kernel microbenchmark: Pallas ragged paged attention vs the jnp/XLA
+reference backend at flagship serving shapes (SURVEY.md §7.3 bullet 2:
+"must beat XLA-default attention and hit memory-bound roofline on decode";
+reference analog: flashinfer_backend.py:454 decode path).
+
+Run on the TPU: `python bench_kernels.py`. Prints one JSON line per case:
+  {"case": "decode", "pallas_ms": ..., "xla_ms": ..., "speedup": ...,
+   "hbm_gbps": ..., "roofline_pct": ...}
+and writes the full list to BENCH_KERNELS.json.
+
+Decode attention is memory-bound: the floor is reading every live KV byte
+once. roofline_pct = (bytes_touched / time) / HBM_PEAK. v5e (TPU v5 lite)
+HBM peak = 819 GB/s.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from semi_pd_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+import jax
+import jax.numpy as jnp
+
+from semi_pd_tpu.ops.attention.ragged_paged_attention import (
+    ragged_paged_attention,
+)
+from semi_pd_tpu.ops.attention.reference import (
+    ragged_paged_attention_reference,
+)
+from semi_pd_tpu.runtime.forward_batch import build_attn_meta
+
+HBM_PEAK_GBPS = 819.0  # v5e
+PAGE = 16
+HQ, HKV, D = 32, 8, 64  # 1B-class flagship (llama-3.2-1B shapes)
+SCALE = D ** -0.5
+
+
+def make_case(B, kv_len, q_lens, seed=0):
+    """One shared KV pool + batch metadata for both backends."""
+    rng = np.random.default_rng(seed)
+    pages_per_req = -(-kv_len // PAGE)
+    num_pages = 1 + B * pages_per_req
+    S = num_pages * PAGE
+    kv_cache = jnp.asarray(
+        rng.normal(size=(1, 2, S, HKV, D)).astype(np.float32), jnp.bfloat16
+    )
+    page_table = np.zeros((B, pages_per_req), np.int32)
+    for b in range(B):
+        page_table[b] = 1 + b * pages_per_req + np.arange(pages_per_req)
+    T = int(sum(q_lens))
+    q = jnp.asarray(rng.normal(size=(T, HQ, D)).astype(np.float32), jnp.bfloat16)
+    kv_lens = np.full(B, kv_len, np.int32)
+    q_req_idx = np.repeat(np.arange(B, dtype=np.int32), q_lens)
+    q_pos = np.concatenate(
+        [np.arange(kv_len - n, kv_len, dtype=np.int32) for n in q_lens]
+    )
+    meta = build_attn_meta(np.asarray(q_lens, np.int64), kv_lens.astype(np.int64), T)
+    return dict(
+        q=q, kv=kv_cache, pt=jnp.asarray(page_table),
+        kv_lens=jnp.asarray(kv_lens), meta=meta,
+        q_req_idx=jnp.asarray(q_req_idx), q_pos=jnp.asarray(q_pos),
+        bytes_touched=B * kv_len * 2 * HKV * D * 2,  # K+V bf16 read once
+    )
+
+
+def timeit(fn, iters=5, warmup=2):
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    t0 = time.monotonic()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.monotonic() - t0) / iters
+
+
+# Kernel invocations per jitted dispatch: each host->device dispatch through
+# the tunneled attachment costs ~4ms — far more than the kernel itself — so
+# the kernel is CHAINED inside one program (q depends on the previous
+# output, defeating CSE) and the per-call time is the slope between two
+# chain lengths (subtracting the dispatch overhead exactly).
+CHAIN = 16
+
+
+def _chain(call, q0, reps):
+    def body(q, _):
+        out = call(q)  # [T, HQ, Dv]
+        q = q0 + 1e-3 * out[:, :, : q0.shape[-1]].astype(q0.dtype)
+        return q, None
+
+    q, _ = jax.lax.scan(body, q0, None, length=reps)
+    return q
+
+
+def run_case(name, B, kv_len, q_lens, iters=5):
+    c = make_case(B, kv_len, q_lens)
+
+    def mk(call):
+        long_fn = jax.jit(lambda q: _chain(call, q, CHAIN))
+        short_fn = jax.jit(lambda q: _chain(call, q, 1))
+        t_long = timeit(lambda: long_fn(c["q"]), iters)
+        t_short = timeit(lambda: short_fn(c["q"]), iters)
+        return max((t_long - t_short) / (CHAIN - 1), 1e-7)
+
+    t_pallas = mk(lambda q: ragged_paged_attention(
+        q, c["kv"], 0, c["pt"], c["kv_lens"], c["meta"],
+        page_size=PAGE, scale=SCALE,
+    ))
+    t_xla = mk(lambda q: ragged_paged_attention_reference(
+        q, c["kv"], 0, c["pt"], c["q_req_idx"], c["q_pos"], c["kv_lens"],
+        page_size=PAGE, scale=SCALE,
+    ))
+    gbps = c["bytes_touched"] / t_pallas / 1e9
+    row = {
+        "case": name,
+        "B": B, "kv_len": kv_len, "T": int(sum(q_lens)),
+        "pallas_ms": round(t_pallas * 1e3, 3),
+        "xla_ms": round(t_xla * 1e3, 3),
+        "speedup": round(t_xla / t_pallas, 2),
+        "hbm_gbps": round(gbps, 1),
+        "roofline_pct": round(100 * gbps / HBM_PEAK_GBPS, 1),
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    # Pay the tunnel's first-D2H up front so it doesn't pollute timings.
+    t0 = time.monotonic()
+    jax.device_get(jnp.zeros((8,), jnp.int32) + 1)
+    print(f"# tunnel warmup {time.monotonic()-t0:.1f}s", file=sys.stderr)
+
+    rows = []
+    # Decode: one token per request (memory-bound; roofline target)
+    rows.append(run_case("decode_b64_kv1024", 64, 1024, [1] * 64))
+    rows.append(run_case("decode_b128_kv2048", 128, 2048, [1] * 128))
+    rows.append(run_case("decode_b16_kv8192", 16, 8192, [1] * 16))
+    # Extend: chunked prefill continuation (512 new tokens on 1.5k history)
+    rows.append(run_case("extend_b8_q256_kv2048", 8, 2048, [256] * 8))
+    # Mixed ragged extend
+    rows.append(run_case(
+        "extend_ragged", 8, 1024, [512, 256, 128, 64, 384, 448, 192, 64]
+    ))
+    with open("BENCH_KERNELS.json", "w") as f:
+        json.dump(rows, f, indent=1)
+    dec = [r for r in rows if r["case"].startswith("decode")]
+    print(json.dumps({
+        "metric": "pallas RPA decode roofline",
+        "value": max(r["roofline_pct"] for r in dec),
+        "unit": "% of v5e HBM peak",
+        "min_speedup_vs_xla": min(r["speedup"] for r in rows),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,7 +4,7 @@ Reference: srt/models/ (phi3 served via llama-compatible path; HF
 Phi3ForCausalLM). Structurally llama with two fused checkpoint tensors:
 ``self_attn.qkv_proj.weight`` = [q;k;v] rows and ``mlp.gate_up_proj.weight``
 = [gate;up] rows — both transpose directly onto our fused layouts, so the
-weight plan is a pure remap. LongRoPE scaling is not implemented (gated)."""
+weight plan is a pure remap. LongRoPE scaling supported (ops/rope.py longrope branch)."""
 
 from __future__ import annotations
 
@@ -15,15 +15,6 @@ from semi_pd_tpu.models.llama import LlamaForCausalLM
 
 
 class Phi3ForCausalLM(LlamaForCausalLM):
-    def __init__(self, config: ModelConfig):
-        rs = config.rope_scaling
-        if rs and rs.get("type", rs.get("rope_type")) == "longrope":
-            raise NotImplementedError(
-                "Phi-3 LongRoPE scaling is not supported yet; use a "
-                "short-context (<=4k) checkpoint"
-            )
-        super().__init__(config)
-
     def hf_weight_plan(self) -> Dict[str, Any]:
         plan = super().hf_weight_plan()
         for k in list(plan):

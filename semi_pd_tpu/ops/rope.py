@@ -100,6 +100,7 @@ class RotaryEmbedding:
 
         inv_freq = _default_inv_freq(self.rotary_dim, theta)
         max_pos = max_position
+        freqs = None
         if rope_scaling:
             rtype = rope_scaling.get("rope_type", rope_scaling.get("type", ""))
             if rtype == "llama3":
@@ -114,10 +115,30 @@ class RotaryEmbedding:
                 )
             elif rtype == "linear":
                 inv_freq = inv_freq / rope_scaling.get("factor", 1.0)
+            elif rtype == "longrope":
+                # Phi-3 LongRoPE (reference rotary_embedding.py
+                # Phi3LongRoPEScaledRotaryEmbedding): per-channel short/long
+                # rescale factors; positions < original_max use the short
+                # table, the rest the long table; both scaled by
+                # sqrt(1 + ln(s)/ln(orig)) when extended.
+                orig = int(rope_scaling.get(
+                    "original_max_position_embeddings", max_pos))
+                short = np.asarray(rope_scaling["short_factor"], np.float64)
+                longf = np.asarray(rope_scaling["long_factor"], np.float64)
+                scale = max(max_pos, max_position) / orig
+                if scale > 1.0:
+                    self.mscale = math.sqrt(1 + math.log(scale) / math.log(orig))
+                t = np.arange(max(max_pos, max_position), dtype=np.float64)
+                freqs = np.where(
+                    t[:, None] < orig,
+                    np.outer(t, inv_freq / short),
+                    np.outer(t, inv_freq / longf),
+                )
             # "default"/"dynamic": fall through with the base table
 
-        t = np.arange(max(max_pos, max_position), dtype=np.float64)
-        freqs = np.outer(t, inv_freq)  # [max_pos, rot_dim/2]
+        if freqs is None:
+            t = np.arange(max(max_pos, max_position), dtype=np.float64)
+            freqs = np.outer(t, inv_freq)  # [max_pos, rot_dim/2]
         self.cos = jnp.asarray(np.cos(freqs) * self.mscale, dtype=jnp.float32)
         self.sin = jnp.asarray(np.sin(freqs) * self.mscale, dtype=jnp.float32)
 

@@ -57,21 +57,51 @@ def test_phi3_parity():
     _parity(HF(hf_cfg).eval().float(), hf_cfg, 2, 2, 16, seed=1)
 
 
-def test_phi3_longrope_gated():
-    from transformers import Phi3Config
+def test_phi3_longrope_parity():
+    """LongRoPE with short_factor == long_factor is position-split-free, so
+    HF's whole-sequence table choice and our position-indexed table agree
+    exactly — validating the rescale + sqrt(1+ln s/ln orig) mscale math."""
+    import torch
+    from transformers import Phi3Config, Phi3ForCausalLM as HF
 
     hf_cfg = Phi3Config(
         vocab_size=256, hidden_size=64, intermediate_size=128,
-        num_hidden_layers=2, num_attention_heads=4,
-        max_position_embeddings=8192, original_max_position_embeddings=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, original_max_position_embeddings=128,
         rope_scaling={
             "type": "longrope",
-            "short_factor": [1.0] * 8, "long_factor": [2.0] * 8,
+            "short_factor": [1.5] * 8, "long_factor": [1.5] * 8,
         },
+        tie_word_embeddings=False, pad_token_id=0,
     )
-    cfg = ModelConfig.from_hf_config(hf_cfg, dtype="float32")
-    with pytest.raises(NotImplementedError):
-        create_model(cfg)
+    torch.manual_seed(3)
+    _parity(HF(hf_cfg).eval().float(), hf_cfg, 2, 2, 16, seed=3, plen=21,
+            tol=2e-3)
+
+
+def test_longrope_position_split_matches_reference_semantics():
+    """Positions < original_max read the short-factor table, the rest the
+    long-factor table (reference rotary_embedding.py:491
+    Phi3LongRoPEScaledRotaryEmbedding long_short cache)."""
+    import math
+
+    from semi_pd_tpu.ops.rope import RotaryEmbedding
+
+    orig, maxp, d = 32, 128, 16
+    short = [1.0] * (d // 2)
+    long = [4.0] * (d // 2)
+    r = RotaryEmbedding(
+        head_dim=d, max_position=maxp, theta=10000.0,
+        rope_scaling={"type": "longrope", "short_factor": short,
+                      "long_factor": long,
+                      "original_max_position_embeddings": orig},
+        dtype=np.float32,
+    )
+    mscale = math.sqrt(1 + math.log(maxp / orig) / math.log(orig))
+    inv = 1.0 / (10000.0 ** (np.arange(0, d, 2) / d))
+    for p, fac in ((5, 1.0), (orig - 1, 1.0), (orig, 4.0), (100, 4.0)):
+        want = np.cos(p * inv / fac) * mscale
+        np.testing.assert_allclose(np.asarray(r.cos[p]), want, rtol=1e-5)
 
 
 def test_granite_parity():

@@ -90,34 +90,71 @@ def timeit(fn, iters=5, warmup=2):
 CHAIN = 16
 
 
-def _chain(call, q0, reps):
-    def body(q, _):
-        out = call(q)  # [T, HQ, Dv]
-        q = q0 + 1e-3 * out[:, :, : q0.shape[-1]].astype(q0.dtype)
-        return q, None
-
-    q, _ = jax.lax.scan(body, q0, None, length=reps)
-    return q
-
-
 def run_case(name, B, kv_len, q_lens, iters=5):
     c = make_case(B, kv_len, q_lens)
 
-    def mk(call):
-        long_fn = jax.jit(lambda q: _chain(call, q, CHAIN))
-        short_fn = jax.jit(lambda q: _chain(call, q, 1))
-        t_long = timeit(lambda: long_fn(c["q"]), iters)
-        t_short = timeit(lambda: short_fn(c["q"]), iters)
+    # The chain carries BOTH q and the kv pool: each iteration writes this
+    # step's K/V into the pool slots before reading (exactly the serving
+    # write+read pattern, via the real paged_attention layer entry). Without
+    # the loop-carried kv, XLA hoists the whole KV gather out of the scan
+    # and the slope only measures the attention math.
+    from semi_pd_tpu.layers import attention as attention_backend
+
+    T = int(sum(q_lens))
+    rng = np.random.default_rng(7)
+    k_new0 = jnp.asarray(
+        rng.normal(size=(T, HKV, D)).astype(np.float32), jnp.bfloat16)
+    v_new0 = k_new0 * 0.5
+    out_slots = []
+    pos = 0
+    pt_np = np.asarray(c["pt"])
+    for b, n in enumerate(q_lens):
+        for j in range(n):
+            p = kv_len - n + j
+            out_slots.append(pt_np[b][p // PAGE] * PAGE + p % PAGE)
+    out_slots = jnp.asarray(np.asarray(out_slots, np.int32))
+
+    from types import SimpleNamespace
+
+    from semi_pd_tpu.layers.attention import paged_attention
+
+    def mk(backend):
+        attention_backend.set_attention_backend(backend)
+
+        def make_fn(reps):
+            def fn(q0, kv, k0, v0, pt, kv_lens, meta, q_req_idx, q_pos, slots):
+                fb = SimpleNamespace(
+                    page_table=pt, kv_lens=kv_lens, attn_meta=meta,
+                    q_req_idx=q_req_idx, q_pos=q_pos, mask_pos=None,
+                    win_base=None, out_slots=slots,
+                )
+
+                def body(carry, _):
+                    q, kv, k_new, v_new = carry
+                    out, kv = paged_attention(
+                        q, k_new, v_new, kv, 0, fb, page_size=PAGE, scale=SCALE,
+                    )
+                    q = q0 + 1e-3 * out.astype(q0.dtype)
+                    k_new = k0 + 1e-3 * out[:, :HKV].astype(k0.dtype)
+                    v_new = v0 + 1e-3 * out[:, :HKV].astype(v0.dtype)
+                    return (q, kv, k_new, v_new), None
+
+                (q, kv, _, _), _ = jax.lax.scan(
+                    body, (q0, kv, k0, v0), None, length=reps)
+                return q
+
+            return jax.jit(fn)
+
+        args = (c["q"], c["kv"], k_new0, v_new0, c["pt"], c["kv_lens"],
+                c["meta"], c["q_req_idx"], c["q_pos"], out_slots)
+        long_fn, short_fn = make_fn(CHAIN), make_fn(1)
+        t_long = timeit(lambda: long_fn(*args), iters)
+        t_short = timeit(lambda: short_fn(*args), iters)
         return max((t_long - t_short) / (CHAIN - 1), 1e-7)
 
-    t_pallas = mk(lambda q: ragged_paged_attention(
-        q, c["kv"], 0, c["pt"], c["kv_lens"], c["meta"],
-        page_size=PAGE, scale=SCALE,
-    ))
-    t_xla = mk(lambda q: ragged_paged_attention_reference(
-        q, c["kv"], 0, c["pt"], c["q_req_idx"], c["q_pos"], c["kv_lens"],
-        page_size=PAGE, scale=SCALE,
-    ))
+    t_pallas = mk("pallas")
+    t_xla = mk("reference")
+    attention_backend.set_attention_backend("pallas")
     gbps = c["bytes_touched"] / t_pallas / 1e9
     row = {
         "case": name,

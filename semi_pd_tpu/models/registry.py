@@ -172,6 +172,10 @@ def _ensure_populated():
     )
 
     _REGISTRY.setdefault("LlavaForConditionalGeneration", LlavaForConditionalGeneration)
+
+    from semi_pd_tpu.models.mllama import MllamaForConditionalGeneration
+
+    _REGISTRY.setdefault("MllamaForConditionalGeneration", MllamaForConditionalGeneration)
     _REGISTRY.setdefault("LlavaLlamaForCausalLM", LlavaForConditionalGeneration)
     _REGISTRY.setdefault("YiVLForCausalLM", YiVLForCausalLM)
     _REGISTRY.setdefault("LlavaVidForCausalLM", LlavaVidForCausalLM)

@@ -62,6 +62,10 @@ class HostBatch:
     mrope_pos: np.ndarray = None
     mask_pos: np.ndarray = None  # [T] slot-order positions (tree verify)
     win_base: np.ndarray = None  # [B] tree window start
+    # mllama cross-attention (models/mllama.py)
+    cross_states: np.ndarray = None  # [B, Nv, H]
+    cross_len: np.ndarray = None  # [B]
+    cross_from: np.ndarray = None  # [B]
 
     def to_device(self, rng_key) -> ForwardArrays:
         if self.mode == ForwardMode.DECODE:
@@ -103,6 +107,16 @@ class HostBatch:
             win_base=(
                 jnp.asarray(self.win_base) if self.win_base is not None else None
             ),
+            cross_states=(
+                jnp.asarray(self.cross_states)
+                if self.cross_states is not None else None
+            ),
+            cross_len=(
+                jnp.asarray(self.cross_len) if self.cross_len is not None else None
+            ),
+            cross_from=(
+                jnp.asarray(self.cross_from) if self.cross_from is not None else None
+            ),
         )
 
     def packable(self) -> bool:
@@ -112,6 +126,7 @@ class HostBatch:
             self.lora_idx is None
             and self.embed_override is None
             and self.mrope_pos is None
+            and self.cross_states is None
         )
 
     def pack(self) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int, int, int]]:
@@ -171,6 +186,32 @@ def _sampling_arrays_np(reqs: List[Req], B: int) -> SamplingArrays:
 def _sampling_arrays(reqs: List[Req], B: int) -> SamplingArrays:
     return SamplingArrays(*[jnp.asarray(a) for a in _sampling_arrays_np(reqs, B)])
 
+
+
+
+def _cross_arrays(reqs: List[Req], B: int):
+    """Mllama cross-attention staging: stack per-request projected vision
+    states (padded to the max Nv in batch); zero cross_len = no image."""
+    if not any(getattr(r, "cross_states", None) is not None for r in reqs):
+        return None, None, None
+    Nv = max(
+        r.cross_states.shape[0] for r in reqs
+        if getattr(r, "cross_states", None) is not None
+    )
+    H = next(
+        r.cross_states.shape[1] for r in reqs
+        if getattr(r, "cross_states", None) is not None
+    )
+    cs = np.zeros((B, Nv, H), np.float32)
+    cl = np.zeros(B, np.int32)
+    cf = np.zeros(B, np.int32)
+    for i, r in enumerate(reqs):
+        st = getattr(r, "cross_states", None)
+        if st is not None:
+            cs[i, : st.shape[0]] = st
+            cl[i] = st.shape[0]
+            cf[i] = getattr(r, "cross_from", 0)
+    return cs, cl, cf
 
 def _page_table_block(
     reqs: List[Req], B: int, maxP: int, page_table_host: np.ndarray
@@ -261,6 +302,7 @@ def build_extend_batch(
         logits_idx[i] = t + n - 1
         t += n
 
+    cs, cl, cf = _cross_arrays(reqs, B)
     hb = HostBatch(
         mode=ForwardMode.EXTEND, reqs=reqs, extend_lens=lens,
         input_ids=input_ids, q_req_idx=q_req_idx, q_pos=q_pos,
@@ -269,7 +311,7 @@ def build_extend_batch(
         kv_lens=kv_lens, logits_idx=logits_idx,
         sampling=_sampling_arrays_np(reqs, B), T=T, B=B, maxP=maxP,
         lora_idx=lora_idx, mrope_pos=mrope, embed_override=embed_override,
-        embed_mask=embed_mask,
+        embed_mask=embed_mask, cross_states=cs, cross_len=cl, cross_from=cf,
     )
     return hb
 
@@ -325,6 +367,7 @@ def build_decode_batch(
         out_slots[i] = r.pages[pos // page_size] * page_size + pos % page_size
         kv_lens[i] = pos + 1
 
+    cs, cl, cf = _cross_arrays(reqs, B)
     return HostBatch(
         mode=ForwardMode.DECODE, reqs=list(reqs),  # snapshot: caller's list mutates
         input_ids=input_ids, q_req_idx=q_req_idx, q_pos=q_pos,
@@ -333,6 +376,7 @@ def build_decode_batch(
         kv_lens=kv_lens, logits_idx=logits_idx,
         sampling=_sampling_arrays_np(reqs, B), T=T, B=B, maxP=maxP,
         lora_idx=lora_idx, mrope_pos=mrope,
+        cross_states=cs, cross_len=cl, cross_from=cf,
     )
 
 

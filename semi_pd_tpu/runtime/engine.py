@@ -173,6 +173,10 @@ class Engine:
         (qwen2-vl) size each expansion from its image's patch grid."""
         model = self.runner.model
         tok_id = model.image_token_index
+        if getattr(model, "uses_cross_attention", False):
+            # mllama: the <|image|> token embeds normally; vision feeds the
+            # cross-attention layers instead — no token expansion
+            return ids
         if hasattr(model, "patchify") and image_data is not None:
             imgs = image_data if isinstance(image_data, list) else [image_data]
             grids = [self._qwen_vl_patches(i)[1] for i in imgs]
@@ -228,6 +232,17 @@ class Engine:
         if not getattr(model, "is_multimodal", False):
             raise ValueError("model is not multimodal")
         imgs = image_data if isinstance(image_data, list) else [image_data]
+        if getattr(model, "uses_cross_attention", False):
+            # mllama: one image per request; projected vision states carried
+            # on the request and batched into ForwardArrays.cross_states
+            if len(imgs) != 1:
+                raise ValueError("mllama serving supports one image per request")
+            req.cross_states = model.encode_images(self.runner.params, imgs[0])
+            tok_id = model.image_token_index
+            req.cross_from = next(
+                (i for i, t in enumerate(req.input_ids) if t == tok_id), 0
+            )
+            return
         if hasattr(model, "patchify"):
             feats = []
             grids = []

@@ -64,6 +64,12 @@ class ForwardArrays(NamedTuple):
     # the window start per request; None outside tree rounds.
     mask_pos: Optional[jax.Array] = None  # [T] i32
     win_base: Optional[jax.Array] = None  # [B] i32
+    # Mllama cross-attention (models/mllama.py): per-request projected
+    # vision states, valid-token counts, and the first prompt position that
+    # may attend them (the <|image|> token); None for non-cross models.
+    cross_states: Optional[jax.Array] = None  # [B, Nv, H] f32
+    cross_len: Optional[jax.Array] = None  # [B] i32 (0 = no image)
+    cross_from: Optional[jax.Array] = None  # [B] i32
 
 
 def build_attn_meta(q_lens_np: np.ndarray, kv_lens_np: np.ndarray, T: int) -> AttnMeta:

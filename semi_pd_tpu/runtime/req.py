@@ -59,6 +59,10 @@ class Req:  # batch membership by object, and dicts key on rid
     # DP-attention: the dp partition owning this request's KV pages (assigned
     # at first page allocation; None outside dp-attention mode)
     dp_rank: Optional[int] = None
+    # Mllama cross-attention: per-request projected vision states
+    # [Nv, text_hidden] + first prompt position allowed to attend them
+    cross_states: Any = None
+    cross_from: int = 0
 
     # Lifecycle
     finish_reason: FinishReason = FinishReason.NONE

@@ -43,15 +43,23 @@ HQ, HKV, D = 32, 8, 64  # 1B-class flagship (llama-3.2-1B shapes)
 SCALE = D ** -0.5
 
 
-def make_case(B, kv_len, q_lens, seed=0):
-    """One shared KV pool + batch metadata for both backends."""
+def make_case(B, kv_len, q_lens, seed=0, chunked=False):
+    """One shared KV pool + batch metadata for both backends. chunked=True
+    uses the production pool layout for sub-lane head dims ([L, S, CT, 128],
+    K chunks then V chunks per slot — what the runner picks for D=64)."""
     rng = np.random.default_rng(seed)
     pages_per_req = -(-kv_len // PAGE)
     num_pages = 1 + B * pages_per_req
     S = num_pages * PAGE
-    kv_cache = jnp.asarray(
-        rng.normal(size=(1, 2, S, HKV, D)).astype(np.float32), jnp.bfloat16
-    )
+    if chunked:
+        CT = 2 * HKV * D // 128
+        kv_cache = jnp.asarray(
+            rng.normal(size=(1, S, CT, 128)).astype(np.float32), jnp.bfloat16
+        )
+    else:
+        kv_cache = jnp.asarray(
+            rng.normal(size=(1, 2, S, HKV, D)).astype(np.float32), jnp.bfloat16
+        )
     page_table = np.zeros((B, pages_per_req), np.int32)
     for b in range(B):
         page_table[b] = 1 + b * pages_per_req + np.arange(pages_per_req)
@@ -90,8 +98,8 @@ def timeit(fn, iters=5, warmup=2):
 CHAIN = 16
 
 
-def run_case(name, B, kv_len, q_lens, iters=5):
-    c = make_case(B, kv_len, q_lens)
+def run_case(name, B, kv_len, q_lens, iters=5, chunked=False, kv_block=256):
+    c = make_case(B, kv_len, q_lens, chunked=chunked)
 
     # The chain carries BOTH q and the kv pool: each iteration writes this
     # step's K/V into the pool slots before reading (exactly the serving
@@ -132,7 +140,8 @@ def run_case(name, B, kv_len, q_lens, iters=5):
                 def body(carry, _):
                     q, kv, k_new, v_new = carry
                     out, kv = paged_attention(
-                        q, k_new, v_new, kv, 0, fb, page_size=PAGE, scale=SCALE,
+                        q, k_new, v_new, kv, 0, fb, page_size=PAGE,
+                        scale=SCALE, kv_block=kv_block,
                     )
                     q = q0 + 1e-3 * out.astype(q0.dtype)
                     k_new = k0 + 1e-3 * out[:, :HKV].astype(k0.dtype)
@@ -176,12 +185,23 @@ def main():
     print(f"# tunnel warmup {time.monotonic()-t0:.1f}s", file=sys.stderr)
 
     rows = []
-    # Decode: one token per request (memory-bound; roofline target)
+    # Decode: one token per request (memory-bound; roofline target).
+    # "chunked" = the production pool layout for D=64 (one K+V DMA per page)
     rows.append(run_case("decode_b64_kv1024", 64, 1024, [1] * 64))
-    rows.append(run_case("decode_b128_kv2048", 128, 2048, [1] * 128))
-    rows.append(run_case("decode_b16_kv8192", 16, 8192, [1] * 16))
+    rows.append(run_case("decode_b64_kv1024_chunked", 64, 1024, [1] * 64,
+                         chunked=True))
+    rows.append(run_case("decode_b64_kv1024_chunked_kvb1024", 64, 1024,
+                         [1] * 64, chunked=True, kv_block=1024))
+    rows.append(run_case("decode_b128_kv2048_chunked", 128, 2048, [1] * 128,
+                         chunked=True))
+    rows.append(run_case("decode_b128_kv2048_chunked_kvb1024", 128, 2048,
+                         [1] * 128, chunked=True, kv_block=1024))
+    rows.append(run_case("decode_b16_kv8192_chunked", 16, 8192, [1] * 16,
+                         chunked=True))
     # Extend: chunked prefill continuation (512 new tokens on 1.5k history)
     rows.append(run_case("extend_b8_q256_kv2048", 8, 2048, [256] * 8))
+    rows.append(run_case("extend_b8_q256_kv2048_chunked", 8, 2048, [256] * 8,
+                         chunked=True))
     # Mixed ragged extend
     rows.append(run_case(
         "extend_ragged", 8, 1024, [512, 256, 128, 64, 384, 448, 192, 64]

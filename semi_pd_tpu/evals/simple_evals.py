@@ -1,12 +1,15 @@
-"""Accuracy eval harness (GSM8K few-shot, MMLU multiple-choice).
+"""Accuracy eval harness: GSM8K few-shot, MMLU/GPQA multiple-choice, MATH,
+MGSM (multilingual GSM), HumanEval (sandboxed exec pass@1).
 
-Reference: python/sglang/test/simple_eval_gsm8k.py / simple_eval_mmlu.py /
-few_shot_gsm8k.py — the accuracy gates in BASELINE.md (MMLU >= 0.65 under
-retraction fault injection, nightly GSM8K).
+Reference: python/sglang/test/simple_eval_{gsm8k,mmlu,gpqa,math,mgsm,
+humaneval}.py + few_shot_gsm8k.py — the accuracy gates in BASELINE.md
+(MMLU >= 0.65 under retraction fault injection, nightly GSM8K).
 
 Datasets are plain JSONL files (no network in this environment):
-  gsm8k: {"question": ..., "answer": "... #### 42"}
-  mmlu:  {"question": ..., "choices": ["...", ...], "answer": 2}
+  gsm8k/mgsm: {"question": ..., "answer": "... #### 42"}
+  mmlu/gpqa:  {"question": ..., "choices": ["...", ...], "answer": 2}
+  math:       {"problem": ..., "answer": "..."}  (boxed-string match)
+  humaneval:  {"prompt": ..., "test": ..., "entry_point": ...}
 
 Usage:
   python -m semi_pd_tpu.evals.simple_evals --task gsm8k --data gsm8k.jsonl \
@@ -81,9 +84,100 @@ def score_mmlu(engine, data: List[dict], num_examples: int) -> float:
     return correct / max(len(items), 1)
 
 
+def extract_boxed(text: str) -> Optional[str]:
+    """Last \\boxed{...} content (reference simple_eval_math answer grading)."""
+    i = text.rfind("\\boxed{")
+    if i < 0:
+        m = NUM_RE.findall(text)
+        return m[-1] if m else None
+    depth = 0
+    for j in range(i + len("\\boxed{") - 1, len(text)):
+        if text[j] == "{":
+            depth += 1
+        elif text[j] == "}":
+            depth -= 1
+            if depth == 0:
+                return text[i + len("\\boxed{") : j].strip()
+    return None
+
+
+def _norm_math(s: str) -> str:
+    s = s.strip().replace(" ", "").replace("\\left", "").replace("\\right", "")
+    s = s.replace("\\!", "").replace("\\,", "").rstrip(".")
+    return s
+
+
+def score_math(engine, data: List[dict], num_examples: int,
+               max_new_tokens: int = 512) -> float:
+    """MATH dataset: exact match of normalized \\boxed answers (reference
+    simple_eval_math.py)."""
+    items = data[:num_examples]
+    prompts = [
+        f"Problem: {it['problem']}\nSolve step by step and end with the "
+        f"final answer in \\boxed{{}}.\nSolution:" for it in items
+    ]
+    outs = engine.generate(
+        prompt=prompts,
+        sampling_params={"max_new_tokens": max_new_tokens, "temperature": 0.0,
+                         "stop": ["Problem:"]},
+    )
+    correct = 0
+    for it, o in zip(items, outs):
+        got = extract_boxed(o["text"])
+        correct += int(
+            got is not None and _norm_math(got) == _norm_math(it["answer"])
+        )
+    return correct / max(len(items), 1)
+
+
+def score_mgsm(engine, data: List[dict], num_shots: int,
+               num_examples: int) -> float:
+    """MGSM = GSM8K prompting over multilingual items; numeric-match scoring
+    is language-agnostic (reference simple_eval_mgsm.py)."""
+    return score_gsm8k(engine, data, num_shots, num_examples)
+
+
+def score_humaneval(engine, data: List[dict], num_examples: int,
+                    max_new_tokens: int = 512, timeout_s: float = 10.0) -> float:
+    """pass@1 by executing the generated completion against the task's tests
+    in a subprocess (reference simple_eval_humaneval.py; unsafe-code caveat
+    applies equally there)."""
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    items = data[:num_examples]
+    outs = engine.generate(
+        prompt=[it["prompt"] for it in items],
+        sampling_params={"max_new_tokens": max_new_tokens, "temperature": 0.0,
+                         "stop": ["\ndef ", "\nclass ", "\nif __name__"]},
+    )
+    passed = 0
+    for it, o in zip(items, outs):
+        program = (
+            it["prompt"] + o["text"] + "\n" + it["test"] + "\n"
+            + f"check({it['entry_point']})\n"
+        )
+        with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+            f.write(program)
+            path = f.name
+        try:
+            r = subprocess.run(
+                [_sys.executable, path], capture_output=True, timeout=timeout_s
+            )
+            passed += int(r.returncode == 0)
+        except subprocess.TimeoutExpired:
+            pass
+    return passed / max(len(items), 1)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--task", choices=["gsm8k", "mmlu"], required=True)
+    p.add_argument(
+        "--task",
+        choices=["gsm8k", "mmlu", "gpqa", "math", "mgsm", "humaneval"],
+        required=True,
+    )
     p.add_argument("--data", required=True)
     p.add_argument("--model-path", required=True)
     p.add_argument("--num-examples", type=int, default=200)
@@ -98,7 +192,13 @@ def main(argv=None):
                  enable_semi_pd=args.enable_semi_pd)
     if args.task == "gsm8k":
         acc = score_gsm8k(eng, data, args.num_shots, args.num_examples)
-    else:
+    elif args.task == "mgsm":
+        acc = score_mgsm(eng, data, args.num_shots, args.num_examples)
+    elif args.task == "math":
+        acc = score_math(eng, data, args.num_examples)
+    elif args.task == "humaneval":
+        acc = score_humaneval(eng, data, args.num_examples)
+    else:  # mmlu / gpqa share the multiple-choice format
         acc = score_mmlu(eng, data, args.num_examples)
     print(json.dumps({"task": args.task, "n": args.num_examples,
                       "accuracy": round(acc, 4)}))

@@ -69,8 +69,10 @@ def paged_attention(
     scale: float,
     logit_cap: Optional[float] = None,
     sliding_window: Optional[int] = None,
+    kv_block: int = 256,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (attn_out [T, Hq, D], kv_cache')."""
+    """Returns (attn_out [T, Hq, D], kv_cache'). kv_block tunes the KV
+    slots streamed per grid step (DMA granularity / pipeline depth)."""
     if kv_cache.ndim == 4:
         # chunked combined pool [L, S, CT, 128] (KVCache.chunked): one
         # scatter writes K and V chunks of each slot row together
@@ -91,7 +93,7 @@ def paged_attention(
                 q, kv_cache, layer_idx, fb.page_table, fb.kv_lens,
                 fb.attn_meta, page_size=page_size, num_kv_heads=Hkv,
                 head_dim=D, scale=scale, logit_cap=logit_cap,
-                sliding_window=sliding_window,
+                sliding_window=sliding_window, kv_block=kv_block,
             )
         else:
             from semi_pd_tpu.ops.attention.reference import (
@@ -126,7 +128,7 @@ def paged_attention(
             q, kv_cache, layer_idx, fb.page_table, fb.kv_lens,
             fb.attn_meta, page_size=page_size, scale=scale,
             logit_cap=logit_cap, sliding_window=sliding_window,
-            spec_anc=spec_anc, win_base=fb.win_base,
+            spec_anc=spec_anc, win_base=fb.win_base, kv_block=kv_block,
         )
     else:
         from semi_pd_tpu.ops.attention.reference import (

@@ -20,6 +20,7 @@ from typing import Any, Dict, List, Optional
 MLA_ARCHS = {
     "DeepseekV2ForCausalLM",
     "DeepseekV3ForCausalLM",
+    "MiniCPM3ForCausalLM",
 }
 
 

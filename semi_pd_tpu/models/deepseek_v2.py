@@ -245,6 +245,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         c = self.config
         (kv_cache,) = kv
         h = jnp.take(params["embed"]["w"], fb.input_ids, axis=0)
+        if self.embed_scale is not None:  # minicpm3 scale_emb
+            h = h * jnp.asarray(self.embed_scale, h.dtype)
         for l in range(c.num_hidden_layers):
             h, kv_cache = self._ds_layer(params["layers"][l], l, h, kv_cache, fb)
         h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
@@ -253,6 +255,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         from semi_pd_tpu.layers.linear import lm_head_logits
 
         logits = lm_head_logits(last_h, head, c.logit_softcap)
+        if self.logits_div is not None:  # minicpm3 hidden/dim_model_base
+            logits = logits / jnp.asarray(self.logits_div, logits.dtype)
         if return_hidden:
             return logits, (kv_cache,), last_h
         return logits, (kv_cache,)
@@ -299,7 +303,10 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             "thk,hkv->thv", attn_lat.astype(jnp.float32),
             lp["w_uv"].astype(jnp.float32),
         ).astype(h.dtype)  # [T, Hq, dv]
-        h = h + apply_linear(lp["o_proj"], attn.reshape(T, Hq * self.dv))
+        attn_out = apply_linear(lp["o_proj"], attn.reshape(T, Hq * self.dv))
+        if self.residual_mult is not None:  # minicpm3 scale_depth/sqrt(L)
+            attn_out = attn_out * jnp.asarray(self.residual_mult, attn_out.dtype)
+        h = h + attn_out
 
         # --- MLP / MoE
         y = rms_norm(h, lp["post_norm"], c.rms_norm_eps)
@@ -327,4 +334,6 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             mlp = out
         else:
             mlp = apply_linear(lp["down"], silu_and_mul(apply_linear(lp["gate_up"], y)))
+        if self.residual_mult is not None:
+            mlp = mlp * jnp.asarray(self.residual_mult, mlp.dtype)
         return h + mlp, kv_cache

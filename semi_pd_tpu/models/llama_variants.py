@@ -327,3 +327,33 @@ class DeepseekForCausalLM(XverseMoeForCausalLM):
                 lp["dense_down"], self.act(apply_linear(lp["dense_gate_up"], x))
             )
         return super()._mlp(lp, x)
+
+
+class MiniCPM3ForCausalLM:
+    """MiniCPM3 (reference srt/models/minicpm3.py): deepseek-style MLA
+    attention (identical q_a/q_b/kv_a/kv_b/kv_b_proj checkpoint layout,
+    served absorb-form over the latent pool) + dense SiLU MLP + the MiniCPM
+    scalar knobs (scale_emb, scale_depth/sqrt(L) residuals, logits /
+    (hidden/dim_model_base)). Rope on the decoupled pe head is NEOX-style
+    (reference get_rope default there, unlike deepseek's interleaved)."""
+
+    def __new__(cls, config: ModelConfig):
+        from semi_pd_tpu.models.deepseek_v2 import DeepseekV2ForCausalLM
+        from semi_pd_tpu.ops.rope import RotaryEmbedding
+
+        model = DeepseekV2ForCausalLM(config)
+        hf = config.hf_config
+        g = lambda k, d: getattr(hf, k, d) if hf else d
+        model.embed_scale = float(g("scale_emb", 1.0))
+        model.residual_mult = float(g("scale_depth", 1.0)) / math.sqrt(
+            config.num_hidden_layers
+        )
+        dmb = g("dim_model_base", None)
+        if dmb:
+            model.logits_div = config.hidden_size / float(dmb)
+        model.rope = RotaryEmbedding(
+            head_dim=model.dr, rotary_dim=model.dr,
+            max_position=config.context_length, theta=config.rope_theta,
+            rope_scaling=config.rope_scaling, is_neox_style=True,
+        )
+        return model

@@ -76,6 +76,10 @@ def _ensure_populated():
     _REGISTRY.setdefault("BaiChuanForCausalLM", BaichuanForCausalLM)
     _REGISTRY.setdefault("QWenLMHeadModel", QWenLMHeadModel)
     _REGISTRY.setdefault("MiniCPMForCausalLM", MiniCPMForCausalLM)
+
+    from semi_pd_tpu.models.llama_variants import MiniCPM3ForCausalLM
+
+    _REGISTRY.setdefault("MiniCPM3ForCausalLM", MiniCPM3ForCausalLM)
     _REGISTRY.setdefault("XverseMoeForCausalLM", XverseMoeForCausalLM)
     _REGISTRY.setdefault("DeepseekForCausalLM", DeepseekForCausalLM)
 

@@ -101,6 +101,17 @@ class ServerArgs:
     decode_bs_buckets: Optional[List[int]] = None
     prefill_token_buckets: Optional[List[int]] = None
 
+    # Double-sparsity attention (reference double_sparsity_backend.py +
+    # DoubleSparseTokenToKVPool): decode reads only the top
+    # ds_heavy_token_num tokens per head, scored from a ds_heavy_channel_num
+    # label cache. Channel config from offline profiling
+    # (--ds-channel-config-path, reference model_runner.py:1174).
+    enable_double_sparsity: bool = False
+    ds_heavy_channel_num: int = 16
+    ds_heavy_token_num: int = 256
+    ds_channel_config_path: Optional[str] = None
+    ds_heavy_channel_type: str = "k"  # q | k | qk (profiling key)
+
     # Sampling / constrained decoding
     sampling_backend: str = "jax"
     grammar_backend: Optional[str] = "outlines_like"
@@ -155,6 +166,11 @@ class ServerArgs:
 
         if self.quantization == "awq_int4" and self.kv_cache_dtype == "auto":
             self.kv_cache_dtype = "bfloat16"
+
+        if self.enable_double_sparsity and self.speculative_algorithm:
+            raise ValueError(
+                "double-sparsity is not composed with speculative decoding"
+            )
 
         if self.enable_dp_attention:
             if self.dp_size <= 1:

@@ -158,6 +158,10 @@ class KVCacheSpec:
     # runner when the Pallas backend benefits (head_dim not a lane-tile
     # multiple — avoids both XLA pool padding and a per-layer relayout copy).
     chunked: bool = False
+    # Double-sparsity label cache width (0 = off): adds a second buffer
+    # [L, S, H, ds_channels] of per-token heavy-channel K labels (reference
+    # DoubleSparseTokenToKVPool memory_pool.py:455-529).
+    ds_channels: int = 0
 
     @property
     def num_slots(self) -> int:
@@ -205,7 +209,14 @@ class KVCache:
         arr = jnp.zeros(shape, dtype=spec.dtype)
         if sharding is not None:
             arr = jax.device_put(arr, sharding)
-        self.buffers: Tuple[jax.Array, ...] = (arr,)
+        bufs = [arr]
+        if spec.ds_channels:
+            assert not spec.use_mla and not spec.chunked
+            bufs.append(jnp.zeros(
+                (spec.num_layers, spec.num_slots, spec.num_kv_heads,
+                 spec.ds_channels), dtype=spec.dtype,
+            ))
+        self.buffers: Tuple[jax.Array, ...] = tuple(bufs)
 
     @property
     def arrays(self) -> Tuple[jax.Array, ...]:

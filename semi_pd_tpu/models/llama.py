@@ -83,6 +83,11 @@ class LlamaForCausalLM:
         self.no_rope = False
         self.lm_head_bias = False
         self.qkv_clip = None  # olmo/dbrx clip_qkv
+        # Double-sparsity attention (runner sets when enabled): [L, Hkv, C]
+        # heavy-channel indices + top-k token budget (ops/attention/
+        # double_sparsity.py). The KV pytree then carries a label buffer.
+        self.ds_channels = None
+        self.ds_heavy_token_num = 256
         # Set by the runner before tracing (static under jit): property of the
         # memory pool, not the checkpoint.
         self.page_size = 16
@@ -243,7 +248,9 @@ class LlamaForCausalLM:
         all_logits: bool = False,
     ):
         c = self.config
-        (kv_cache,) = kv
+        # kv is (pool,) or (pool, ds_labels) under double sparsity; thread
+        # the whole tuple through the layer scan as one carry leaf group.
+        kv_cache = kv if len(kv) > 1 else kv[0]
         h = jnp.take(params["embed"]["w"], fb.input_ids, axis=0)
         if self.embed_scale is not None:
             h = h * jnp.asarray(self.embed_scale, h.dtype)
@@ -280,15 +287,16 @@ class LlamaForCausalLM:
         logits = lm_head_logits(last_h, head, c.logit_softcap)
         if self.logits_div is not None:
             logits = logits / jnp.asarray(self.logits_div, logits.dtype)
+        kv_out = kv_cache if isinstance(kv_cache, tuple) else (kv_cache,)
         if return_hidden:
-            return logits, (kv_cache,), last_h
-        return logits, (kv_cache,)
+            return logits, kv_out, last_h
+        return logits, kv_out
 
     def forward_embedding(self, params, fb: ForwardArrays, kv):
         """Pooled sequence embedding (reference: layers/pooler.py LAST
         pooling + llama_embedding.py): normalized last-token hidden state."""
         c = self.config
-        (kv_cache,) = kv
+        kv_cache = kv if len(kv) > 1 else kv[0]
         h = jnp.take(params["embed"]["w"], fb.input_ids, axis=0)
         if self.scan_layers:
             layer_ids = jnp.arange(c.num_hidden_layers, dtype=jnp.int32)
@@ -311,7 +319,7 @@ class LlamaForCausalLM:
         emb = emb / jnp.maximum(
             jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
         )
-        return emb, (kv_cache,)
+        return emb, (kv_cache if isinstance(kv_cache, tuple) else (kv_cache,))
 
     def _layer(self, lp, layer_idx, h, kv_cache, fb: ForwardArrays):
         attn_in = self._norm(h, lp["input_norm"])
@@ -361,11 +369,24 @@ class LlamaForCausalLM:
                 pos = fb.mrope_pos
             q, k = self.rope(pos, q, k)
 
-        attn_out, kv_cache = paged_attention(
-            q, k, v, kv_cache, layer_idx, fb,
-            page_size=self.page_size, scale=self.scale,
-            logit_cap=c.attn_logit_softcap, sliding_window=c.sliding_window,
-        )
+        if isinstance(kv_cache, tuple):
+            from semi_pd_tpu.ops.attention.double_sparsity import (
+                paged_attention_ds,
+            )
+
+            pool, labels = kv_cache
+            attn_out, pool, labels = paged_attention_ds(
+                q, k, v, pool, labels, self.ds_channels, layer_idx, fb,
+                page_size=self.page_size, scale=self.scale,
+                heavy_token_num=self.ds_heavy_token_num,
+            )
+            kv_cache = (pool, labels)
+        else:
+            attn_out, kv_cache = paged_attention(
+                q, k, v, kv_cache, layer_idx, fb,
+                page_size=self.page_size, scale=self.scale,
+                logit_cap=c.attn_logit_softcap, sliding_window=c.sliding_window,
+            )
         attn_flat = attn_out.reshape(T, self.q_size)
         attn_out = apply_linear(lp["o_proj"], attn_flat)
         if lora is not None and li is not None:

@@ -204,6 +204,28 @@ class ModelRunner:
                 else:
                     # pool layout [L, comp, S, H, D] — shard the kv-head axis
                     kv_sharding = NamedSharding(self.mesh, P(None, None, None, axis, None))
+        if args.enable_double_sparsity:
+            # Double-sparsity (ops/attention/double_sparsity.py): label
+            # buffer in the pool + per-layer heavy-channel indices + top-k
+            # budget on the model. MHA/GQA only; 5D pool layout (the jnp
+            # sparse path indexes [slot, head]).
+            assert not mc.use_mla, "double-sparsity targets MHA/GQA models"
+            self.kv_spec = dataclasses.replace(
+                self.kv_spec, chunked=False,
+                ds_channels=args.ds_heavy_channel_num,
+            )
+            from semi_pd_tpu.ops.attention.double_sparsity import (
+                load_channel_config,
+            )
+
+            ch = load_channel_config(
+                args.ds_channel_config_path, mc.num_hidden_layers,
+                mc.num_kv_heads_total, mc.num_attention_heads,
+                mc.kv_head_dim, args.ds_heavy_channel_num,
+                args.ds_heavy_channel_type,
+            )
+            self.model.ds_channels = jnp.asarray(ch)
+            self.model.ds_heavy_token_num = args.ds_heavy_token_num
         self.kv_cache = KVCache(self.kv_spec, sharding=kv_sharding)
         self.page_allocator = PageAllocator(
             num_pages, page_size, partitions=self.dp_attn

@@ -159,11 +159,16 @@ def run_case(name, B, kv_len, q_lens, iters=5, chunked=False, kv_block=256):
         long_fn, short_fn = make_fn(CHAIN), make_fn(1)
         t_long = timeit(lambda: long_fn(*args), iters)
         t_short = timeit(lambda: short_fn(*args), iters)
-        return max((t_long - t_short) / (CHAIN - 1), 1e-7)
+        final = np.asarray(short_fn(*args), np.float32)
+        return max((t_long - t_short) / (CHAIN - 1), 1e-7), final
 
-    t_pallas = mk("pallas")
-    t_xla = mk("reference")
+    t_pallas, out_pallas = mk("pallas")
+    t_xla, out_xla = mk("reference")
     attention_backend.set_attention_backend("pallas")
+    # cross-backend correctness on the measured computation itself
+    err = float(np.abs(out_pallas - out_xla).max())
+    assert err < 0.05, f"{name}: pallas/xla diverge (max abs err {err})"
+
     gbps = c["bytes_touched"] / t_pallas / 1e9
     row = {
         "case": name,

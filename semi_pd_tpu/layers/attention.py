@@ -69,7 +69,8 @@ def paged_attention(
     scale: float,
     logit_cap: Optional[float] = None,
     sliding_window: Optional[int] = None,
-    kv_block: int = 256,
+    kv_block: Optional[int] = None,
+    alibi_slopes=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (attn_out [T, Hq, D], kv_cache'). kv_block tunes the KV
     slots streamed per grid step (DMA granularity / pipeline depth)."""
@@ -119,7 +120,7 @@ def paged_attention(
     )
 
     spec_anc = _SPEC_TREE
-    if _BACKEND == "pallas":
+    if _BACKEND == "pallas" and alibi_slopes is None:
         from semi_pd_tpu.ops.attention.ragged_paged_attention import (
             ragged_paged_attention,
         )
@@ -141,6 +142,7 @@ def paged_attention(
             fb.kv_lens, page_size=page_size, scale=scale,
             logit_cap=logit_cap, sliding_window=sliding_window,
             spec_anc=spec_anc, win_base=fb.win_base,
+            alibi_slopes=alibi_slopes,
         )
     return out, kv_cache
 

@@ -88,6 +88,10 @@ class LlamaForCausalLM:
         # double_sparsity.py). The KV pytree then carries a label buffer.
         self.ds_channels = None
         self.ds_heavy_token_num = 256
+        # ALiBi position bias (baichuan-13b): [Hq] slopes; disables rope.
+        # Routed through the jnp reference attention (the Pallas kernel has
+        # no bias hook yet).
+        self.alibi_slopes = None
         # Set by the runner before tracing (static under jit): property of the
         # memory pool, not the checkpoint.
         self.page_size = 16
@@ -386,6 +390,7 @@ class LlamaForCausalLM:
                 q, k, v, kv_cache, layer_idx, fb,
                 page_size=self.page_size, scale=self.scale,
                 logit_cap=c.attn_logit_softcap, sliding_window=c.sliding_window,
+                alibi_slopes=self.alibi_slopes,
             )
         attn_flat = attn_out.reshape(T, self.q_size)
         attn_out = apply_linear(lp["o_proj"], attn_flat)

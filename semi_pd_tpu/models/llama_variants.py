@@ -121,24 +121,35 @@ class ExaoneForCausalLM(LlamaForCausalLM):
         return plan
 
 
+def alibi_slopes(n_heads: int) -> np.ndarray:
+    """Standard ALiBi slope schedule (reference baichuan.py
+    _get_alibi_slopes:52)."""
+    cp2 = 2 ** int(math.floor(math.log2(n_heads)))
+    base = 2.0 ** (-(2.0 ** -(math.log2(cp2) - 3)))
+    slopes = base ** np.arange(1, 1 + cp2, dtype=np.float64)
+    if cp2 != n_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(math.log2(2 * cp2) - 3)))
+        n_rem = min(cp2, n_heads - cp2)
+        extra = extra_base ** np.arange(1, 1 + 2 * n_rem, 2, dtype=np.float64)
+        slopes = np.concatenate([slopes, extra])
+    return slopes.astype(np.float32)
+
+
 class BaichuanForCausalLM(LlamaForCausalLM):
-    """Baichuan/Baichuan2 7B (reference srt/models/baichuan.py): llama with a
-    fused W_pack qkv (plain [q;k;v] concat). The 13B variants use ALiBi
-    position bias (reference keys on hidden_size 4096 -> RoPE, else ALiBi);
-    ALiBi decode is not implemented — raise up front rather than serve wrong
-    positions."""
+    """Baichuan/Baichuan2 (reference srt/models/baichuan.py): llama with a
+    fused W_pack qkv (plain [q;k;v] concat). 7B uses RoPE; 13B uses ALiBi
+    (reference keys on hidden_size 4096 -> RoPE, else ALiBi) — routed
+    through the jnp reference attention's alibi bias."""
 
     def __init__(self, config: ModelConfig):
+        super().__init__(config)
         hf = config.hf_config
         pos_emb = getattr(hf, "position_embedding", None) if hf else None
-        if pos_emb == "ALIBI" or (
-            pos_emb is None and config.hidden_size == 5120
-        ):
-            raise NotImplementedError(
-                "Baichuan-13B uses ALiBi attention bias, which this attention "
-                "backend does not implement; 7B (RoPE) variants are supported"
+        if pos_emb == "ALIBI" or (pos_emb is None and config.hidden_size == 5120):
+            self.no_rope = True
+            self.alibi_slopes = jnp.asarray(
+                alibi_slopes(config.num_attention_heads)
             )
-        super().__init__(config)
 
     def hf_weight_plan(self) -> Dict[str, Tuple]:
         plan = super().hf_weight_plan()

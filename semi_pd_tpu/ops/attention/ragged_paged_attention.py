@@ -525,7 +525,7 @@ def ragged_paged_attention(
     sliding_window: Optional[int] = None,
     v_dim: Optional[int] = None,
     q_block: Optional[int] = None,
-    kv_block: int = 256,
+    kv_block: Optional[int] = None,
     interpret: bool = False,
     force_merged: bool = False,
     spec_anc: Optional[tuple] = None,
@@ -546,6 +546,15 @@ def ragged_paged_attention(
     QBLK = q_block or (16 if is_decode else 128)
     QBLK = min(QBLK, max(16, T))
 
+    # Decode is per-page-DMA bound: larger KV blocks amortize grid-step
+    # overhead and keep more page DMAs in flight (measured v5e, B=64 kv=1k:
+    # 256 -> 68 GB/s, 1024 -> 186 GB/s; BENCH_KERNELS.json). Clamp so the
+    # double-buffered KV scratch stays within ~8MB of the 16MB scoped VMEM
+    # (kvb=2048 at CT=8 OOM'd the v5e compiler).
+    kv_block = kv_block or (1024 if is_decode else 256)
+    row_bytes = 2 * Hkv * D * jnp.dtype(kv_cache.dtype).itemsize  # K+V row
+    vmem_rows = (8 << 20) // (2 * max(row_bytes, 1))  # 2 pipeline slots
+    kv_block = min(kv_block, max(page_size, vmem_rows // page_size * page_size))
     KVBLK = min(kv_block, max(page_size, max_kv))
     if KVBLK % page_size:
         raise ValueError("kv_block must be a multiple of page_size")
@@ -685,6 +694,7 @@ def _ragged_paged_attention_merged(
     QBLK = q_block or (16 if is_decode else 128)
     QBLK = min(QBLK, max(16, T))
 
+    kv_block = kv_block or (1024 if is_decode else 256)
     KVBLK = min(kv_block, max(page_size, max_kv))
     if KVBLK % page_size:
         raise ValueError("kv_block must be a multiple of page_size")
@@ -927,7 +937,7 @@ def ragged_paged_attention_chunked(
     logit_cap=None,
     sliding_window=None,
     q_block=None,
-    kv_block: int = 256,
+    kv_block: Optional[int] = None,
     interpret: bool = False,
 ):
     """Driver for the chunked combined-KV pool layout (see KVCache)."""
@@ -945,6 +955,7 @@ def ragged_paged_attention_chunked(
     QBLK = q_block or (16 if is_decode else 128)
     QBLK = min(QBLK, max(16, T))
 
+    kv_block = kv_block or (1024 if is_decode else 256)
     KVBLK = min(kv_block, max(page_size, max_kv))
     if KVBLK % page_size:
         raise ValueError("kv_block must be a multiple of page_size")

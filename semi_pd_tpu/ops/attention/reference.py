@@ -42,6 +42,7 @@ def ragged_paged_attention_reference(
     v_dim: Optional[int] = None,
     spec_anc: Optional[tuple] = None,
     win_base: Optional[jax.Array] = None,  # [B] i32 window start per request
+    alibi_slopes: Optional[jax.Array] = None,  # [Hq] f32 (baichuan-13b)
 ) -> jax.Array:
     """``v_dim``: MLA mode — the cache has one component (the latent
     [c_kv | k_pe] row); V is the first v_dim dims of K (reference
@@ -82,6 +83,11 @@ def ragged_paged_attention_reference(
         scores = logit_cap * jnp.tanh(scores / logit_cap)
 
     kv_pos = jnp.arange(max_kv, dtype=jnp.int32)[None, :]  # [1, max_kv]
+    if alibi_slopes is not None:
+        # ALiBi (reference baichuan.py 13B path): score -= slope_h * distance
+        dist = (q_pos[:, None] - kv_pos).astype(jnp.float32)  # [T, max_kv]
+        slopes = alibi_slopes.astype(jnp.float32).reshape(1, Hkv, group, 1)
+        scores = scores - slopes * dist[:, None, None, :]
     valid = (kv_pos <= q_pos[:, None]) & (kv_pos < kv_lens[q_req_idx][:, None])
     if sliding_window is not None and sliding_window > 0:
         valid &= kv_pos > (q_pos[:, None] - sliding_window)

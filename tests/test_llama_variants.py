@@ -134,16 +134,66 @@ def test_baichuan_matches_llama(hf_llama, llama_tokens):
     assert _tokens(eng, PROMPTS) == llama_tokens
 
 
-def test_baichuan_13b_alibi_raises(hf_llama):
+def test_alibi_slopes_schedule():
+    from semi_pd_tpu.models.llama_variants import alibi_slopes
+
+    s8 = alibi_slopes(8)
+    np.testing.assert_allclose(s8, [2 ** (-i) for i in range(1, 9)], rtol=1e-6)
+    s6 = alibi_slopes(6)  # non-power-of-2: 4 base + 2 extra interleaved
+    assert len(s6) == 6 and (np.diff(s6[:4]) < 0).all()
+
+
+def test_baichuan_13b_alibi_generates_and_matches_numpy(hf_llama):
+    """ALiBi path: no rope, score -= slope * distance. Verified against a
+    direct numpy attention over the same weights for the last prompt token."""
     _, cfg = hf_llama
     mc = ModelConfig.from_hf_config(cfg, dtype="float32")
     mc.architecture = "BaichuanForCausalLM"
     mc.hf_config.position_embedding = "ALIBI"
     from semi_pd_tpu.models.registry import create_model
 
-    with pytest.raises(NotImplementedError, match="ALiBi"):
-        create_model(mc)
-    del mc.hf_config.position_embedding
+    try:
+        model = create_model(mc)
+        assert model.no_rope and model.alibi_slopes is not None
+
+        eng = Engine(server_args=ServerArgs(
+            model_path="", random_weights=True, page_size=4,
+            max_total_tokens=1024, dtype="float32"), model_config=mc)
+        out = eng.generate(
+            input_ids=[3, 4, 5, 6, 7, 8],
+            sampling_params=SamplingParams(max_new_tokens=3, temperature=0.0,
+                                           ignore_eos=True))
+        assert len(out["output_ids"]) == 3
+
+        # numeric check of the bias itself on the attention op
+        import jax.numpy as jnp
+        from semi_pd_tpu.ops.attention.reference import (
+            ragged_paged_attention_reference,
+        )
+
+        rng = np.random.default_rng(0)
+        Hq, D, P = 4, 16, 4
+        S = 5 * P
+        kv5 = jnp.asarray(rng.normal(size=(1, 2, S, Hq, D)).astype(np.float32))
+        pt = jnp.asarray(np.arange(1, 5, dtype=np.int32)[None])
+        q = jnp.asarray(rng.normal(size=(1, Hq, D)).astype(np.float32))
+        n = 9
+        slopes = model.alibi_slopes[:Hq]
+        got = np.asarray(ragged_paged_attention_reference(
+            q, kv5, 0, pt, jnp.zeros(1, jnp.int32),
+            jnp.asarray([n - 1], jnp.int32), jnp.asarray([n], jnp.int32),
+            page_size=P, scale=0.25, alibi_slopes=slopes))[0]
+        slots = (np.arange(1, 5)[:, None] * P + np.arange(P)).reshape(-1)[:n]
+        k = np.asarray(kv5)[0, 0][slots]
+        v = np.asarray(kv5)[0, 1][slots]
+        qn = np.asarray(q)[0]
+        for h in range(Hq):
+            sc = k[:, h] @ qn[h] * 0.25
+            sc = sc - float(slopes[h]) * (n - 1 - np.arange(n))
+            w = np.exp(sc - sc.max()); w /= w.sum()
+            np.testing.assert_allclose(got[h], w @ v[:, h], rtol=1e-4, atol=1e-5)
+    finally:
+        del mc.hf_config.position_embedding
 
 
 def test_qwen1_matches_llama():

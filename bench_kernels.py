@@ -98,7 +98,7 @@ def timeit(fn, iters=5, warmup=2):
 CHAIN = 16
 
 
-def run_case(name, B, kv_len, q_lens, iters=5, chunked=False, kv_block=256):
+def run_case(name, B, kv_len, q_lens, iters=5, chunked=False, kv_block=None):
     c = make_case(B, kv_len, q_lens, chunked=chunked)
 
     # The chain carries BOTH q and the kv pool: each iteration writes this
@@ -195,12 +195,10 @@ def main():
     rows.append(run_case("decode_b64_kv1024", 64, 1024, [1] * 64))
     rows.append(run_case("decode_b64_kv1024_chunked", 64, 1024, [1] * 64,
                          chunked=True))
-    rows.append(run_case("decode_b64_kv1024_chunked_kvb1024", 64, 1024,
-                         [1] * 64, chunked=True, kv_block=1024))
+    rows.append(run_case("decode_b64_kv1024_chunked_kvb256", 64, 1024,
+                         [1] * 64, chunked=True, kv_block=256))
     rows.append(run_case("decode_b128_kv2048_chunked", 128, 2048, [1] * 128,
                          chunked=True))
-    rows.append(run_case("decode_b128_kv2048_chunked_kvb1024", 128, 2048,
-                         [1] * 128, chunked=True, kv_block=1024))
     rows.append(run_case("decode_b16_kv8192_chunked", 16, 8192, [1] * 16,
                          chunked=True))
     # Extend: chunked prefill continuation (512 new tokens on 1.5k history)

@@ -288,9 +288,13 @@ class Scheduler:
         slack = (tick_slo - self._decode_cost) * self.args.semi_pd_prefill_share
         # If the SLO is unattainable (one decode step alone exceeds it),
         # degrade to MPS-style proportional sharing — the reference's SM
-        # split always grants prefill its share regardless of latency — so
-        # prefill is throttled, not starved.
-        floor_time = self._decode_cost * self.args.semi_pd_prefill_share
+        # split always grants prefill its share of the device regardless of
+        # latency. Serialized equivalent of an 80% SM share: prefill may
+        # occupy share/(1-share) x the decode time per tick (NOT share x
+        # decode — that starved prefill 5x and produced multi-second TTFTs
+        # on degraded devices; bench round-2 postmortem).
+        share = self.args.semi_pd_prefill_share
+        floor_time = self._decode_cost * share / max(1.0 - share, 0.05)
         budget_time = max(slack, floor_time)
         tokens = int(
             (budget_time - self._prefill_overhead)

@@ -217,10 +217,14 @@ def finish(code: int = 0) -> None:
 
 
 def main():
-    prompt_len = int(os.environ.get("BENCH_PROMPT", "512"))
+    prompt_len = int(os.environ.get("BENCH_PROMPT", "1024"))
     out_len = int(os.environ.get("BENCH_OUT", "64"))
     ttft_slo = float(os.environ.get("BENCH_TTFT_SLO", "4.0"))
-    itl_slo = float(os.environ.get("BENCH_ITL_SLO", "0.25"))
+    # ITL gate: fixed via env, else derived from the calibrated device speed
+    # (3x the saturated-burst median ITL) — the attachment's step time
+    # varies 13-60ms run to run, so a fixed gate is meaningless.
+    itl_env = os.environ.get("BENCH_ITL_SLO")
+    itl_slo = float(itl_env) if itl_env else 0.25
 
     state = {"phase": "init", "detail": {}}
 
@@ -324,6 +328,12 @@ def main():
         log(f"calibration: capacity ~{cap_rps:.2f} req/s "
             f"({cal['out_tok_s']:.0f} tok/s, wall {cal['wall_s']:.1f}s, "
             f"done {cal['n_done']})")
+        if not itl_env and len(cal["itl"]):
+            nz = cal["itl"][cal["itl"] > 1e-4]
+            if len(nz):
+                itl_slo = max(0.05, 3.0 * float(np.percentile(nz, 50)))
+                log(f"derived ITL gate: {itl_slo*1e3:.0f}ms "
+                    f"(3x calibrated median)")
         rate = float(os.environ.get("BENCH_RATE", 0.0)) or 0.7 * cap_rps
         # Arrivals span <= ~60% of the per-pass budget; >=40 reqs for stats.
         pass_budget = max(30.0, min(60.0, (remaining() - 20) / 2.2))

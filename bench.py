@@ -54,16 +54,20 @@ def make_server_args(semi_pd: bool):
         model_path="",
         random_weights=True,
         page_size=16,
-        max_total_tokens=int(os.environ.get("BENCH_KV_TOKENS", "200000")),
-        chunked_prefill_size=2048,
+        max_total_tokens=int(os.environ.get("BENCH_KV_TOKENS", "384000")),
+        # The REFERENCE default chunk (server_args.py:232: 8192). Identical
+        # for both modes: colocated dispatches full-size chunks (the
+        # interference the paper targets), semi-PD's SLO bound sizes its own
+        # chunks below this cap.
+        chunked_prefill_size=int(os.environ.get("BENCH_CHUNK", "8192")),
         enable_semi_pd=semi_pd,
-        decode_slo_ms=float(os.environ.get("BENCH_SLO_MS", "150")),
+        decode_slo_ms=float(os.environ.get("BENCH_SLO_MS", "75")),
         max_running_requests=256,
         # Coarse buckets: each bucket is one compiled program AND one warmup
         # generation on a device whose steps can stall for tens of seconds
-        # (observed); 7 programs instead of 13 halves the warmup exposure.
+        # (observed); fewer programs = less warmup exposure.
         decode_bs_buckets=[8, 32, 128, 256],
-        prefill_token_buckets=[256, 1024, 2048],
+        prefill_token_buckets=[512, 2048, 8192],
     )
 
 
@@ -217,7 +221,9 @@ def finish(code: int = 0) -> None:
 
 
 def main():
-    prompt_len = int(os.environ.get("BENCH_PROMPT", "1024"))
+    # Long prompts: at 1B-class compute a prefill only stalls decode at
+    # SLO scale when a chunk carries several thousand tokens.
+    prompt_len = int(os.environ.get("BENCH_PROMPT", "7168"))
     out_len = int(os.environ.get("BENCH_OUT", "64"))
     ttft_slo = float(os.environ.get("BENCH_TTFT_SLO", "4.0"))
     # ITL gate: fixed via env, else derived from the calibrated device speed
@@ -331,9 +337,13 @@ def main():
         if not itl_env and len(cal["itl"]):
             nz = cal["itl"][cal["itl"] > 1e-4]
             if len(nz):
-                itl_slo = max(0.05, 3.0 * float(np.percentile(nz, 50)))
-                log(f"derived ITL gate: {itl_slo*1e3:.0f}ms "
-                    f"(3x calibrated median)")
+                # The gate a served client would contract for: 2x the decode
+                # SLO the semi-PD controller promises, floored at 3x the
+                # device's own unloaded cadence so a degraded attachment
+                # doesn't zero both schedulers.
+                slo_s = float(os.environ.get("BENCH_SLO_MS", "75")) / 1e3
+                itl_slo = max(2.0 * slo_s, 3.0 * float(np.percentile(nz, 50)))
+                log(f"derived ITL gate: {itl_slo*1e3:.0f}ms")
         rate = float(os.environ.get("BENCH_RATE", 0.0)) or 0.7 * cap_rps
         # Arrivals span <= ~60% of the per-pass budget; >=40 reqs for stats.
         pass_budget = max(30.0, min(60.0, (remaining() - 20) / 2.2))

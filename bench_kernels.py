@@ -38,7 +38,7 @@ from semi_pd_tpu.ops.attention.reference import (
 from semi_pd_tpu.runtime.forward_batch import build_attn_meta
 
 HBM_PEAK_GBPS = 819.0  # v5e
-PAGE = 16
+PAGE = int(os.environ.get("BENCH_PAGE", "16"))
 HQ, HKV, D = 32, 8, 64  # 1B-class flagship (llama-3.2-1B shapes)
 SCALE = D ** -0.5
 

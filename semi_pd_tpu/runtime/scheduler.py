@@ -296,9 +296,14 @@ class Scheduler:
         share = self.args.semi_pd_prefill_share
         floor_time = self._decode_cost * share / max(1.0 - share, 0.05)
         budget_time = max(slack, floor_time)
+        # Overhead may consume at most a quarter of the budget: the EWMA
+        # is learned from noisy cycle residuals and an inflated value would
+        # otherwise zero the chunk permanently (observed: host think-time
+        # attribution drove it to 91ms -> 16-token chunks -> ever-smaller
+        # cycles confirming the bad estimate — a starvation spiral).
+        ovh = min(self._prefill_overhead, 0.25 * budget_time)
         tokens = int(
-            (budget_time - self._prefill_overhead)
-            / max(self._prefill_cost_per_token, 1e-9)
+            (budget_time - ovh) / max(self._prefill_cost_per_token, 1e-9)
         )
         tokens = (tokens // self.page_size) * self.page_size
         # Minimum one page per tick: prefill always makes progress.
@@ -658,7 +663,10 @@ class Scheduler:
                 self._prefill_cost_per_token = self._ewma(
                     self._prefill_cost_per_token, slope
                 )
-        else:
+        elif not n_dec:
+            # Overhead only from PURE-extend cycles: in mixed cycles the
+            # residual contains host bookkeeping time between dispatches,
+            # which must not be billed to (and starve) prefill.
             ovh = (est - self._prefill_cost_per_token * pre_toks) / len(exts)
             self._prefill_overhead = self._ewma(
                 self._prefill_overhead, max(ovh, 0.0)

@@ -59,15 +59,15 @@ def make_server_args(semi_pd: bool):
         # for both modes: colocated dispatches full-size chunks (the
         # interference the paper targets), semi-PD's SLO bound sizes its own
         # chunks below this cap.
-        chunked_prefill_size=int(os.environ.get("BENCH_CHUNK", "8192")),
+        chunked_prefill_size=int(os.environ.get("BENCH_CHUNK", "4096")),
         enable_semi_pd=semi_pd,
-        decode_slo_ms=float(os.environ.get("BENCH_SLO_MS", "75")),
+        decode_slo_ms=float(os.environ.get("BENCH_SLO_MS", "50")),
         max_running_requests=256,
         # Coarse buckets: each bucket is one compiled program AND one warmup
         # generation on a device whose steps can stall for tens of seconds
         # (observed); fewer programs = less warmup exposure.
         decode_bs_buckets=[8, 32, 128, 256],
-        prefill_token_buckets=[512, 2048, 8192],
+        prefill_token_buckets=[512, 2048, 4096],
     )
 
 
@@ -223,7 +223,7 @@ def finish(code: int = 0) -> None:
 def main():
     # Long prompts: at 1B-class compute a prefill only stalls decode at
     # SLO scale when a chunk carries several thousand tokens.
-    prompt_len = int(os.environ.get("BENCH_PROMPT", "7168"))
+    prompt_len = int(os.environ.get("BENCH_PROMPT", "3584"))
     out_len = int(os.environ.get("BENCH_OUT", "64"))
     ttft_slo = float(os.environ.get("BENCH_TTFT_SLO", "4.0"))
     # ITL gate: fixed via env, else derived from the calibrated device speed
@@ -341,7 +341,7 @@ def main():
                 # SLO the semi-PD controller promises, floored at 3x the
                 # device's own unloaded cadence so a degraded attachment
                 # doesn't zero both schedulers.
-                slo_s = float(os.environ.get("BENCH_SLO_MS", "75")) / 1e3
+                slo_s = float(os.environ.get("BENCH_SLO_MS", "50")) / 1e3
                 itl_slo = max(2.0 * slo_s, 3.0 * float(np.percentile(nz, 50)))
                 log(f"derived ITL gate: {itl_slo*1e3:.0f}ms")
         rate = float(os.environ.get("BENCH_RATE", 0.0)) or 0.7 * cap_rps

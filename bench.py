@@ -356,10 +356,26 @@ def main():
         for mode, semi in (("colocated", False), ("semi_pd", True)):
             state["phase"] = f"run_{mode}"
             swap_scheduler(eng, semi)
+            budgets = []
+            if semi:  # record the controller's actual chunk budgets
+                orig_budget = eng.scheduler._prefill_chunk_budget
+                eng.scheduler._prefill_chunk_budget = (
+                    lambda o=orig_budget: (budgets.append(o()) or budgets[-1])
+                )
             res = run_serving_sim(eng, n_reqs, rate, prompt_len, out_len,
                                   seed=0, budget_s=pass_budget)
             results[mode] = res
             state["detail"][mode] = summarize(res, ttft_slo, itl_slo)
+            s = eng.scheduler
+            state["detail"][mode]["controller"] = {
+                "cost_per_token_us": round(s._prefill_cost_per_token * 1e6, 2),
+                "overhead_ms": round(s._prefill_overhead * 1e3, 2),
+                "decode_ms": round(s._decode_cost * 1e3, 2),
+                "readback_ms": round(s._readback_cost * 1e3, 2),
+                "budget_p50": int(np.percentile(budgets, 50)) if budgets else None,
+                "budget_p10": int(np.percentile(budgets, 10)) if budgets else None,
+                "n_budget_calls": len(budgets),
+            }
             log(f"{mode}: {json.dumps(state['detail'][mode])}")
 
         # Rate sweep (tiny version of the reference's --request-rate-extent)

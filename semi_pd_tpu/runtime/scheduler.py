@@ -124,6 +124,13 @@ class Scheduler:
         self._prefill_overhead = 3e-3
         self._decode_cost = 5e-3
         self._readback_cost = 5e-3
+        # Full wall time of a decode-only flush cycle INCLUDING the readback
+        # wait. With async dispatch the device executes during the readback
+        # wait, so per-step wall times are meaningless (observed: decode
+        # "cost" 0.7ms while real steps ran 40-80ms); the cycle is the unit
+        # the client observes (depth tokens per cycle) and the unit the SLO
+        # constrains.
+        self._cycle_base = 30e-3
         self._ewma = lambda old, new: 0.8 * old + 0.2 * new
 
         # In-flight step ring: dispatched steps whose results have not been
@@ -284,17 +291,19 @@ class Scheduler:
             # No decode cadence to protect: full-size chunks.
             return self.args.chunked_prefill_size
         depth = max(self.overlap_depth, 1)
-        tick_slo = (self.args.decode_slo_ms / 1e3 - self._readback_cost) / depth
-        slack = (tick_slo - self._decode_cost) * self.args.semi_pd_prefill_share
-        # If the SLO is unattainable (one decode step alone exceeds it),
+        # Cycle framing: clients receive `depth` tokens per flush cycle, so
+        # the SLO constrains the WHOLE cycle: depth*slo >= cycle_base +
+        # depth*chunk_time. Per-tick slack:
+        slo_cycle = self.args.decode_slo_ms / 1e3 * depth
+        slack = (
+            (slo_cycle - self._cycle_base) / depth
+        ) * self.args.semi_pd_prefill_share
+        # If the SLO is unattainable (the decode cycle alone exceeds it),
         # degrade to MPS-style proportional sharing — the reference's SM
         # split always grants prefill its share of the device regardless of
-        # latency. Serialized equivalent of an 80% SM share: prefill may
-        # occupy share/(1-share) x the decode time per tick (NOT share x
-        # decode — that starved prefill 5x and produced multi-second TTFTs
-        # on degraded devices; bench round-2 postmortem).
+        # latency: prefill may occupy share/(1-share) x the decode time.
         share = self.args.semi_pd_prefill_share
-        floor_time = self._decode_cost * share / max(1.0 - share, 0.05)
+        floor_time = (self._cycle_base / depth) * share / max(1.0 - share, 0.05)
         budget_time = max(slack, floor_time)
         # Overhead may consume at most a quarter of the budget: the EWMA
         # is learned from noisy cycle residuals and an inflated value would
@@ -628,7 +637,10 @@ class Scheduler:
         now = time.monotonic()
         self._readback_cost = self._ewma(self._readback_cost, now - t_read0)
         if self._cycle_t0 is not None:
-            self._account_costs(entries, now - self._cycle_t0 - (now - t_read0))
+            # FULL cycle wall including the readback wait: async dispatch
+            # hides device work inside it, so excluding it attributed ~zero
+            # cost to decode and starved the chunk budget.
+            self._account_costs(entries, now - self._cycle_t0)
         self._cycle_t0 = None
         out = []
         for e, t_np, l_np in zip(entries, toks_np, lps_np):
@@ -639,22 +651,30 @@ class Scheduler:
         return out
 
     def _account_costs(self, entries: List[_RingEntry], dt: float) -> None:
-        """Attribute a flush cycle's wall time (sans readback) to the cost
-        EWMAs that drive the semi-PD chunk budget. The device is saturated
-        within a cycle, so wall ~= sum of step times. Prefill is modeled as
-        affine (overhead + per_token * n): large-chunk cycles update the
-        per-token slope, small-chunk cycles the per-dispatch overhead."""
+        """Attribute a flush cycle's FULL wall time to the cost EWMAs that
+        drive the semi-PD chunk budget. Decode-only cycles set the cycle
+        base (decode steps + readback — what the SLO must cover anyway);
+        mixed cycles' surplus over the base is the prefill cost, modeled as
+        affine (overhead + per_token * n)."""
         if dt <= 0:
             return
         n_dec = sum(1 for e in entries if e.kind == "decode")
         exts = [e for e in entries if e.kind == "extend"]
         pre_toks = sum(sum(n for _, n in e.admitted) for e in exts)
         if n_dec and not pre_toks:
-            self._decode_cost = self._ewma(self._decode_cost, dt / n_dec)
+            depth = max(self.overlap_depth, 1)
+            # normalize partial cycles to the standard depth
+            scaled = dt * depth / max(n_dec, 1)
+            self._cycle_base = self._ewma(self._cycle_base, scaled)
+            self._decode_cost = self._ewma(
+                self._decode_cost,
+                max(dt - self._readback_cost, 1e-4) / max(n_dec, 1),
+            )
             return
         if not exts:
             return
-        est = dt - n_dec * self._decode_cost
+        base = self._cycle_base * n_dec / max(self.overlap_depth, 1)
+        est = dt - base
         if est <= 0:
             return
         if pre_toks / len(exts) >= 256:

@@ -85,7 +85,9 @@ class CadenceSim:
             self.t += cycle_dt + READBACK_COST
             for _ in range(depth):
                 self.decode_deliveries.append(self.t)
-            self.s._account_costs(entries, cycle_dt)
+            # accounting sees the FULL cycle wall incl. the readback wait
+            # (async dispatch hides device work inside it)
+            self.s._account_costs(entries, cycle_dt + READBACK_COST)
 
     def itl_p95(self, skip_cycles=3):
         d = self.s.overlap_depth
@@ -127,8 +129,9 @@ def test_budget_respects_feasible_slack():
     sim.run(30)
     depth = sched.overlap_depth
     share = sched.args.semi_pd_prefill_share
-    tick_slo = (slo_ms / 1e3 - READBACK_COST) / depth
-    slack = (tick_slo - DECODE_COST) * share
+    # cycle framing: depth tokens per cycle; base = decodes + readback
+    cycle_base = depth * DECODE_COST + READBACK_COST
+    slack = ((slo_ms / 1e3 * depth - cycle_base) / depth) * share
     assert slack > sim.chunk_cost(sched.page_size), "scenario must be feasible"
     for budget, _n in sim.chunks[3 * depth:]:
         assert sim.chunk_cost(budget) <= slack * 1.3, (

@@ -171,9 +171,12 @@ def run_serving_sim(eng, n_reqs, rate, prompt_len, out_len, seed=0,
     }
 
 
-def goodput(res, ttft_slo, itl_slo):
-    """Completed (non-aborted) requests meeting BOTH TTFT and p95-ITL SLOs,
-    per second (reference bench_serving.py goodput over its SLO flags)."""
+def goodput(res, ttft_slo, tpot_slo):
+    """Completed (non-aborted) requests meeting BOTH the TTFT and the TPOT
+    SLO, per second (reference bench_serving.py goodput over its SLO flags).
+    TPOT = (last - first delivery)/(n-1): with fused-readback BURST delivery
+    a raw inter-arrival p95 just measures the flush cycle, not what a client
+    experiences over the stream."""
     from semi_pd_tpu.runtime.req import FinishReason
 
     ok = 0
@@ -182,8 +185,8 @@ def goodput(res, ttft_slo, itl_slo):
         if len(ts) < 2 or not r.finished or r.finish_reason is FinishReason.ABORT:
             continue
         ttft = ts[0] - res["arrivals"][i]
-        itl95 = np.percentile(np.diff(ts), 95)
-        if ttft <= ttft_slo and itl95 <= itl_slo:
+        tpot = (ts[-1] - ts[0]) / max(len(ts) - 1, 1)
+        if ttft <= ttft_slo and tpot <= tpot_slo:
             ok += 1
     return ok / res["wall_s"]
 
@@ -192,12 +195,23 @@ def pct(a, q):
     return float(np.percentile(a, q)) if len(a) else 0.0
 
 
+def _tpots(res):
+    out = []
+    for r in res["reqs"]:
+        ts = res["token_times"][r.rid]
+        if len(ts) >= 2:
+            out.append((ts[-1] - ts[0]) / (len(ts) - 1))
+    return np.array(out) if out else np.array([0.0])
+
+
 def summarize(res, ttft_slo, itl_slo):
+    tp = _tpots(res)
     return {
         "out_tok_s": round(res["out_tok_s"], 2),
         "ttft_p50_ms": round(pct(res["ttft"], 50) * 1e3, 1),
         "ttft_p99_ms": round(pct(res["ttft"], 99) * 1e3, 1),
-        "itl_p50_ms": round(pct(res["itl"], 50) * 1e3, 2),
+        "tpot_p50_ms": round(pct(tp, 50) * 1e3, 2),
+        "tpot_p95_ms": round(pct(tp, 95) * 1e3, 2),
         "itl_p95_ms": round(pct(res["itl"], 95) * 1e3, 2),
         "itl_p99_ms": round(pct(res["itl"], 99) * 1e3, 2),
         "goodput_rps": round(goodput(res, ttft_slo, itl_slo), 3),
@@ -225,7 +239,7 @@ def main():
     # SLO scale when a chunk carries several thousand tokens.
     prompt_len = int(os.environ.get("BENCH_PROMPT", "3584"))
     out_len = int(os.environ.get("BENCH_OUT", "64"))
-    ttft_slo = float(os.environ.get("BENCH_TTFT_SLO", "4.0"))
+    ttft_slo = float(os.environ.get("BENCH_TTFT_SLO", "1.0"))
     # ITL gate: fixed via env, else derived from the calibrated device speed
     # (3x the saturated-burst median ITL) — the attachment's step time
     # varies 13-60ms run to run, so a fixed gate is meaningless.
@@ -334,16 +348,15 @@ def main():
         log(f"calibration: capacity ~{cap_rps:.2f} req/s "
             f"({cal['out_tok_s']:.0f} tok/s, wall {cal['wall_s']:.1f}s, "
             f"done {cal['n_done']})")
-        if not itl_env and len(cal["itl"]):
-            nz = cal["itl"][cal["itl"] > 1e-4]
-            if len(nz):
-                # The gate a served client would contract for: 2x the decode
-                # SLO the semi-PD controller promises, floored at 3x the
-                # device's own unloaded cadence so a degraded attachment
-                # doesn't zero both schedulers.
-                slo_s = float(os.environ.get("BENCH_SLO_MS", "50")) / 1e3
-                itl_slo = max(2.0 * slo_s, 3.0 * float(np.percentile(nz, 50)))
-                log(f"derived ITL gate: {itl_slo*1e3:.0f}ms")
+        if not itl_env:
+            # TPOT gate: 1.5x the decode SLO the semi-PD controller
+            # promises, floored at 2x the device's own saturated TPOT so a
+            # degraded attachment doesn't zero both schedulers.
+            slo_s = float(os.environ.get("BENCH_SLO_MS", "50")) / 1e3
+            cal_tpot = float(np.percentile(_tpots(cal), 50))
+            itl_slo = max(1.5 * slo_s, 2.0 * cal_tpot)
+            log(f"derived TPOT gate: {itl_slo*1e3:.0f}ms "
+                f"(cal tpot p50 {cal_tpot*1e3:.0f}ms)")
         rate = float(os.environ.get("BENCH_RATE", 0.0)) or 0.7 * cap_rps
         # Arrivals span <= ~60% of the per-pass budget; >=40 reqs for stats.
         pass_budget = max(30.0, min(60.0, (remaining() - 20) / 2.2))

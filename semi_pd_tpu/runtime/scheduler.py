@@ -131,7 +131,14 @@ class Scheduler:
         # the client observes (depth tokens per cycle) and the unit the SLO
         # constrains.
         self._cycle_base = 30e-3
-        self._ewma = lambda old, new: 0.8 * old + 0.2 * new
+        # Slew-limited EWMA: the attachment intermittently stalls for
+        # hundreds of ms (observed); one stalled cycle must not multiply a
+        # cost estimate (a poisoned slope collapses the chunk budget and the
+        # starved cycles that follow keep confirming it). Each observation
+        # moves the estimate at most 2x / 0.5x.
+        self._ewma = lambda old, new: 0.8 * old + 0.2 * min(
+            max(new, 0.5 * old), 2.0 * old
+        )
 
         # In-flight step ring: dispatched steps whose results have not been
         # read back. TPU-native generalization of the reference's overlap

@@ -276,32 +276,35 @@ def main():
         import jax
         import jax.numpy as jnp
 
-        state["phase"] = "build"
-        t0 = time.monotonic()
-        eng = build_engine()
-        log(f"engine built in {time.monotonic()-t0:.1f}s")
         # The device can wedge for many minutes (observed: probes hanging
-        # >10min); run the warmup D2H under a watchdog so the JSON line
+        # >10min, engine build hanging at on-device weight init); run BOTH
+        # the build and the warmup D2H under a watchdog so the JSON line
         # still lands before the driver's timeout instead of rc=124.
         import threading
 
+        state["phase"] = "build"
         t0 = time.monotonic()
+        box = {}
         done = threading.Event()
 
-        def _warm():
+        def _build_and_warm():
+            box["eng"] = build_engine()
+            box["built_s"] = time.monotonic() - t0
             jax.device_get(jnp.zeros((8,), jnp.int32) + 1)
             done.set()
 
-        threading.Thread(target=_warm, daemon=True).start()
+        threading.Thread(target=_build_and_warm, daemon=True).start()
         while not done.wait(timeout=5.0):
             if remaining() < 60:
                 state["detail"]["tunnel_warmup_s"] = None
-                emit(partial_payload(err="device wedged: first D2H never "
-                                         "completed within the budget"))
+                emit(partial_payload(err="device wedged during engine build "
+                                         "or first D2H"))
                 finish(0)
-        t_tunnel = time.monotonic() - t0
+        eng = box["eng"]
+        t_tunnel = time.monotonic() - t0 - box["built_s"]
         state["detail"]["tunnel_warmup_s"] = round(t_tunnel, 1)
-        log(f"tunnel first-D2H warmup {t_tunnel:.1f}s; {remaining():.0f}s left")
+        log(f"engine built in {box['built_s']:.1f}s; tunnel first-D2H warmup "
+            f"{t_tunnel:.1f}s; {remaining():.0f}s left")
 
         # Compile coverage: the decode batch buckets and prefill token
         # buckets the sim can touch (a mid-measurement XLA compile showed up

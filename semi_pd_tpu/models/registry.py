@@ -200,3 +200,8 @@ def _ensure_populated():
     _REGISTRY.setdefault(
         "Qwen2_5_VLForConditionalGeneration", Qwen2_5_VLForConditionalGeneration
     )
+
+    from semi_pd_tpu.models.minicpmv import MiniCPMVForCausalLM
+
+    _REGISTRY.setdefault("MiniCPMV", MiniCPMVForCausalLM)
+    _REGISTRY.setdefault("MiniCPMVForCausalLM", MiniCPMVForCausalLM)

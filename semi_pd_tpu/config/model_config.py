@@ -206,6 +206,17 @@ class ModelConfig:
         if arch.startswith(("Qwen2", "Qwen")) and "Moe" not in arch:
             cfg.attention_bias = True if g("attention_bias") is None else cfg.attention_bias
 
+        # Phi-3-small keys rope under rope_embedding_base /
+        # rope_position_scale (reference phi3_small.py:127-128, 160-176);
+        # absent rope_scaling means linear scaling by rope_position_scale.
+        if arch == "Phi3SmallForCausalLM":
+            cfg.rope_theta = g("rope_embedding_base", 1000000.0)
+            if cfg.rope_scaling is None:
+                cfg.rope_scaling = {
+                    "rope_type": "linear",
+                    "factor": g("rope_position_scale", 1.0),
+                }
+
         # ExaOne names depth/activation differently (reference exaone.py).
         if arch == "ExaoneForCausalLM":
             cfg.num_hidden_layers = g("num_layers", cfg.num_hidden_layers)

@@ -185,3 +185,128 @@ class Olmo2ForCausalLM(LlamaForCausalLM):
             "layers.post_norm", None, "none",
         )
         return plan
+
+
+class Phi3SmallForCausalLM(LlamaForCausalLM):
+    """Phi-3-small (reference srt/models/phi3_small.py): LayerNorm blocks
+    with bias, fused interleaved query_key_value (per-kv-head [q...qkv]
+    grouping, +bias), biased dense/o_proj, gegelu MLP (up_proj packs
+    interleaved gelu/linear channels — de-interleaved at load into
+    contiguous halves so the hot path is one fused matmul), muP scaling
+    (attn scale = mup_attn_multiplier/head_dim, embeddings scaled by
+    mup_embedding_multiplier, logits divided by mup_width_multiplier),
+    tiktoken dummy-token logit masking, and linear / "su" (longrope)
+    position scaling.
+
+    NOTE on blocksparse attention: the reference computes blocksparse
+    params (phi3_small.py:177-197) but never passes them to its attention
+    layer (the RadixAttention construction at :199-206 takes none), i.e.
+    the reference serves phi-3-small with DENSE attention. We match that
+    serving behavior."""
+
+    def __init__(self, config: ModelConfig):
+        import numpy as np
+
+        hf = config.hf_config
+        config.attention_bias = True
+        config.o_proj_bias = True
+        super().__init__(config)
+        self.norm_bias = True
+        self.norm_fn = layer_norm
+        if getattr(hf, "mup_use_scaling", False):
+            self.scale = float(hf.mup_attn_multiplier) / self.head_dim
+        emb_mult = getattr(hf, "mup_embedding_multiplier", None)
+        if emb_mult:
+            self.embed_scale = float(emb_mult)
+        wmult = getattr(hf, "mup_width_multiplier", None)
+        if wmult and wmult != 1.0:
+            # HF remote code divides logits by mup_width_multiplier; the
+            # reference fork stores the attribute but drops the division
+            # (phi3_small.py:366-377) — we keep the model's trained scaling
+            self.logits_div = float(wmult)
+        self._gegelu_limit = getattr(hf, "gegelu_limit", None)
+        I = config.intermediate_size
+
+        def _gegelu(gu):
+            g, u = gu[..., :I], gu[..., I:]
+            if self._gegelu_limit is not None:
+                lim = self._gegelu_limit
+                g = jnp.minimum(g, lim)
+                u = jnp.clip(u, -lim, lim)
+            return g * jax.nn.sigmoid(1.702 * g) * (u + 1.0)
+
+        self.act = _gegelu
+        dummy = getattr(hf, "dummy_token_indices", None)
+        if dummy:
+            bias = np.zeros(config.vocab_size, np.float32)
+            bias[np.asarray(dummy)] = -1e30
+            self.logit_bias = bias
+
+    # ------------------------------------------------------ MLP with bias
+    def _mlp_specs(self) -> Dict[str, Any]:
+        c, d = self.config, self.dtype
+        specs = super()._mlp_specs()
+        specs["gate_up"]["b"] = jax.ShapeDtypeStruct(
+            (c.num_hidden_layers, 2 * c.intermediate_size), d)
+        specs["down"]["b"] = jax.ShapeDtypeStruct(
+            (c.num_hidden_layers, c.hidden_size), d)
+        return specs
+
+    def _mlp_pspecs(self) -> Dict[str, Any]:
+        specs = super()._mlp_pspecs()
+        specs["gate_up"]["b"] = P(None, "tp")
+        specs["down"]["b"] = P()
+        return specs
+
+    def _mlp_weight_plan(self) -> Dict[str, Any]:
+        return {
+            "model.layers.{L}.mlp.up_proj.weight": ("layers", None, "phi3small_up_w"),
+            "model.layers.{L}.mlp.up_proj.bias": ("layers", None, "phi3small_up_b"),
+            "model.layers.{L}.mlp.down_proj.weight": ("layers.down.w", None, "t"),
+            "model.layers.{L}.mlp.down_proj.bias": ("layers.down.b", None, "none"),
+        }
+
+    def hf_weight_plan(self) -> Dict[str, Any]:
+        plan = super().hf_weight_plan()
+        for k in list(plan):
+            if ".self_attn.q_proj" in k or ".self_attn.k_proj" in k \
+                    or ".self_attn.v_proj" in k or ".self_attn.o_proj" in k \
+                    or k.startswith("model.norm"):
+                del plan[k]
+        plan.update({
+            "model.layers.{L}.self_attn.query_key_value.weight": (
+                "layers", None, "phi3small_qkv_w"),
+            "model.layers.{L}.self_attn.query_key_value.bias": (
+                "layers", None, "phi3small_qkv_b"),
+            "model.layers.{L}.self_attn.dense.weight": (
+                "layers.o_proj.w", None, "t"),
+            "model.layers.{L}.self_attn.dense.bias": (
+                "layers.o_proj.b", None, "none"),
+        })
+        plan.update(self._norm_plan("model.final_layernorm", "final_norm"))
+        return plan
+
+    def postprocess_weight(self, transform: str, tensor):
+        import numpy as np
+
+        g = self.num_heads // self.num_kv_heads
+        d = self.head_dim
+        if transform == "phi3small_qkv_w":
+            w = tensor.reshape(self.num_kv_heads, g + 2, d, -1)
+            wq = w[:, :g].reshape(self.q_size, -1)
+            wk = w[:, g].reshape(self.kv_size, -1)
+            wv = w[:, g + 1].reshape(self.kv_size, -1)
+            fused = np.concatenate([wq.T, wk.T, wv.T], axis=1)
+            return {"qkv_proj.w": np.ascontiguousarray(fused)}
+        if transform == "phi3small_qkv_b":
+            b = tensor.reshape(self.num_kv_heads, g + 2, d)
+            return {"qkv_proj.b": np.concatenate([
+                b[:, :g].reshape(-1), b[:, g].reshape(-1),
+                b[:, g + 1].reshape(-1)])}
+        if transform == "phi3small_up_w":
+            # interleaved [gelu, linear] output channels -> contiguous halves
+            return {"gate_up.w": np.ascontiguousarray(
+                np.concatenate([tensor[0::2], tensor[1::2]]).T)}
+        if transform == "phi3small_up_b":
+            return {"gate_up.b": np.concatenate([tensor[0::2], tensor[1::2]])}
+        raise KeyError(transform)

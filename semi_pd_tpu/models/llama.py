@@ -73,6 +73,10 @@ class LlamaForCausalLM:
         self.embed_scale = None
         self.residual_mult = None
         self.logits_div = None
+        # optional additive [vocab] bias on final logits (phi3small masks
+        # tiktoken dummy tokens to -inf; reference phi3_small.py
+        # dummy_token_indices index_fill_)
+        self.logit_bias = None
         # Structural knobs for the LayerNorm families (gpt2/stablelm/phi/
         # cohere/starcoder2): norms carry a bias leaf; attn+mlp run in
         # parallel from one norm (phi/cohere); learned absolute positions;
@@ -291,6 +295,8 @@ class LlamaForCausalLM:
         logits = lm_head_logits(last_h, head, c.logit_softcap)
         if self.logits_div is not None:
             logits = logits / jnp.asarray(self.logits_div, logits.dtype)
+        if self.logit_bias is not None:
+            logits = logits + jnp.asarray(self.logit_bias, logits.dtype)
         kv_out = kv_cache if isinstance(kv_cache, tuple) else (kv_cache,)
         if return_hidden:
             return logits, kv_out, last_h

@@ -44,13 +44,20 @@ def get_2d_sincos_pos_embed(embed_dim: int, h: int, w: int) -> np.ndarray:
 
 
 class Idefics2VisionTower:
-    """Functional Idefics2VisionTransformer (HF modeling_idefics2)."""
+    """Functional Idefics2VisionTransformer (HF modeling_idefics2).
 
-    def __init__(self, vcfg, dtype):
+    ``act_tanh``/``pos_bucketize``/``out_proj_name`` parameterize the two
+    SigLIP-lineage variants: Idefics2 (tanh gelu, bucketized positions) and
+    Janus (exact gelu, arange positions, out proj named projection_layer)."""
+
+    def __init__(self, vcfg, dtype, act_tanh=True, pos_bucketize=True,
+                 out_proj_name="out_proj"):
         self.E = vcfg.hidden_size
         self.heads = vcfg.num_attention_heads
         self.hd = self.E // self.heads
-        self.inter = vcfg.intermediate_size
+        # Janus sizes its MLP by mlp_ratio instead of intermediate_size
+        self.inter = getattr(vcfg, "intermediate_size", None) or int(
+            vcfg.hidden_size * getattr(vcfg, "mlp_ratio", 4.0))
         self.depth = vcfg.num_hidden_layers
         self.patch = vcfg.patch_size
         self.image_size = vcfg.image_size
@@ -58,6 +65,9 @@ class Idefics2VisionTower:
         self.in_ch = getattr(vcfg, "num_channels", 3)
         self.eps = getattr(vcfg, "layer_norm_eps", 1e-6)
         self.dtype = dtype
+        self.act_tanh = act_tanh
+        self.pos_bucketize = pos_bucketize
+        self.out_proj_name = out_proj_name
 
     def param_specs(self) -> Dict[str, Any]:
         d, E, M, n = self.dtype, self.E, self.inter, self.depth
@@ -98,8 +108,8 @@ class Idefics2VisionTower:
             b + "self_attn.k_proj.bias": ("blocks.k.b", None, "none"),
             b + "self_attn.v_proj.weight": ("blocks.v.w", None, "t"),
             b + "self_attn.v_proj.bias": ("blocks.v.b", None, "none"),
-            b + "self_attn.out_proj.weight": ("blocks.o.w", None, "t"),
-            b + "self_attn.out_proj.bias": ("blocks.o.b", None, "none"),
+            b + "self_attn.%s.weight" % self.out_proj_name: ("blocks.o.w", None, "t"),
+            b + "self_attn.%s.bias" % self.out_proj_name: ("blocks.o.b", None, "none"),
             b + "mlp.fc1.weight": ("blocks.fc1.w", None, "t"),
             b + "mlp.fc1.bias": ("blocks.fc1.b", None, "none"),
             b + "mlp.fc2.weight": ("blocks.fc2.w", None, "t"),
@@ -113,14 +123,17 @@ class Idefics2VisionTower:
         x = pixel.reshape(C, gh, self.patch, gw, self.patch)
         x = x.transpose(1, 3, 0, 2, 4).reshape(gh * gw, -1).astype(self.dtype)
         x = x @ params["patch"]["w"] + params["patch"]["b"]
-        # bucketized fractional coords (HF Idefics2VisionEmbeddings with a
-        # full attention mask). torch.bucketize(..., right=True) sends a
-        # coordinate equal to a boundary to the LEFT bucket, so
-        # bucket(i/g) = #{k >= 1 : k/side < i/g} — for the native grid this
-        # is [0, 0, 1, ..., side-2], not identity. Exact in integers:
-        hb = np.maximum(0, (np.arange(gh) * self.side - 1) // gh)
-        wb = np.maximum(0, (np.arange(gw) * self.side - 1) // gw)
-        pos_ids = (hb[:, None] * self.side + wb[None, :]).reshape(-1)
+        if self.pos_bucketize:
+            # bucketized fractional coords (HF Idefics2VisionEmbeddings with
+            # a full attention mask). torch.bucketize(..., right=True) sends
+            # a coordinate equal to a boundary to the LEFT bucket, so
+            # bucket(i/g) = #{k >= 1 : k/side < i/g} — for the native grid
+            # this is [0, 0, 1, ..., side-2], not identity. Exact integers:
+            hb = np.maximum(0, (np.arange(gh) * self.side - 1) // gh)
+            wb = np.maximum(0, (np.arange(gw) * self.side - 1) // gw)
+            pos_ids = (hb[:, None] * self.side + wb[None, :]).reshape(-1)
+        else:  # Janus: plain arange positions
+            pos_ids = np.arange(gh * gw)
         x = x + params["pos"]["w"][jnp.asarray(pos_ids)]
         L = x.shape[0]
         for l in range(self.depth):
@@ -134,7 +147,8 @@ class Idefics2VisionTower:
             o = jnp.einsum("hlm,mhd->lhd", att.astype(v.dtype), v)
             x = x + (o.reshape(L, self.E) @ bp["o"]["w"] + bp["o"]["b"])
             y = layer_norm(x, bp["ln2"], self.eps)
-            y = jax.nn.gelu(y @ bp["fc1"]["w"] + bp["fc1"]["b"], approximate=True)
+            y = jax.nn.gelu(y @ bp["fc1"]["w"] + bp["fc1"]["b"],
+                            approximate=self.act_tanh)
             x = x + (y @ bp["fc2"]["w"] + bp["fc2"]["b"])
         return layer_norm(x, params["post_ln"], self.eps)
 

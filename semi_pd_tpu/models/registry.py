@@ -131,10 +131,13 @@ def _ensure_populated():
     from semi_pd_tpu.models.layernorm_families import (
         CohereForCausalLM,
         Olmo2ForCausalLM,
+        Phi3SmallForCausalLM,
         PhiForCausalLM,
         StableLmForCausalLM,
         Starcoder2ForCausalLM,
     )
+
+    _REGISTRY.setdefault("Phi3SmallForCausalLM", Phi3SmallForCausalLM)
 
     _REGISTRY.setdefault("StableLmForCausalLM", StableLmForCausalLM)
     _REGISTRY.setdefault("StableLmEpochForCausalLM", StableLmForCausalLM)
@@ -205,3 +208,9 @@ def _ensure_populated():
 
     _REGISTRY.setdefault("MiniCPMV", MiniCPMVForCausalLM)
     _REGISTRY.setdefault("MiniCPMVForCausalLM", MiniCPMVForCausalLM)
+
+    from semi_pd_tpu.models.janus import JanusProForCausalLM
+
+    # HF in-library name + the original DeepSeek repo's architectures entry
+    _REGISTRY.setdefault("JanusForConditionalGeneration", JanusProForCausalLM)
+    _REGISTRY.setdefault("MultiModalityCausalLM", JanusProForCausalLM)

@@ -115,12 +115,14 @@ class RotaryEmbedding:
                 )
             elif rtype == "linear":
                 inv_freq = inv_freq / rope_scaling.get("factor", 1.0)
-            elif rtype == "longrope":
+            elif rtype in ("longrope", "su"):
                 # Phi-3 LongRoPE (reference rotary_embedding.py
-                # Phi3LongRoPEScaledRotaryEmbedding): per-channel short/long
-                # rescale factors; positions < original_max use the short
-                # table, the rest the long table; both scaled by
-                # sqrt(1 + ln(s)/ln(orig)) when extended.
+                # Phi3LongRoPEScaledRotaryEmbedding; "su" is the phi-3-small
+                # spelling): per-channel short/long rescale factors;
+                # positions < original_max use the short table, the rest the
+                # long table; both scaled by sqrt(1 + ln(s)/ln(orig)) when
+                # extended, unless the config carries explicit
+                # short_mscale/long_mscale (phi-3-small does).
                 orig = int(rope_scaling.get(
                     "original_max_position_embeddings", max_pos))
                 short = np.asarray(rope_scaling["short_factor"], np.float64)
@@ -134,6 +136,13 @@ class RotaryEmbedding:
                     np.outer(t, inv_freq / short),
                     np.outer(t, inv_freq / longf),
                 )
+                if "short_mscale" in rope_scaling or "long_mscale" in rope_scaling:
+                    sm = float(rope_scaling.get("short_mscale") or 1.0)
+                    lm = float(rope_scaling.get("long_mscale") or sm)
+                    pos_mscale = np.where(t[:, None] < orig, sm, lm)
+                    self.cos = jnp.asarray(np.cos(freqs) * pos_mscale, jnp.float32)
+                    self.sin = jnp.asarray(np.sin(freqs) * pos_mscale, jnp.float32)
+                    return
             # "default"/"dynamic": fall through with the base table
 
         if freqs is None:

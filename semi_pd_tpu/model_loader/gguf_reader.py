@@ -9,7 +9,9 @@ numpy, and maps llama-family GGUF tensor names back to HF names — including
 inverting llama.cpp's rope permutation of W_q/W_k so the loaded weights are
 HF-exact.
 
-Supported encodings: F32, F16, BF16, Q8_0, Q4_0, Q4_1 (block-32 formats).
+Supported encodings: F32, F16, BF16, Q8_0, Q4_0/1, Q5_0/1 (block-32) and
+the Q2_K..Q6_K superblock K-quants (vectorized numpy dequant following the
+public ggml-quants.c element layouts).
 K-quants (Q4_K & co.) raise a clear error: their 256-wide super-block layout
 is a llama.cpp implementation detail we do not need for serving parity.
 """
@@ -40,7 +42,9 @@ _SCALARS = {
 # (block_elems, block_bytes)
 GGML_F32, GGML_F16 = 0, 1
 GGML_Q4_0, GGML_Q4_1 = 2, 3
+GGML_Q5_0, GGML_Q5_1 = 6, 7
 GGML_Q8_0 = 8
+GGML_Q2_K, GGML_Q3_K, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K = 10, 11, 12, 13, 14
 GGML_BF16 = 30
 _TYPE_NAMES = {
     0: "F32", 1: "F16", 2: "Q4_0", 3: "Q4_1", 6: "Q5_0", 7: "Q5_1",
@@ -50,6 +54,10 @@ _TYPE_NAMES = {
 _BLOCK = {
     GGML_F32: (1, 4), GGML_F16: (1, 2), GGML_BF16: (1, 2),
     GGML_Q4_0: (32, 18), GGML_Q4_1: (32, 20), GGML_Q8_0: (32, 34),
+    GGML_Q5_0: (32, 22), GGML_Q5_1: (32, 24),
+    # K-quants: 256-element superblocks
+    GGML_Q2_K: (256, 84), GGML_Q3_K: (256, 110), GGML_Q4_K: (256, 144),
+    GGML_Q5_K: (256, 176), GGML_Q6_K: (256, 210),
 }
 
 
@@ -113,9 +121,119 @@ def _dequant(raw: np.ndarray, ggml_type: int, n_elems: int) -> np.ndarray:
         lo = (qs & 0x0F).astype(np.float32)
         hi = (qs >> 4).astype(np.float32)
         out = d * np.concatenate([lo, hi], axis=1) + m
+    elif ggml_type in (GGML_Q5_0, GGML_Q5_1):
+        # block: d fp16 [, m fp16], qh u32 (32 high bits), qs 16B nibbles;
+        # elem j gets qh bit j (low nibbles: j<16; high nibbles: j>=16)
+        off = 2 if ggml_type == GGML_Q5_0 else 4
+        d = blocks[:, :2].copy().view(np.float16).astype(np.float32)
+        qh = blocks[:, off:off + 4].copy().view(np.uint32).astype(np.uint32)
+        qs = blocks[:, off + 4:]
+        bits = (qh[:, :1] >> np.arange(32, dtype=np.uint32)) & 1  # [B,32]
+        lo = (qs & 0x0F) | (bits[:, :16] << 4).astype(np.uint8)
+        hi = (qs >> 4) | (bits[:, 16:] << 4).astype(np.uint8)
+        q = np.concatenate([lo, hi], axis=1).astype(np.float32)
+        if ggml_type == GGML_Q5_0:
+            out = d * (q - 16.0)
+        else:
+            m = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
+            out = d * q + m
+    elif ggml_type in (GGML_Q2_K, GGML_Q3_K, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K):
+        out = _dequant_k(blocks, ggml_type)
     else:  # pragma: no cover — guarded by caller
         raise NotImplementedError(ggml_type)
     return out.reshape(-1)[:n_elems].astype(np.float32)
+
+
+def _k_scale_min(scales: np.ndarray):
+    """Unpack the 12-byte 6-bit (scale, min) pairs of Q4_K/Q5_K superblocks
+    (ggml get_scale_min_k4): 8 sub-blocks of 32 elements each."""
+    sc = np.empty(scales.shape[:-1] + (8,), np.float32)
+    mn = np.empty_like(sc)
+    for j in range(4):
+        sc[..., j] = (scales[..., j] & 63).astype(np.float32)
+        mn[..., j] = (scales[..., j + 4] & 63).astype(np.float32)
+        sc[..., j + 4] = ((scales[..., j + 8] & 0x0F)
+                          | ((scales[..., j] >> 6) << 4)).astype(np.float32)
+        mn[..., j + 4] = ((scales[..., j + 8] >> 4)
+                          | ((scales[..., j + 4] >> 6) << 4)).astype(np.float32)
+    return sc, mn
+
+
+def _dequant_k(blocks: np.ndarray, t: int) -> np.ndarray:
+    """K-quant superblocks (QK_K=256) -> [B, 256] float32, following the
+    public ggml-quants.c dequantize_row_q{2,3,4,5,6}_K element layouts."""
+    B = blocks.shape[0]
+    f16 = lambda s: blocks[:, s:s + 2].copy().view(np.float16).astype(np.float32)
+    if t == GGML_Q4_K:
+        d, dmin = f16(0), f16(2)
+        sc, mn = _k_scale_min(blocks[:, 4:16])
+        qs = blocks[:, 16:144].reshape(B, 4, 32)  # 4 chunks of 64 elems
+        lo = (qs & 0x0F).astype(np.float32)
+        hi = (qs >> 4).astype(np.float32)
+        q = np.stack([lo, hi], axis=2).reshape(B, 8, 32)  # sub-block order
+        out = d[:, :, None] * sc[:, :, None] * q - dmin[:, :, None] * mn[:, :, None]
+        return out.reshape(B, 256)
+    if t == GGML_Q5_K:
+        d, dmin = f16(0), f16(2)
+        sc, mn = _k_scale_min(blocks[:, 4:16])
+        qh = blocks[:, 16:48]                      # [B, 32]: bit s -> sub-block s
+        qs = blocks[:, 48:176].reshape(B, 4, 32)
+        lo = (qs & 0x0F).astype(np.float32)
+        hi = (qs >> 4).astype(np.float32)
+        q = np.stack([lo, hi], axis=2).reshape(B, 8, 32)
+        hbit = (qh[:, None, :] >> np.arange(8, dtype=np.uint8)[None, :, None]) & 1
+        q = q + 16.0 * hbit.astype(np.float32)
+        out = d[:, :, None] * sc[:, :, None] * q - dmin[:, :, None] * mn[:, :, None]
+        return out.reshape(B, 256)
+    if t == GGML_Q6_K:
+        ql = blocks[:, 0:128].reshape(B, 2, 64)    # two 128-elem halves
+        qh = blocks[:, 128:192].reshape(B, 2, 32)
+        sc = blocks[:, 192:208].view(np.int8).astype(np.float32)  # [B,16]
+        d = f16(208)
+        l = np.arange(32)
+        q = np.empty((B, 2, 128), np.float32)
+        q[:, :, l] = ((ql[:, :, l] & 0x0F) | (((qh[:, :, l] >> 0) & 3) << 4)).astype(np.float32) - 32
+        q[:, :, l + 32] = ((ql[:, :, l + 32] & 0x0F) | (((qh[:, :, l] >> 2) & 3) << 4)).astype(np.float32) - 32
+        q[:, :, l + 64] = ((ql[:, :, l] >> 4) | (((qh[:, :, l] >> 4) & 3) << 4)).astype(np.float32) - 32
+        q[:, :, l + 96] = ((ql[:, :, l + 32] >> 4) | (((qh[:, :, l] >> 6) & 3) << 4)).astype(np.float32) - 32
+        q = q.reshape(B, 16, 16)
+        return (d[:, :, None] * sc[:, :, None] * q).reshape(B, 256)
+    if t == GGML_Q2_K:
+        scales = blocks[:, 0:16]                   # [B,16] 4-bit sc | min<<4
+        qs = blocks[:, 16:80].reshape(B, 2, 32)    # two 128-elem halves
+        d, dmin = f16(80), f16(82)
+        sc = (scales & 0x0F).astype(np.float32)
+        mn = (scales >> 4).astype(np.float32)
+        # order within a 128-half: shift 0..3; within a shift: q[l], q[l+16]
+        q = (qs[:, :, None, None, :] >> (2 * np.arange(4))[None, None, :, None, None]) & 3
+        q = q.reshape(B, 2, 4, 2, 16).astype(np.float32)
+        out = (d * sc).reshape(B, 2, 4, 2)[..., None] * q \
+            - (dmin * mn).reshape(B, 2, 4, 2)[..., None]
+        return out.reshape(B, 256)
+    if t == GGML_Q3_K:
+        hmask = blocks[:, 0:32].reshape(B, 1, 32)
+        qs = blocks[:, 32:96].reshape(B, 2, 32)
+        raw = blocks[:, 96:108].copy().view(np.uint32)  # [B,3] packed 6-bit
+        d = f16(108)
+        km1, km2 = np.uint32(0x03030303), np.uint32(0x0F0F0F0F)
+        a0, a1, tmp = raw[:, 0], raw[:, 1], raw[:, 2]
+        aux = np.stack([
+            (a0 & km2) | (((tmp >> np.uint32(0)) & km1) << np.uint32(4)),
+            (a1 & km2) | (((tmp >> np.uint32(2)) & km1) << np.uint32(4)),
+            ((a0 >> np.uint32(4)) & km2) | (((tmp >> np.uint32(4)) & km1) << np.uint32(4)),
+            ((a1 >> np.uint32(4)) & km2) | (((tmp >> np.uint32(6)) & km1) << np.uint32(4)),
+        ], axis=1)
+        sc = aux.view(np.int8).astype(np.float32) - 32.0  # [B,16]
+        # low 2 bits from qs (per 128-half, shift 0..3, lanes l / l+16);
+        # high bit from hmask bit (2-half*4+shift*1): m = 1 << (shift + 4*half)
+        q = (qs[:, :, None, :] >> (2 * np.arange(4))[None, None, :, None]) & 3
+        q = q.reshape(B, 2, 4, 2, 16).astype(np.float32)
+        mbit = np.uint8(1) << (np.arange(4)[None, None, :] + 4 * np.arange(2)[None, :, None]).astype(np.uint8)
+        h = (hmask[:, :, None, :] & mbit[..., None]) != 0  # [B,2,4,32]
+        q = q - 4.0 * (~h.reshape(B, 2, 4, 2, 16)).astype(np.float32)
+        out = (d * sc).reshape(B, 2, 4, 2)[..., None] * q  # sc already -32
+        return out.reshape(B, 256)
+    raise NotImplementedError(t)  # pragma: no cover
 
 
 class GGUFFile:
@@ -154,7 +272,7 @@ class GGUFFile:
             raise NotImplementedError(
                 f"GGUF tensor {name!r} uses encoding "
                 f"{_TYPE_NAMES.get(ttype, ttype)}; supported: F32, F16, BF16, "
-                f"Q8_0, Q4_0, Q4_1 (K-quants are not supported)"
+                f"Q8_0, Q4_0/1, Q5_0/1, Q2_K..Q6_K (IQ formats are not)"
             )
         n_elems = int(np.prod(dims))
         be, bb = _BLOCK[ttype]

@@ -148,13 +148,13 @@ def test_unsupported_encoding_raises(tmp_path):
     from semi_pd_tpu.model_loader.gguf_reader import GGUFFile
 
     path = str(tmp_path / "k.gguf")
-    # hand-write a tensor info claiming Q4_K (type 12) with no data needs
+    # hand-write a tensor info claiming IQ2_XXS (type 16, unsupported)
     a = np.zeros((1, 256), np.float32)
     write_gguf(path, {"general.architecture": (_T_STR, "llama")},
                [("x", a, 0)])
     f = GGUFFile(path)
-    f.tensors["x"] = (f.tensors["x"][0], 12, f.tensors["x"][2])
-    with pytest.raises(NotImplementedError, match="Q4_K"):
+    f.tensors["x"] = (f.tensors["x"][0], 16, f.tensors["x"][2])
+    with pytest.raises(NotImplementedError, match="IQ2_XXS"):
         f.tensor("x")
 
 

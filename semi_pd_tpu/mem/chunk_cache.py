@@ -18,6 +18,7 @@ class ChunkCache:
         self.root = TreeNode()
         self.evictable_pages = 0
         self.protected_pages = 0
+        self.version = 0  # never bumped: match_prefix always misses
 
     def reset(self):
         pass

@@ -62,6 +62,9 @@ class RadixCache:
         self.root.lock_ref = 1
         self.evictable_pages = 0
         self.protected_pages = 0
+        # bumped on every content mutation; schedulers memoize lpm prefix
+        # scores against it (schedule_policy.sort_waiting_queue)
+        self.version = getattr(self, "version", 0) + 1
 
     # ------------------------------------------------------------- queries
     def match_prefix(self, token_ids: List[int]) -> Tuple[np.ndarray, TreeNode]:
@@ -102,6 +105,7 @@ class RadixCache:
         """Insert a (tokens → pages) mapping; returns (num_pages already
         present, last node). Caller frees the duplicate pages it handed in
         (reference radix_cache.py:128 insert → _insert_helper)."""
+        self.version += 1
         P = self.page_size
         n_pages = len(token_ids) // P
         key = tuple(token_ids[: n_pages * P])
@@ -171,6 +175,7 @@ class RadixCache:
     def evict(self, num_pages: int) -> int:
         """LRU-evict unlocked leaves until ``num_pages`` freed (reference
         radix_cache.py:253 evict). Returns pages actually freed."""
+        self.version += 1
         leaves = [n for n in self._collect_leaves() if n.lock_ref == 0]
         heapq.heapify(leaves)
         freed = 0

@@ -82,6 +82,7 @@ class NativeRadixCache:
         self.free_pages_fn = free_pages_fn
         self._h = ctypes.c_void_p(self.lib.rtree_new(page_size))
         self.root = 0
+        self.version = 0  # lpm-memo invalidation (see schedule_policy)
 
     def __del__(self):
         try:
@@ -91,6 +92,7 @@ class NativeRadixCache:
             pass
 
     def reset(self):
+        self.version += 1
         self.lib.rtree_reset(self._h)
 
     def match_prefix(self, token_ids: List[int]) -> Tuple[np.ndarray, int]:
@@ -104,6 +106,7 @@ class NativeRadixCache:
         return out[:n].copy(), int(node.value)
 
     def insert(self, token_ids: List[int], pages: np.ndarray) -> Tuple[int, int]:
+        self.version += 1
         toks = np.asarray(token_ids, dtype=np.int32)
         pages = np.ascontiguousarray(pages, dtype=np.int32)
         node = ctypes.c_uint64()
@@ -119,6 +122,7 @@ class NativeRadixCache:
         self.lib.rtree_lock(self._h, node, -1)
 
     def evict(self, num_pages: int) -> int:
+        self.version += 1
         # cap >= all evictable pages so the C side never truncates (which
         # would leak pages)
         cap = max(self.evictable_pages, 1)

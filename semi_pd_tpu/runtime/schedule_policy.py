@@ -29,13 +29,25 @@ def sort_waiting_queue(policy: str, queue: List[Req], tree_cache) -> List[Req]:
         q = list(queue)
         random.shuffle(q)
         return q
-    # lpm: longest cached prefix match first (default)
+    # lpm: longest cached prefix match first (default). Scores are memoized
+    # per request against the tree's mutation counter: a deep waiting queue
+    # is re-sorted every scheduler tick, and without the memo each tick
+    # re-walks the radix tree once per waiting request (O(queue x prompt)
+    # host work that competes with the decode loop).
     if tree_cache is None:
         return list(queue)
+    version = getattr(tree_cache, "version", None)
     scored = []
     for r in queue:
-        pages, _ = tree_cache.match_prefix(r.input_ids)
-        scored.append((len(pages), r))
+        memo = getattr(r, "_lpm_memo", None)
+        if version is not None and memo is not None \
+                and memo[0] == version and memo[1] == len(r.input_ids):
+            score = memo[2]
+        else:
+            pages, _ = tree_cache.match_prefix(r.input_ids)
+            score = len(pages)
+            r._lpm_memo = (version, len(r.input_ids), score)
+        scored.append((score, r))
     scored.sort(key=lambda x: -x[0])
     return [r for _, r in scored]
 

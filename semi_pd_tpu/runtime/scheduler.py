@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from collections import deque
 from typing import Dict, List, Optional, Tuple
@@ -1024,6 +1025,17 @@ class Scheduler:
         exhaustion retract newest requests back to waiting (reference
         update_running_batch semi_pd_decode_scheduler.py:90-151 +
         retract_decode schedule_batch.py:1034)."""
+        # Fault injection (reference SGLANG_TEST_RETRACT,
+        # semi_pd_decode_scheduler.py:42-43): force a retraction once the
+        # batch is large enough, to exercise the retract path in CI.
+        if (
+            allow_retract
+            and len(self.running) > 1
+            and os.environ.get("SEMI_PD_TPU_TEST_RETRACT")
+            and self.n_retracted < int(os.environ.get(
+                "SEMI_PD_TPU_TEST_RETRACT_MAX", "3"))
+        ):
+            self._retract(self.running.pop())
         while self.running:
             need_idx = [
                 i for i, r in enumerate(self.running)

@@ -134,6 +134,23 @@ def test_retraction_under_memory_pressure(hf_model, semi_pd):
     eng.scheduler.check_memory()
 
 
+def test_forced_retraction_fault_injection(hf_model, monkeypatch):
+    """SEMI_PD_TPU_TEST_RETRACT forces retractions without memory pressure
+    (reference SGLANG_TEST_RETRACT, semi_pd_decode_scheduler.py:42-43,103-105);
+    greedy outputs must be unaffected."""
+    monkeypatch.setenv("SEMI_PD_TPU_TEST_RETRACT", "1")
+    eng = _mk_engine(hf_model, disable_radix_cache=True)
+    rng = np.random.default_rng(17)
+    prompts = [rng.integers(0, 256, size=12).tolist() for _ in range(4)]
+    want = [_hf_greedy(hf_model, p, 10) for p in prompts]
+    sp = SamplingParams(max_new_tokens=10, temperature=0.0, ignore_eos=True)
+    outs = eng.generate(input_ids=prompts, sampling_params=sp)
+    assert eng.scheduler.n_retracted >= 3
+    for o, w in zip(outs, want):
+        assert o["output_ids"] == w
+    eng.scheduler.check_memory()
+
+
 def test_stop_conditions(hf_model):
     eng = _mk_engine(hf_model)
     rng = np.random.default_rng(6)

@@ -77,7 +77,10 @@ def build_engine():
 
     cfg = _llama_config(
         layers=int(os.environ.get("BENCH_LAYERS", "16")),
-        hidden=2048, inter=8192, heads=32, kv_heads=8,
+        hidden=int(os.environ.get("BENCH_HIDDEN", "2048")),
+        inter=int(os.environ.get("BENCH_INTER", "8192")),
+        heads=int(os.environ.get("BENCH_HEADS", "32")),
+        kv_heads=int(os.environ.get("BENCH_KV_HEADS", "8")),
         vocab=int(os.environ.get("BENCH_VOCAB", "128256")),
         head_dim=64, ctx=8192,
     )

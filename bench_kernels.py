@@ -201,6 +201,27 @@ def main():
                          chunked=True))
     rows.append(run_case("decode_b16_kv8192_chunked", 16, 8192, [1] * 16,
                          chunked=True))
+    # Cross-request streaming decode kernel (RPA_DECODE_STREAM): kv blocks
+    # of the whole batch form one NBUF-deep DMA pipeline. Env is read at
+    # trace time; each run_case builds fresh jits, so scoping it here works.
+    os.environ["RPA_DECODE_STREAM"] = "1"
+    try:
+        for nbuf in ("4", "8"):
+            os.environ["RPA_STREAM_NBUF"] = nbuf
+            rows.append(run_case(
+                f"decode_b64_kv1024_stream_n{nbuf}", 64, 1024, [1] * 64,
+                chunked=True, kv_block=512))
+            rows.append(run_case(
+                f"decode_b128_kv2048_stream_n{nbuf}", 128, 2048, [1] * 128,
+                chunked=True, kv_block=512))
+        os.environ["RPA_STREAM_NBUF"] = "4"
+        rows.append(run_case("decode_b16_kv8192_stream", 16, 8192, [1] * 16,
+                             chunked=True, kv_block=1024))
+    except Exception as e:  # keep the report even if the new path fails
+        print(f"# stream cases failed: {e}", file=sys.stderr)
+    finally:
+        os.environ.pop("RPA_DECODE_STREAM", None)
+        os.environ.pop("RPA_STREAM_NBUF", None)
     # Extend: chunked prefill continuation (512 new tokens on 1.5k history)
     rows.append(run_case("extend_b8_q256_kv2048", 8, 2048, [256] * 8))
     rows.append(run_case("extend_b8_q256_kv2048_chunked", 8, 2048, [256] * 8,

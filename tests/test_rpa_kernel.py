@@ -263,3 +263,47 @@ def test_spec_tree_mask_matches_reference():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
+
+
+def test_chunked_stream_decode_matches_reference():
+    """Cross-request streaming decode kernel (stream=True): one kv block
+    stream over the whole batch, NBUF-deep; must match the 5D reference on
+    a decode batch with mixed kv lengths spanning 1..several kv blocks."""
+    import numpy as np
+    from semi_pd_tpu.ops.attention.ragged_paged_attention import (
+        ragged_paged_attention_chunked,
+    )
+
+    rng = np.random.default_rng(33)
+    Hq, Hkv, D, PS, L = 8, 4, 64, 8, 2
+    # decode: q_len == 1 for every request; kv lens straddle KVBLK=16
+    q_lens = [1, 1, 1, 1, 1]
+    kv_lens = [33, 5, 16, 48, 9]
+    B = len(q_lens); T = sum(q_lens)
+    n_pages = 32; S = n_pages * PS
+
+    kv5 = rng.normal(size=(L, 2, S, Hkv, D)).astype(np.float32)
+    q = jnp.asarray(rng.normal(size=(T, Hq, D)).astype(np.float32))
+    pt = np.zeros((B, 8), np.int32); used = 1
+    for b in range(B):
+        n = -(-kv_lens[b] // PS); pt[b, :n] = np.arange(used, used + n); used += n
+    pt = jnp.asarray(pt)
+    qri = jnp.asarray(np.repeat(np.arange(B), q_lens), jnp.int32)
+    qp = jnp.asarray(np.asarray(kv_lens, np.int64) - 1, jnp.int32)
+    kvl = jnp.asarray(kv_lens, jnp.int32)
+
+    ref = ragged_paged_attention_reference(
+        q, jnp.asarray(kv5), 1, pt, qri, qp, kvl, page_size=PS, scale=0.25,
+    )
+
+    CT = 2 * Hkv * D // 128
+    kvc = np.swapaxes(kv5, 1, 2).reshape(L, S, CT, 128)
+    meta = build_attn_meta(np.asarray(q_lens, np.int64),
+                           np.asarray(kv_lens, np.int64), T)
+    out = ragged_paged_attention_chunked(
+        q, jnp.asarray(kvc), 1, pt, kvl, meta, page_size=PS,
+        num_kv_heads=Hkv, head_dim=D, scale=0.25, interpret=True,
+        kv_block=16, stream=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:T], np.asarray(ref)[:T], rtol=2e-5, atol=2e-5)

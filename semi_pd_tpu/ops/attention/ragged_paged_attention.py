@@ -344,6 +344,214 @@ def _rpa_kernel(
 
 
 
+def _rpa_kernel_stream(
+    # scalar prefetch (same 10 as _rpa_kernel)
+    layer_ref, num_slots_ref, page_table_ref, kv_lens_ref, q_lens_ref,
+    q_start_ref, block_seq_ref, block_row_ref, block_qofs_ref, win_base_ref,
+    q_hbm, kv_hbm, out_hbm,
+    q_buf, k_buf, v_buf, o_buf, m_scr, l_scr, acc_scr, st,
+    q_sem, kv_sems, o_sem,
+    *, page_size, QBLK, KVBLK, NBUF, scale, logit_cap, ncomp, v_dim,
+):
+    """Cross-request streaming variant of _rpa_kernel (aligned / MLA
+    layouts). Same global kv-block stream + SMEM fetch state machine as
+    _rpa_kernel_chunked_stream (see its docstring); the flash math is the
+    [Hkv, QG] form of _rpa_kernel."""
+    i = pl.program_id(0)
+    NQB = pl.num_programs(0)
+    ppb = KVBLK // page_size
+    layer = layer_ref[0]
+    S = num_slots_ref[0]
+    k_base = (layer * ncomp + 0) * S
+    v_base = (layer * ncomp + 1) * S if ncomp == 2 else k_base
+
+    def nblk(idx):
+        bb = block_seq_ref[jnp.minimum(idx, NQB - 1)]
+        kvl = kv_lens_ref[jnp.maximum(bb, 0)]
+        n = (kvl + KVBLK - 1) // KVBLK
+        return jnp.where(bb >= 0, n, 0)
+
+    def start_block_dma(req_idx, blk, slot):
+        bb = jnp.maximum(block_seq_ref[req_idx], 0)
+        for p in range(ppb):
+            page = page_table_ref[bb, blk * ppb + p]
+            dst = pl.ds(p * page_size, page_size)
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(k_base + page * page_size, page_size)],
+                k_buf.at[slot, dst], kv_sems.at[slot, 0],
+            ).start()
+            if v_dim is None:
+                pltpu.make_async_copy(
+                    kv_hbm.at[pl.ds(v_base + page * page_size, page_size)],
+                    v_buf.at[slot, dst], kv_sems.at[slot, 1],
+                ).start()
+
+    def wait_block_dma(slot):
+        for p in range(ppb):
+            dst = pl.ds(p * page_size, page_size)
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(0, page_size)], k_buf.at[slot, dst],
+                kv_sems.at[slot, 0],
+            ).wait()
+            if v_dim is None:
+                pltpu.make_async_copy(
+                    kv_hbm.at[pl.ds(0, page_size)], v_buf.at[slot, dst],
+                    kv_sems.at[slot, 1],
+                ).wait()
+
+    def issue_next():
+        def cond(c):
+            r, bk = c
+            return (r < NQB) & (bk >= nblk(r))
+
+        def step(c):
+            r, _ = c
+            return r + 1, jnp.zeros((), jnp.int32)
+
+        r, bk = jax.lax.while_loop(cond, step, (st[0], st[1]))
+        fo = st[2]
+
+        @pl.when(r < NQB)
+        def _():
+            start_block_dma(r, bk, jax.lax.rem(fo, NBUF))
+
+        st[0] = r
+        st[1] = jnp.where(r < NQB, bk + 1, bk)
+        st[2] = jnp.where(r < NQB, fo + 1, fo)
+
+    @pl.when(i == 0)
+    def _():
+        st[0] = jnp.zeros((), jnp.int32)
+        st[1] = jnp.zeros((), jnp.int32)
+        st[2] = jnp.zeros((), jnp.int32)
+        st[3] = jnp.zeros((), jnp.int32)
+
+        def warm(_, carry):
+            issue_next()
+            return carry
+
+        jax.lax.fori_loop(0, NBUF, warm, 0)
+
+    b = block_seq_ref[i]
+    bsafe = jnp.maximum(b, 0)
+    row0 = block_row_ref[i]
+    qofs = block_qofs_ref[i]
+    kv_len = kv_lens_ref[bsafe]
+    q_len = q_lens_ref[bsafe]
+    q_start = q_start_ref[bsafe]
+    n_rows = jnp.minimum(q_len - qofs, QBLK)
+    q_abs_lo = q_start + qofs
+    nb = nblk(i)
+    active = (b >= 0) & (nb > 0)
+
+    @pl.when(active)
+    def _():
+        pltpu.make_async_copy(q_hbm.at[pl.ds(row0, QBLK)], q_buf, q_sem).start()
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        pltpu.make_async_copy(q_hbm.at[pl.ds(row0, QBLK)], q_buf, q_sem).wait()
+
+        QBLK_, Hq, D = q_buf.shape
+        Hkv = k_buf.shape[2] if v_dim is None else 1
+        G = Hq // Hkv
+        QG = QBLK_ * G
+        q_local_qg = jax.lax.broadcasted_iota(jnp.int32, (QG, KVBLK), 0) // G
+
+        def body(j, carry):
+            co = st[3]
+            slot = jax.lax.rem(co, NBUF)
+            wait_block_dma(slot)
+            q = q_buf[...].astype(jnp.float32)
+            if v_dim is None:
+                k = k_buf[slot].astype(jnp.float32)
+                v = v_buf[slot].astype(jnp.float32)
+            else:
+                k3 = k_buf[slot].astype(jnp.float32)
+            kv_blk_start = j * KVBLK
+            kv_pos = kv_blk_start + jax.lax.broadcasted_iota(
+                jnp.int32, (QG, KVBLK), 1)
+            q_abs = q_abs_lo + q_local_qg
+            valid = (kv_pos <= q_abs) & (kv_pos < kv_len) & (q_local_qg < n_rows)
+
+            for h in range(Hkv):
+                q_h = q[:, h * G : (h + 1) * G, :].reshape(QG, D)
+                if v_dim is None:
+                    s = jax.lax.dot_general(
+                        q_h, k[:, h, :],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    HALF = D // 2
+                    s = jax.lax.dot_general(
+                        q_h[:, 0:HALF], k3[:, 0, :],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) + jax.lax.dot_general(
+                        q_h[:, HALF:], k3[:, 1, :],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                s = s * scale
+                if logit_cap:
+                    s = logit_cap * jnp.tanh(s / logit_cap)
+                s = jnp.where(valid, s, NEG_INF)
+
+                m_old = m_scr[h, :][:, None]
+                l_old = l_scr[h, :][:, None]
+                m_cur = jnp.max(s, axis=1, keepdims=True)
+                m_new = jnp.maximum(m_old, m_cur)
+                p_ = jnp.exp(s - m_new)
+                corr = jnp.exp(m_old - m_new)
+                l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
+                if v_dim is None:
+                    pv = jax.lax.dot_general(
+                        p_, v[:, h, :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    HALF = D // 2
+                    parts = []
+                    for comp in range(2):
+                        lo = comp * HALF
+                        hi = min(v_dim, lo + HALF)
+                        if hi > lo:
+                            parts.append(jax.lax.dot_general(
+                                p_, k3[:, comp, 0 : hi - lo],
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            ))
+                    pv = (jnp.concatenate(parts, axis=1)
+                          if len(parts) > 1 else parts[0])
+                acc_scr[h] = acc_scr[h] * corr + pv
+                m_scr[h, :] = m_new[:, 0]
+                l_scr[h, :] = l_new[:, 0]
+
+            st[3] = co + 1
+            issue_next()
+            return carry
+
+        jax.lax.fori_loop(0, nb, body, 0)
+
+        QBLK_, Hq, D = q_buf.shape
+        Hkv = 1 if v_dim is not None else k_buf.shape[2]
+        Dv = v_dim if v_dim is not None else D
+        G = Hq // Hkv
+        l = l_scr[...]
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
+        normed = acc_scr[...] / l_safe[:, :, None]
+        out = (
+            normed.reshape(Hkv, QBLK_, G, Dv).transpose(1, 0, 2, 3)
+            .reshape(QBLK_, Hq, Dv)
+        )
+        o_buf[...] = out.astype(o_buf.dtype)
+        cp = pltpu.make_async_copy(o_buf, out_hbm.at[pl.ds(row0, QBLK_)], o_sem)
+        cp.start()
+        cp.wait()
+
+
 def _rpa_kernel_merged(
     # scalar prefetch (same 10 as _rpa_kernel)
     layer_ref, num_slots_ref, page_table_ref, kv_lens_ref, q_lens_ref,
@@ -591,6 +799,75 @@ def ragged_paged_attention(
     # q rows DMA may overrun by QBLK-1 rows: pad the flat token dim.
     q_in = jnp.pad(q, ((0, QBLK), (0, 0), (0, 0)))
     Tpad = q_in.shape[0]
+
+    layer_arr_s = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+    if v_dim is None:
+        kv_flat_s = kv_cache.reshape(L * ncomp * S, Hkv, kv_cache.shape[-1])
+    else:
+        kv_flat_s = kv_cache.reshape(L * ncomp * S, 2, kv_cache.shape[-1] // 2)
+    stream = (
+        is_decode
+        and sliding_window is None
+        and spec_anc is None
+        and os.environ.get("RPA_DECODE_STREAM", "0") == "1"
+    )
+    if stream:
+        NBUF = int(os.environ.get("RPA_STREAM_NBUF", "4"))
+        kvb_shape = (
+            (NBUF, KVBLK, Hkv, D) if v_dim is None
+            else (NBUF, KVBLK, 2, D // 2))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=10,
+            grid=(NQB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((QBLK, Hq, D), q.dtype),
+                pltpu.VMEM(kvb_shape, kv_cache.dtype),
+                pltpu.VMEM(
+                    kvb_shape if v_dim is None else (1, 8, 2, 128),
+                    kv_cache.dtype),
+                pltpu.VMEM((QBLK, Hq, Dv), q.dtype),
+                pltpu.VMEM((Hkv, QG), jnp.float32),
+                pltpu.VMEM((Hkv, QG), jnp.float32),
+                pltpu.VMEM((Hkv, QG, Dv), jnp.float32),
+                pltpu.SMEM((4,), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((NBUF, 2)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+        kernel_s = functools.partial(
+            _rpa_kernel_stream,
+            page_size=page_size, QBLK=QBLK, KVBLK=KVBLK, NBUF=NBUF,
+            scale=scale, logit_cap=logit_cap, ncomp=ncomp, v_dim=v_dim,
+        )
+        out = pl.pallas_call(
+            kernel_s,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((Tpad, Hq, Dv), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(
+            layer_arr_s,
+            jnp.asarray([S], jnp.int32),
+            page_table,
+            kv_lens,
+            meta.q_lens,
+            meta.q_start,
+            meta.block_seq,
+            meta.block_row,
+            meta.block_qofs,
+            win_base if win_base is not None else jnp.zeros_like(kv_lens),
+            q_in,
+            kv_flat_s,
+        )
+        return out[:T]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=10,

@@ -307,3 +307,60 @@ def test_chunked_stream_decode_matches_reference():
     )
     np.testing.assert_allclose(
         np.asarray(out)[:T], np.asarray(ref)[:T], rtol=2e-5, atol=2e-5)
+
+
+def test_aligned_and_mla_stream_decode_match_reference(monkeypatch):
+    """RPA_DECODE_STREAM on the aligned (D=128) and MLA layouts: decode
+    batches with kv lens spanning several kv blocks must match the 5D
+    reference / MLA reference."""
+    import numpy as np
+    from semi_pd_tpu.ops.attention.ragged_paged_attention import (
+        ragged_paged_attention,
+    )
+
+    monkeypatch.setenv("RPA_DECODE_STREAM", "1")
+    monkeypatch.setenv("RPA_STREAM_NBUF", "3")
+
+    rng = np.random.default_rng(41)
+    # aligned: D = 128
+    Hq, Hkv, D, PS, L = 8, 4, 128, 8, 2
+    q_lens = [1, 1, 1, 1]
+    kv_lens = [33, 16, 48, 7]
+    B = len(q_lens); T = B
+    S = 32 * PS
+    kv5 = rng.normal(size=(L, 2, S, Hkv, D)).astype(np.float32)
+    q = jnp.asarray(rng.normal(size=(T, Hq, D)).astype(np.float32))
+    pt = np.zeros((B, 8), np.int32); used = 1
+    for b in range(B):
+        n = -(-kv_lens[b] // PS); pt[b, :n] = np.arange(used, used + n); used += n
+    pt = jnp.asarray(pt)
+    qri = jnp.asarray(np.arange(B), jnp.int32)
+    qp = jnp.asarray(np.asarray(kv_lens) - 1, jnp.int32)
+    kvl = jnp.asarray(kv_lens, jnp.int32)
+    meta = build_attn_meta(np.asarray(q_lens, np.int64),
+                           np.asarray(kv_lens, np.int64), T)
+    ref = ragged_paged_attention_reference(
+        q, jnp.asarray(kv5), 1, pt, qri, qp, kvl, page_size=PS, scale=0.125,
+    )
+    out = ragged_paged_attention(
+        q, jnp.asarray(kv5), 1, pt, kvl, meta, page_size=PS, scale=0.125,
+        kv_block=16, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:T], np.asarray(ref)[:T], rtol=2e-5, atol=2e-5)
+
+    # MLA: latent pool [L, 1, S, 1, 512], v_dim 256
+    Dlat, v_dim = 512, 256
+    kv_mla = rng.normal(size=(L, 1, S, 1, Dlat)).astype(np.float32) * 0.3
+    q_mla = jnp.asarray(
+        rng.normal(size=(T, Hq, Dlat)).astype(np.float32) * 0.3)
+    ref_m = ragged_paged_attention_reference(
+        q_mla, jnp.asarray(kv_mla), 1, pt, qri, qp, kvl, page_size=PS,
+        scale=0.125, v_dim=v_dim,
+    )
+    out_m = ragged_paged_attention(
+        q_mla, jnp.asarray(kv_mla), 1, pt, kvl, meta, page_size=PS,
+        scale=0.125, v_dim=v_dim, kv_block=16, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_m)[:T], np.asarray(ref_m)[:T], rtol=2e-4, atol=2e-4)

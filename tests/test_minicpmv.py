@@ -256,3 +256,34 @@ def _load_subtree(specs, plan, state_dict, conv_tf=False):
     for path, arr in leaves.items():
         _assign(params, path, arr)
     return params
+
+
+def test_minicpmv_20_uses_minicpm_trunk():
+    """version < 2.5 routes to the MiniCPM trunk with its muP-style scales
+    (reference minicpmv.py init_llm picks MiniCPMForCausalLM)."""
+    from transformers import LlamaConfig
+
+    from semi_pd_tpu.models.minicpmv import MiniCPMVForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        tie_word_embeddings=True,
+    )
+    cfg.architectures = ["MiniCPMV"]
+    cfg.vision_config = _vision_cfg()
+    cfg.version = 2.0
+    cfg.query_num = 4
+    cfg.image_token_index = IMG_TOK
+    cfg.scale_emb = 12.0
+    cfg.scale_depth = 1.4
+    cfg.dim_model_base = 32
+
+    from semi_pd_tpu.config.model_config import ModelConfig as MC
+
+    model = MiniCPMVForCausalLM(MC.from_hf_config(cfg, dtype="float32"))
+    assert type(model.lm).__name__ == "MiniCPMForCausalLM"
+    assert model.lm.embed_scale == 12.0
+    assert model.lm.logits_div == 64 / 32
+    assert not model.lm.config.attention_bias
+    assert model.n_image_tokens == 4

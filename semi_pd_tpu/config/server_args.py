@@ -49,7 +49,7 @@ class ServerArgs:
     max_prefill_tokens: int = 16384
 
     # Scheduling
-    schedule_policy: str = "lpm"  # lpm | fcfs | lof | random
+    schedule_policy: str = "lpm"  # lpm | fcfs | lof | random | dfs-weight
     disable_overlap_schedule: bool = False  # overlap decode pipeline
     # In-flight step pipeline depth: results are read back in one fused
     # device->host transfer every `overlap_depth` steps. Device->host reads

@@ -29,6 +29,49 @@ def sort_waiting_queue(policy: str, queue: List[Req], tree_cache) -> List[Req]:
         q = list(queue)
         random.shuffle(q)
         return q
+    if policy == "dfs-weight":
+        # Depth-first subtree weighting (reference schedule_policy.py:213
+        # _sort_by_dfs_weight): group requests by their radix match node,
+        # weight each tree node by the number of queued requests in its
+        # subtree, and emit requests in a heaviest-subtree-first DFS —
+        # deepest shared prefixes schedule adjacently. Needs a traversable
+        # tree (python RadixCache); the native C++ tree exposes opaque node
+        # handles, so it degrades to lpm below.
+        root = getattr(tree_cache, "root", None)
+        if root is not None and hasattr(root, "children"):
+            node_reqs: dict = {}
+            node_by_id: dict = {}
+            for r in queue:
+                _, node = tree_cache.match_prefix(r.input_ids)
+                node_reqs.setdefault(id(node), []).append(r)
+                node_by_id[id(node)] = node
+            weight: dict = {}
+
+            def calc(n):
+                w = len(node_reqs.get(id(n), ()))
+                for c in n.children.values():
+                    w += calc(c)
+                weight[id(n)] = w
+                return w
+
+            calc(root)
+            out: List[Req] = []
+
+            def dfs(n):
+                kids = sorted(
+                    n.children.values(), key=lambda x: -weight.get(id(x), 0)
+                )
+                for c in kids:
+                    dfs(c)
+                out.extend(node_reqs.get(id(n), ()))
+
+            dfs(root)
+            # match nodes can sit below eviction points not in the current
+            # tree walk; append any stragglers in arrival order
+            seen = {id(r) for r in out}
+            out.extend(r for r in queue if id(r) not in seen)
+            return out
+
     # lpm: longest cached prefix match first (default). Scores are memoized
     # per request against the tree's mutation counter: a deep waiting queue
     # is re-sorted every scheduler tick, and without the memo each tick

@@ -183,6 +183,82 @@ def run_case(name, B, kv_len, q_lens, iters=5, chunked=False, kv_block=None):
     return row
 
 
+def run_case_mla(name, B, kv_len, iters=5, kv_block=None):
+    """Absorbed-MLA decode (DeepSeek latent KV): pool [1, 1, S, 1, 768]
+    (kv_lora 512 + rope 64, lane-padded), v = 512-dim latent prefix.
+    Same chained-slope timing as run_case, with the latent row of each
+    request rewritten every iteration so the pool stays loop-carried."""
+    Dlat, VDIM, HQ_MLA = 768, 512, 16
+    rng = np.random.default_rng(11)
+    pages_per_req = -(-kv_len // PAGE)
+    num_pages = 1 + B * pages_per_req
+    S = num_pages * PAGE
+    kv = jnp.asarray(
+        rng.normal(size=(1, 1, S, 1, Dlat)).astype(np.float32) * 0.3,
+        jnp.bfloat16)
+    pt = np.zeros((B, pages_per_req), np.int32)
+    for b in range(B):
+        pt[b] = 1 + b * pages_per_req + np.arange(pages_per_req)
+    pt = jnp.asarray(pt)
+    kv_lens_np = np.full(B, kv_len, np.int32)
+    kv_lens = jnp.asarray(kv_lens_np)
+    q0 = jnp.asarray(
+        rng.normal(size=(B, HQ_MLA, Dlat)).astype(np.float32) * 0.3,
+        jnp.bfloat16)
+    meta = build_attn_meta(np.ones(B, np.int64), kv_lens_np.astype(np.int64), B)
+    slots = jnp.asarray(
+        np.asarray([pt[b][(kv_len - 1) // PAGE] * PAGE + (kv_len - 1) % PAGE
+                    for b in range(B)], np.int32))
+    q_req_idx = jnp.arange(B, dtype=jnp.int32)
+    q_pos = jnp.full((B,), kv_len - 1, jnp.int32)
+
+    def make_fn(reps, use_pallas):
+        def fn(q0, kv):
+            def body(carry, _):
+                q, kv = carry
+                if use_pallas:
+                    out = ragged_paged_attention(
+                        q, kv, 0, pt, kv_lens, meta, page_size=PAGE,
+                        scale=SCALE, v_dim=VDIM, kv_block=kv_block)
+                else:
+                    out = ragged_paged_attention_reference(
+                        q, kv, 0, pt, q_req_idx, q_pos, kv_lens,
+                        page_size=PAGE, scale=SCALE, v_dim=VDIM)
+                lat = jnp.pad(out.mean(axis=1), ((0, 0), (0, Dlat - VDIM)))
+                kv = kv.at[0, 0, slots, 0, :].set(lat.astype(kv.dtype))
+                q = q0 + 1e-3 * jnp.pad(
+                    out, ((0, 0), (0, 0), (0, Dlat - VDIM))).astype(q0.dtype)
+                return (q, kv), None
+
+            (q, kv), _ = jax.lax.scan(body, (q0, kv), None, length=reps)
+            return q
+
+        return jax.jit(fn)
+
+    res = {}
+    for tag, use_pallas in (("pallas", True), ("xla", False)):
+        long_fn, short_fn = make_fn(CHAIN, use_pallas), make_fn(1, use_pallas)
+        t_long = timeit(lambda: long_fn(q0, kv), iters)
+        t_short = timeit(lambda: short_fn(q0, kv), iters)
+        res[tag] = max((t_long - t_short) / (CHAIN - 1), 1e-7)
+        res[tag + "_out"] = np.asarray(short_fn(q0, kv), np.float32)
+    err = float(np.abs(res["pallas_out"] - res["xla_out"]).max())
+    assert err < 0.05, f"{name}: pallas/xla diverge (max abs err {err})"
+
+    bytes_touched = B * kv_len * Dlat * 2  # latent read once, bf16
+    gbps = bytes_touched / res["pallas"] / 1e9
+    row = {
+        "case": name, "B": B, "kv_len": kv_len, "T": B,
+        "pallas_ms": round(res["pallas"] * 1e3, 3),
+        "xla_ms": round(res["xla"] * 1e3, 3),
+        "speedup": round(res["xla"] / res["pallas"], 2),
+        "hbm_gbps": round(gbps, 1),
+        "roofline_pct": round(100 * gbps / HBM_PEAK_GBPS, 1),
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
 def main():
     # Pay the tunnel's first-D2H up front so it doesn't pollute timings.
     t0 = time.monotonic()
@@ -230,6 +306,17 @@ def main():
     rows.append(run_case(
         "extend_ragged", 8, 1024, [512, 256, 128, 64, 384, 448, 192, 64]
     ))
+    # Absorbed-MLA decode (DeepSeek-V2-Lite latent shapes), blocked + stream
+    try:
+        rows.append(run_case_mla("decode_mla_b64_kv1024", 64, 1024))
+        rows.append(run_case_mla("decode_mla_b16_kv4096", 16, 4096))
+        os.environ["RPA_DECODE_STREAM"] = "1"
+        rows.append(run_case_mla("decode_mla_b64_kv1024_stream", 64, 1024,
+                                 kv_block=512))
+    except Exception as e:
+        print(f"# mla cases failed: {e}", file=sys.stderr)
+    finally:
+        os.environ.pop("RPA_DECODE_STREAM", None)
     with open("BENCH_KERNELS.json", "w") as f:
         json.dump(rows, f, indent=1)
     dec = [r for r in rows if r["case"].startswith("decode")]

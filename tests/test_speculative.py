@@ -15,7 +15,7 @@ from semi_pd_tpu.runtime.req import Req
 from semi_pd_tpu.sampling.sampling_params import SamplingParams
 
 
-def _mk(spec: bool, seed=3):
+def _mk(spec: bool, seed=3, **kw):
     cfg = ModelConfig(
         architecture="LlamaForCausalLM", vocab_size=64, hidden_size=32,
         intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
@@ -26,7 +26,7 @@ def _mk(spec: bool, seed=3):
         model_path="", random_weights=True, page_size=4,
         max_total_tokens=2048, seed=seed,
         speculative_algorithm="NGRAM" if spec else None,
-        speculative_num_draft_tokens=4,
+        speculative_num_draft_tokens=4, **kw,
     )
     return Engine(server_args=args, model_config=cfg)
 
@@ -78,4 +78,27 @@ def test_spec_with_eos_inside_accept():
     eng = _mk(spec=True, seed=5)
     got = eng.generate(input_ids=prompt, sampling_params=sp)["output_ids"]
     assert got == want
+    eng.scheduler.check_memory()
+
+
+def test_spec_under_semi_pd_with_concurrent_prefill():
+    """NGRAM speculation composes with the semi-PD tick: decode speculation
+    proceeds while a long prompt chunk-prefills concurrently (the reference
+    forbids speculative + semi-PD outright; we support it) — greedy outputs
+    of every request must equal the non-speculative colocated run."""
+    rng = np.random.default_rng(7)
+    short = [rng.integers(0, 64, size=10).tolist() for _ in range(2)]
+    long_p = [rng.integers(0, 64, size=120).tolist()]
+    prompts = short + long_p
+    sp = SamplingParams(max_new_tokens=20, temperature=0.0, ignore_eos=True)
+
+    base = _mk(spec=False)
+    want = base.generate(input_ids=prompts, sampling_params=sp)
+
+    eng = _mk(spec=True, enable_semi_pd=True, chunked_prefill_size=16,
+              decode_slo_ms=5.0)
+    got = eng.generate(input_ids=prompts, sampling_params=sp)
+    for w, g in zip(want, got):
+        assert w["output_ids"] == g["output_ids"]
+    assert eng.scheduler.n_spec_accepted > 0
     eng.scheduler.check_memory()

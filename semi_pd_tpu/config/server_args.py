@@ -95,6 +95,9 @@ class ServerArgs:
     skip_server_warmup: bool = False
     nnodes: int = 1
     node_rank: int = 0
+    # jax.distributed coordinator host:port (required when nnodes > 1); the
+    # multi-host mirror channel listens on port + 1 (utils/multihost.py)
+    dist_init_addr: Optional[str] = None
 
     # Compiled program buckets (static shapes for jit; role of CUDA-graph
     # capture sizes in the reference)
@@ -184,6 +187,19 @@ class ServerArgs:
                     "DP-attention is not composed with expert parallelism yet"
                 )
             self.disable_radix_cache = True
+
+        if self.nnodes > 1:
+            if not self.dist_init_addr:
+                raise ValueError("--nnodes > 1 requires --dist-init-addr")
+            # v1 multi-host mirrors the core serving loop only
+            # (runtime/mirror.py docstring)
+            for flag, name in (
+                (self.speculative_algorithm, "speculative decoding"),
+                (self.enable_hierarchical_cache, "hierarchical cache"),
+                (self.lora_paths, "LoRA"),
+            ):
+                if flag:
+                    raise ValueError(f"{name} is single-host for now")
 
         if self.decode_bs_buckets is None:
             self.decode_bs_buckets = [1, 2, 4, 8, 16, 32, 64, 128, 256]

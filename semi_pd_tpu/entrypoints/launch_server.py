@@ -34,6 +34,16 @@ def main(argv=None):
     from semi_pd_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    if args.nnodes > 1:
+        from semi_pd_tpu.utils.multihost import init_multihost
+
+        init_multihost(args)  # before any other jax call
+        if args.node_rank > 0:
+            # follower hosts replay node 0's device transactions; no HTTP
+            from semi_pd_tpu.runtime.mirror import follower_main
+
+            follower_main(args)
+            return
     mesh = create_mesh(tp_size=args.tp_size, dp_size=args.dp_size)
     engine = Engine(server_args=args, mesh=mesh)
     if not args.skip_server_warmup:

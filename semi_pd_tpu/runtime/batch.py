@@ -66,14 +66,35 @@ class HostBatch:
     cross_states: np.ndarray = None  # [B, Nv, H]
     cross_len: np.ndarray = None  # [B]
     cross_from: np.ndarray = None  # [B]
+    # multi-host wire form: follower processes reconstruct the batch without
+    # Req objects; n_reqs stands in for len(reqs)
+    n_reqs: int = 0
+
+    def _nr(self) -> int:
+        return self.n_reqs or len(self.reqs)
+
+    def wire(self) -> dict:
+        """Picklable host-value form (everything to_device/pack consume;
+        no Req objects — they carry grammar automata and engine state)."""
+        d = {
+            f.name: getattr(self, f.name)
+            for f in dataclasses.fields(self)
+            if f.name != "reqs"
+        }
+        d["n_reqs"] = self._nr()
+        return d
+
+    @classmethod
+    def from_wire(cls, d: dict) -> "HostBatch":
+        return cls(reqs=[], **d)
 
     def to_device(self, rng_key) -> ForwardArrays:
         if self.mode == ForwardMode.DECODE:
             q_lens = np.ones(self.B, np.int64)
-            q_lens[len(self.reqs):] = 0
+            q_lens[self._nr():] = 0
         else:
             q_lens = np.zeros(self.B, np.int64)
-            q_lens[: len(self.reqs)] = self.extend_lens
+            q_lens[: self._nr()] = self.extend_lens
         return ForwardArrays(
             input_ids=jnp.asarray(self.input_ids),
             q_req_idx=jnp.asarray(self.q_req_idx),
@@ -84,7 +105,7 @@ class HostBatch:
             logits_idx=jnp.asarray(self.logits_idx),
             sampling=SamplingArrays(*[jnp.asarray(a) for a in self.sampling]),
             rng_key=rng_key,
-            num_reqs=jnp.asarray(len(self.reqs), jnp.int32),
+            num_reqs=jnp.asarray(self._nr(), jnp.int32),
             attn_meta=build_attn_meta(q_lens, self.kv_lens.astype(np.int64), self.T),
             lora_idx=(
                 jnp.asarray(self.lora_idx) if self.lora_idx is not None else None
@@ -144,11 +165,11 @@ class HostBatch:
         T, B, maxP = self.T, self.B, self.maxP
         if self.mode == ForwardMode.DECODE:
             q_lens = np.ones(B, np.int32)
-            q_lens[len(self.reqs):] = 0
+            q_lens[self._nr():] = 0
             qbs = 8
         else:
             q_lens = np.zeros(B, np.int32)
-            q_lens[: len(self.reqs)] = self.extend_lens
+            q_lens[: self._nr()] = self.extend_lens
             qbs = 128
         bs, br, bq = make_attn_meta_host(q_lens, T, qbs)
         s = self.sampling
@@ -156,7 +177,7 @@ class HostBatch:
             self.input_ids, self.q_req_idx, self.q_pos, self.out_slots,
             self.page_table.reshape(-1), self.kv_lens, self.logits_idx,
             q_lens, self.kv_lens - q_lens, bs, br, bq, s.top_k,
-            np.array([len(self.reqs)], np.int32),
+            np.array([self._nr()], np.int32),
         ])
         floats = np.concatenate([
             s.temperature, s.top_p, s.min_p, s.presence_penalty,

@@ -63,6 +63,13 @@ class Engine:
                 logger.warning("no tokenizer (%s); token-id API only", e)
 
         self.runner = ModelRunner(server_args, model_config=model_config, mesh=mesh)
+        if server_args.nnodes > 1 and server_args.node_rank == 0:
+            # multi-host: mirror every device transaction to follower
+            # processes BEFORE the scheduler binds runner methods
+            from semi_pd_tpu.runtime.mirror import MirroredRunner
+            from semi_pd_tpu.utils.multihost import TickChannel
+
+            self.runner = MirroredRunner(self.runner, TickChannel(server_args))
         self.scheduler = Scheduler(server_args, self.runner)
         self._eos_ids = self._resolve_eos()
         self._lock = threading.Lock()

@@ -1,0 +1,134 @@
+"""Multi-host mirroring: node 0's scheduler drives followers in lockstep.
+
+Reference: the multi-node path fans every scheduler decision out over
+torch.distributed/ZMQ (srt/managers/scheduler.py:645-660 recv_requests
+TP-broadcast via utils.py:695 broadcast_pyobj; server_args.py:1145-1199
+tcp:// channel derivation). TPU-native shape: jax multi-controller SPMD
+requires each process to launch the IDENTICAL jit sequence over the global
+mesh; only node 0 runs the scheduler/HTTP server, and a MirroredRunner
+broadcasts each device transaction's HOST inputs over TickChannel so
+followers replay it. Device state (KV pool, RNG key, chained decode
+tokens) stays process-local and evolves identically by SPMD symmetry —
+no device array ever crosses the wire.
+
+v1 scope (validated in ServerArgs): the core serving loop — packed steps,
+DP-attention packed steps, grammar/penalty masked steps, chained overlap
+decode, fused readback. Speculative decoding, hierarchical cache, LoRA,
+multimodal splice, and online weight updates are single-host for now.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, List, Optional, Tuple
+
+logger = logging.getLogger(__name__)
+
+
+class MirroredRunner:
+    """Wraps node 0's ModelRunner: broadcasts each device transaction's
+    host-value inputs before executing it locally."""
+
+    def __init__(self, runner, chan):
+        self._r = runner
+        self._chan = chan
+
+    def __getattr__(self, name):
+        return getattr(self._r, name)
+
+    # -- mirrored device transactions ------------------------------------
+    def step_packed(self, hb, prev_tokens=None):
+        from semi_pd_tpu.runtime.forward_batch import ForwardMode
+
+        packed = hb.pack()
+        chained = prev_tokens is not None
+        is_dec = hb.mode == ForwardMode.DECODE
+        self._chan.broadcast(("sp", packed, chained, is_dec))
+        return self._r.step_packed_raw(
+            *packed, chained=chained, prev_tokens=prev_tokens,
+            is_decode=is_dec,
+        )
+
+    def step_packed_dp(self, hb, prev_tokens=None):
+        from semi_pd_tpu.runtime.forward_batch import ForwardMode
+
+        ints, floats, shapes, perm, b2g = self._r._dp_blocked(hb)
+        chained = prev_tokens is not None
+        is_dec = hb.mode == ForwardMode.DECODE
+        self._chan.broadcast(
+            ("spdp", (ints, floats, shapes, perm, b2g), chained, is_dec))
+        return self._r.step_packed_dp_raw(
+            ints, floats, shapes, perm, b2g,
+            chained=chained, prev_tokens=prev_tokens, is_decode=is_dec,
+        )
+
+    def step_host(self, hb, vocab_mask=None, penalties=None, chained=False):
+        self._chan.broadcast(
+            ("step", hb.wire(), vocab_mask, penalties, chained))
+        return self._r.step_host(hb, vocab_mask, penalties, chained)
+
+    def step_with_hidden_host(self, hb, vocab_mask=None):
+        self._chan.broadcast(("hid", hb.wire(), vocab_mask))
+        return self._r.step_with_hidden_host(hb, vocab_mask)
+
+    def read_results(self, toks, lps):
+        self._chan.broadcast(("read", len(toks)))
+        return self._r.read_results(toks, lps)
+
+    def close(self):
+        try:
+            self._chan.broadcast(("stop",))
+        except Exception:  # followers may be gone already
+            pass
+        self._chan.close()
+
+
+def follower_main(server_args, model_config=None) -> None:
+    """Node rank > 0 entrypoint: build the identical runner over the global
+    mesh, then replay node 0's device transactions until a stop message."""
+    from semi_pd_tpu.utils.multihost import TickChannel, init_multihost
+
+    init_multihost(server_args)
+
+    from semi_pd_tpu.parallel.mesh import create_mesh
+    from semi_pd_tpu.runtime.batch import HostBatch
+    from semi_pd_tpu.runtime.model_runner import ModelRunner
+
+    mesh = create_mesh(
+        tp_size=server_args.tp_size, dp_size=server_args.dp_size)
+    runner = ModelRunner(server_args, model_config=model_config, mesh=mesh)
+    chan = TickChannel(server_args)
+    logger.info("follower %d ready", server_args.node_rank)
+
+    ring: List[Tuple[Any, Any]] = []
+    while True:
+        msg = chan.recv()
+        kind = msg[0]
+        if kind == "sp":
+            _, packed, chained, is_dec = msg
+            ring.append(runner.step_packed_raw(
+                *packed, chained=chained, is_decode=is_dec))
+        elif kind == "spdp":
+            _, (ints, floats, shapes, perm, b2g), chained, is_dec = msg
+            ring.append(runner.step_packed_dp_raw(
+                ints, floats, shapes, perm, b2g,
+                chained=chained, is_decode=is_dec))
+        elif kind == "step":
+            _, wire, mask, pen, chained = msg
+            hb = HostBatch.from_wire(wire)
+            ring.append(runner.step_host(hb, mask, pen, chained))
+        elif kind == "hid":
+            _, wire, mask = msg
+            hb = HostBatch.from_wire(wire)
+            t, l, _hidden = runner.step_with_hidden_host(hb, mask)
+            ring.append((t, l))
+        elif kind == "read":
+            n = msg[1]
+            entries, ring = ring[:n], ring[n:]
+            runner.read_results(
+                [t for t, _ in entries], [l for _, l in entries])
+        elif kind == "stop":
+            logger.info("follower %d stopping", server_args.node_rank)
+            return
+        else:  # pragma: no cover
+            raise ValueError(f"unknown mirror message {kind!r}")

@@ -87,6 +87,7 @@ class ModelRunner:
         self._init_memory_pool()
         self._build_step_fns()
         self._read_jits: Dict[tuple, Any] = {}
+        self._chain_tokens = None  # last decode step's device tokens
         self.draft_model = None
         self.draft_kv = None
         if server_args.speculative_algorithm in ("EAGLE", "NEXTN"):
@@ -514,12 +515,25 @@ class ModelRunner:
         """DP-attention hot-loop step: per-rank packed vectors, one sharded
         dispatch; returns (tokens [B_glob], logprobs [B_glob]) in the
         scheduler's global request order."""
+        from semi_pd_tpu.runtime.forward_batch import ForwardMode
+
+        ints_np, floats_np, shapes, perm, b2g = self._dp_blocked(hb)
+        return self.step_packed_dp_raw(
+            ints_np, floats_np, shapes, perm, b2g,
+            chained=prev_tokens is not None, prev_tokens=prev_tokens,
+            is_decode=hb.mode == ForwardMode.DECODE,
+        )
+
+    def step_packed_dp_raw(self, ints_np, floats_np, shapes, perm, b2g,
+                           chained=False, prev_tokens=None, is_decode=False):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        ints_np, floats_np, (T, B, maxP, NQB), perm, b2g = self._dp_blocked(hb)
+        T, B, maxP, NQB = shapes
         dp_sh = NamedSharding(self.mesh, P("dp", None))
         if self._dp_keys is None:
             self._dp_keys = jax.random.split(self.rng_key, self.dp_attn)
+        if chained and prev_tokens is None:
+            prev_tokens = self._chain_tokens
         ints = jax.device_put(ints_np, dp_sh)
         floats = jax.device_put(floats_np, dp_sh)
         perm_d = jax.device_put(perm, self._replicated)
@@ -529,6 +543,8 @@ class ModelRunner:
             perm_d, b2g_d, prev_tokens, T, B, maxP, NQB,
         )
         self.kv_cache.update(kv)
+        if is_decode:
+            self._chain_tokens = tok
         return tok, lp
 
     def step_packed(self, hb, prev_tokens=None) -> Tuple[jax.Array, jax.Array]:
@@ -537,14 +553,31 @@ class ModelRunner:
         chains the previous step's on-device sampled tokens as inputs
         (overlap scheduling). Returns device (next_tokens [B], logprobs [B]);
         non-blocking."""
-        ints_np, floats_np, (T, B, maxP, NQB) = hb.pack()
+        from semi_pd_tpu.runtime.forward_batch import ForwardMode
+
+        return self.step_packed_raw(
+            *hb.pack(),
+            chained=prev_tokens is not None,
+            prev_tokens=prev_tokens,
+            is_decode=hb.mode == ForwardMode.DECODE,
+        )
+
+    def step_packed_raw(self, ints_np, floats_np, shapes, chained=False,
+                        prev_tokens=None, is_decode=False):
+        """Packed dispatch from raw host vectors — the multi-host mirror
+        wire format (runtime/mirror.py): follower processes replay this
+        call with the broadcast vectors; a chained call substitutes the
+        process's own carried decode tokens (identical by SPMD symmetry)."""
+        T, B, maxP, NQB = shapes
         if self._replicated is not None:
             ints = jax.device_put(ints_np, self._replicated)
             floats = jax.device_put(floats_np, self._replicated)
         else:
             ints = jnp.asarray(ints_np)
             floats = jnp.asarray(floats_np)
-        if prev_tokens is None:
+        if chained and prev_tokens is None:
+            prev_tokens = self._chain_tokens
+        if not chained:
             tok, lp, new_key, kv = self._step_packed_jit(
                 self.params, self.kv_cache.arrays, ints, floats,
                 self.rng_key, T, B, maxP, NQB,
@@ -556,7 +589,27 @@ class ModelRunner:
             )
         self.kv_cache.update(kv)
         self.rng_key = new_key
+        if is_decode:
+            self._chain_tokens = tok
         return tok, lp
+
+    def step_host(self, hb, vocab_mask=None, penalties=None, chained=False):
+        """Host-batch dispatch for the non-packable paths (grammar masks,
+        penalties, multimodal leaves). All args are host values so the
+        multi-host mirror can forward them verbatim; ``chained`` substitutes
+        this process's carried decode tokens for the inputs."""
+        from semi_pd_tpu.runtime.forward_batch import ForwardMode
+
+        fb = hb.to_device(self.rng_key)
+        if chained:
+            fb = fb._replace(input_ids=self._chain_tokens)
+        tok, lp = self.step(fb, vocab_mask, penalties)
+        if hb.mode == ForwardMode.DECODE:
+            self._chain_tokens = tok
+        return tok, lp
+
+    def step_with_hidden_host(self, hb, vocab_mask=None):
+        return self.step_with_hidden(hb.to_device(self.rng_key), vocab_mask)
 
     def read_results(self, toks, lps):
         """Fused device->host readback of N steps' (tokens, logprobs): one

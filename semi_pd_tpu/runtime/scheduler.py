@@ -496,10 +496,10 @@ class Scheduler:
                 ids[i, j] = t
                 counts[i, j] = out_c.get(t, 0)
                 in_prompt[i, j] = t in prompt_set
+        # host arrays: the runner device_puts them (and the multi-host
+        # mirror pickles them to follower processes)
         return PenaltyArrays(
-            hist_ids=jnp.asarray(ids),
-            hist_counts=jnp.asarray(counts),
-            hist_prompt=jnp.asarray(in_prompt),
+            hist_ids=ids, hist_counts=counts, hist_prompt=in_prompt,
         )
 
     def _vocab_mask(self, reqs: List[Req], B: int):
@@ -536,8 +536,8 @@ class Scheduler:
         sync = True
         if self.spec_algo == "EAGLE" and pen is None:
             out += self._flush_ring()
-            tokens, logprobs, hidden = self.runner.step_with_hidden(
-                hb.to_device(self.runner.rng_key), mask
+            tokens, logprobs, hidden = self.runner.step_with_hidden_host(
+                hb, mask
             )
             hidden = np.asarray(hidden)
         elif mask is None and pen is None and hb.packable():
@@ -545,9 +545,7 @@ class Scheduler:
             sync = False
         else:
             out += self._flush_ring()  # keep token stream order
-            tokens, logprobs = self.runner.step(
-                hb.to_device(self.runner.rng_key), mask, pen
-            )
+            tokens, logprobs = self.runner.step_host(hb, mask, pen)
         self._note_dispatch()
         self.n_prefill_tokens += sum(n for _, n in admitted)
 
@@ -941,9 +939,7 @@ class Scheduler:
         if mask is None and pen is None and hb.packable():
             tokens, logprobs = self._step_packed(hb)
         else:
-            tokens, logprobs = self.runner.step(
-                hb.to_device(self.runner.rng_key), mask, pen
-            )
+            tokens, logprobs = self.runner.step_host(hb, mask, pen)
         self._last_decode = (hb, tokens)
         self._decode_lag = 1
         return _RingEntry(
@@ -984,9 +980,10 @@ class Scheduler:
                 hb, prev_tokens=dev_tokens
             )
         else:
-            fb = hb.to_device(self.runner.rng_key)
-            fb = fb._replace(input_ids=dev_tokens)
-            tokens, logprobs = self.runner.step(fb)
+            # chained non-packable: the runner substitutes its own carried
+            # decode tokens (== dev_tokens; kept runner-side so multi-host
+            # followers can replay without device arrays on the wire)
+            tokens, logprobs = self.runner.step_host(hb, chained=True)
         self._last_decode = (hb, tokens)
         self._decode_lag = lag + 1
         return _RingEntry(

@@ -1,0 +1,134 @@
+"""Multi-host serving over jax.distributed (runtime/mirror.py).
+
+Two REAL processes on localhost (2 CPU devices each) form a 4-device
+global mesh; node 0 runs the engine, node 1 replays mirrored device
+transactions. Greedy outputs must equal a single-process tp=4 run of the
+same seeded model — which proves the SPMD lockstep held for packed steps,
+chained overlap decode, penalty-masked steps, and fused readback.
+
+Reference analog: multi-node serving via NCCL/ZMQ broadcast
+(srt/managers/scheduler.py:645-660, server_args.py:1145-1199); the
+reference has no CI for it (SURVEY §4 tier 4), this test is the
+accelerator-free equivalent.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from semi_pd_tpu.config.model_config import ModelConfig
+from semi_pd_tpu.config.server_args import ServerArgs
+from semi_pd_tpu.runtime.engine import Engine
+from semi_pd_tpu.sampling.sampling_params import SamplingParams
+
+PORT = 29761
+
+_COMMON = """
+import os, sys, json
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from semi_pd_tpu.config.model_config import ModelConfig
+from semi_pd_tpu.config.server_args import ServerArgs
+from semi_pd_tpu.utils.multihost import init_multihost
+
+def make_cfg():
+    return ModelConfig(
+        architecture="LlamaForCausalLM", vocab_size=64, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, head_dim=8, max_position_embeddings=256,
+        context_length=256, dtype="float32",
+    )
+
+def make_args(rank):
+    return ServerArgs(
+        model_path="", random_weights=True, page_size=4,
+        max_total_tokens=1024, dtype="float32", seed=7,
+        tp_size=4, nnodes=2, node_rank=rank,
+        dist_init_addr="localhost:%d",
+    )
+""" % PORT
+
+_RANK0 = _COMMON + """
+args = make_args(0)
+init_multihost(args)
+from semi_pd_tpu.parallel.mesh import create_mesh
+from semi_pd_tpu.runtime.engine import Engine
+from semi_pd_tpu.sampling.sampling_params import SamplingParams
+
+mesh = create_mesh(tp_size=4)
+eng = Engine(server_args=args, model_config=make_cfg(), mesh=mesh)
+rng = np.random.default_rng(3)
+prompts = [rng.integers(0, 64, size=n).tolist() for n in (12, 7, 9)]
+sp = SamplingParams(max_new_tokens=12, temperature=0.0, ignore_eos=True)
+outs = eng.generate(input_ids=prompts, sampling_params=sp)
+# penalty path exercises the masked non-packable mirror
+sp_pen = SamplingParams(max_new_tokens=8, temperature=0.0, ignore_eos=True,
+                        repetition_penalty=1.3)
+out_pen = eng.generate(input_ids=prompts[0], sampling_params=sp_pen)
+eng.runner.close()
+print("RESULT " + json.dumps(
+    [o["output_ids"] for o in outs] + [out_pen["output_ids"]]))
+"""
+
+_RANK1 = _COMMON + """
+from semi_pd_tpu.runtime.mirror import follower_main
+args = make_args(1)
+follower_main(args, model_config=make_cfg())
+print("FOLLOWER DONE")
+"""
+
+
+def test_two_process_multihost_matches_single_process(tmp_path):
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "XLA_FLAGS", "JAX_PLATFORMS",
+                     "JAX_NUM_CPU_DEVICES")
+    }
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+
+    r0 = subprocess.Popen([sys.executable, "-c", _RANK0],
+                          stdout=subprocess.PIPE,
+                          stderr=subprocess.PIPE, env=env, text=True)
+    r1 = subprocess.Popen([sys.executable, "-c", _RANK1],
+                          stdout=subprocess.PIPE,
+                          stderr=subprocess.PIPE, env=env, text=True)
+    out0, err0 = r0.communicate(timeout=420)
+    out1, err1 = r1.communicate(timeout=120)
+    assert r0.returncode == 0, f"rank0 failed:\n{err0[-3000:]}"
+    assert r1.returncode == 0, f"rank1 failed:\n{err1[-3000:]}"
+    assert "FOLLOWER DONE" in out1
+    line = [l for l in out0.splitlines() if l.startswith("RESULT ")][0]
+    got = json.loads(line[len("RESULT "):])
+
+    # single-process tp=4 baseline on this process's virtual devices
+    from semi_pd_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(tp_size=4)
+    cfg = ModelConfig(
+        architecture="LlamaForCausalLM", vocab_size=64, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, head_dim=8, max_position_embeddings=256,
+        context_length=256, dtype="float32",
+    )
+    eng = Engine(server_args=ServerArgs(
+        model_path="", random_weights=True, page_size=4,
+        max_total_tokens=1024, dtype="float32", seed=7, tp_size=4,
+    ), model_config=cfg, mesh=mesh)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, 64, size=n).tolist() for n in (12, 7, 9)]
+    sp = SamplingParams(max_new_tokens=12, temperature=0.0, ignore_eos=True)
+    want = [o["output_ids"] for o in eng.generate(
+        input_ids=prompts, sampling_params=sp)]
+    sp_pen = SamplingParams(max_new_tokens=8, temperature=0.0,
+                            ignore_eos=True, repetition_penalty=1.3)
+    want.append(eng.generate(
+        input_ids=prompts[0], sampling_params=sp_pen)["output_ids"])
+    assert got == want

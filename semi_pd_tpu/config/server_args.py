@@ -127,6 +127,10 @@ class ServerArgs:
     # requests; sampled requests fall back to chain drafts). The tree shape
     # is static: see speculative/tree.py default_tree_template.
     speculative_eagle_topk: int = 1
+    # Skip the post-verify draft-extend refresh (reference eagle_worker.py
+    # forward_draft_extend_after_decode); outputs stay exact either way,
+    # acceptance drops. Exposed for A/B tests.
+    speculative_disable_draft_refresh: bool = False
     speculative_draft_model_path: Optional[str] = None
 
     # LoRA

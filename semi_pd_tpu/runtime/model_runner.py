@@ -743,9 +743,12 @@ class ModelRunner:
         model = self.model
         draft = self.draft_model
 
+        refresh = not self.server_args.speculative_disable_draft_refresh
+
         def _eagle(params, dparams, kv, dkv, fb, prev_hidden, gamma):
             return eagle_round(
-                model, draft, params, dparams, kv, dkv, fb, prev_hidden, gamma
+                model, draft, params, dparams, kv, dkv, fb, prev_hidden,
+                gamma, refresh=refresh,
             )
 
         self._eagle_jit = jax.jit(

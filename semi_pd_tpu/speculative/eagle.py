@@ -182,10 +182,18 @@ def eagle_round(
     fb: ForwardArrays,  # spec-verify batch (B*(gamma+1) rows; input_ids row0 = last token)
     prev_hidden: jax.Array,  # [B, H] target hidden seeding the draft
     gamma: int,
+    refresh: bool = True,
 ):
     """The fused EAGLE round. Returns
     (accept_len [B], next_tok [B], drafts [B, gamma], next_hidden [B, H],
-     new_key, kv', draft_kv')."""
+     new_key, kv', draft_kv').
+
+    ``refresh`` enables the post-verify draft-extend (reference
+    eagle_worker.py forward_draft_extend_after_decode): window rows were
+    written into the draft KV with the draft's OWN hiddens during the scan;
+    after verify, the accepted rows are rewritten from the target's true
+    hiddens so next rounds draft against exact state (raises acceptance,
+    never changes outputs — rejected rows sit past kv_len and are masked)."""
     from semi_pd_tpu.ops.attention.ragged_paged_attention import AttnMeta
     from semi_pd_tpu.runtime.speculative import verify_and_accept
 
@@ -253,6 +261,34 @@ def eagle_round(
     next_hidden = jnp.take_along_axis(
         h_rows, accept_len[:, None, None], axis=1
     )[:, 0, :]
+
+    if refresh and gamma > 0:
+        # post-verify draft-extend: rewrite window rows 1..gamma with the
+        # TARGET hidden of the previous row (the scan used draft hiddens).
+        # Rows past accept_len land beyond kv_len and are never attended,
+        # so rewriting all of them unconditionally is safe.
+        def refresh_body(dkv, j):
+            positions = win_pos[:, 0] + j
+            meta = dmeta._replace(q_start=positions)
+            tok_j = jnp.take_along_axis(window, j[None, None], axis=1)[:, 0]
+            h_prev = jnp.take_along_axis(
+                h_rows, (j - 1)[None, None, None], axis=1)[:, 0, :]
+            _, dkv = draft_model.step(
+                draft_params,
+                jnp.take(embed_w, tok_j, axis=0),
+                h_prev.astype(prev_hidden.dtype),
+                dkv,
+                positions,
+                jnp.take_along_axis(win_slots, j[None, None], axis=1)[:, 0],
+                fb.page_table,
+                positions + 1,
+                meta,
+            )
+            return dkv, None
+
+        draft_kv, _ = jax.lax.scan(
+            refresh_body, draft_kv, jnp.arange(1, gamma + 1, dtype=jnp.int32)
+        )
     return accept_len, next_tok, drafts, next_hidden, new_key, kv, draft_kv
 
 

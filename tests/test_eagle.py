@@ -60,3 +60,94 @@ def test_eagle_chunked_prefill_and_radix(n_reqs=2):
     assert o2["meta_info"]["cached_tokens"] > 0
     eng.flush_cache()
     eng.scheduler.check_memory()
+
+
+def test_draft_extend_refresh_semantics():
+    """The post-verify refresh (reference eagle_worker.py
+    forward_draft_extend_after_decode) must (a) leave the round's outputs
+    unchanged, (b) rewrite the window's draft-KV rows 1..gamma exactly as a
+    hand-rolled teacher-forced loop over the target's true hiddens does,
+    and (c) actually change something vs the unrefreshed pool (the drift
+    it exists to remove)."""
+    import jax
+    import jax.numpy as jnp
+    from semi_pd_tpu.speculative.eagle import eagle_round
+
+    eng = _mk(spec=True)
+    runner = eng.runner
+    cap = {}
+    orig = runner.eagle_step
+
+    def spy(fb, prev_hidden, gamma):
+        if "fb" not in cap and runner._spy_round[0] >= 1:
+            cap["fb"] = fb
+            cap["prev_hidden"] = prev_hidden
+            cap["gamma"] = gamma
+            cap["kv"] = jax.tree.map(jnp.copy, runner.kv_cache.arrays)
+            cap["dkv"] = jnp.copy(runner.draft_kv.arrays[0])
+        runner._spy_round[0] += 1
+        return orig(fb, prev_hidden, gamma)
+
+    runner._spy_round = [0]
+    runner.eagle_step = spy
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(0, 64, size=12).tolist()
+    sp = SamplingParams(max_new_tokens=12, temperature=0.0, ignore_eos=True)
+    eng.generate(input_ids=prompt, sampling_params=sp)
+    assert "fb" in cap, "no eagle round captured"
+
+    fb, prev_hidden, gamma = cap["fb"], cap["prev_hidden"], cap["gamma"]
+    model, draft = runner.model, runner.draft_model
+
+    def run(refresh):
+        kv = tuple(jax.tree.map(jnp.copy, cap["kv"]))
+        dkv = jnp.copy(cap["dkv"])
+        return eagle_round(model, draft, runner.params, runner.draft_params,
+                           kv, dkv, fb, prev_hidden, gamma, refresh=refresh)
+
+    a_on = run(True)
+    a_off = run(False)
+    # (a) round outputs identical
+    for x, y in zip(a_on[:4], a_off[:4]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    dkv_on, dkv_off = a_on[6], a_off[6]
+    # (c) the refresh changed the pool
+    assert float(jnp.abs(dkv_on - dkv_off).max()) > 0
+
+    # (b) hand-rolled teacher forcing from the unrefreshed pool
+    B = fb.page_table.shape[0]
+    W = gamma + 1
+    win_slots = np.asarray(fb.out_slots).reshape(B, W)
+    win_pos = np.asarray(fb.q_pos).reshape(B, W)
+    drafts = np.asarray(a_on[2])
+    tok0 = np.asarray(fb.input_ids).reshape(B, W)[:, 0]
+    window = np.concatenate([tok0[:, None], drafts], axis=1)
+
+    # target true hiddens over the verified window
+    kv3 = tuple(jax.tree.map(jnp.copy, cap["kv"]))
+    _, _, hidden = model.forward(
+        runner.params, fb._replace(input_ids=jnp.asarray(window.reshape(-1))),
+        kv3, return_hidden=True)
+    h_rows = np.asarray(hidden).reshape(B, W, -1)
+
+    from semi_pd_tpu.ops.attention.ragged_paged_attention import AttnMeta
+
+    dkv_manual = dkv_off
+    embed_w = runner.params["embed"]["w"]
+    for j in range(1, gamma + 1):
+        positions = jnp.asarray(win_pos[:, 0] + j)
+        meta = AttnMeta(
+            q_lens=jnp.ones(B, jnp.int32), q_start=positions,
+            block_seq=jnp.arange(B, dtype=jnp.int32),
+            block_row=jnp.arange(B, dtype=jnp.int32),
+            block_qofs=jnp.zeros(B, jnp.int32),
+        )
+        _, dkv_manual = draft.step(
+            runner.draft_params,
+            jnp.take(embed_w, jnp.asarray(window[:, j]), axis=0),
+            jnp.asarray(h_rows[:, j - 1]).astype(prev_hidden.dtype),
+            dkv_manual, positions, jnp.asarray(win_slots[:, j]),
+            fb.page_table, positions + 1, meta,
+        )
+    np.testing.assert_allclose(
+        np.asarray(dkv_manual), np.asarray(dkv_on), rtol=1e-5, atol=1e-6)

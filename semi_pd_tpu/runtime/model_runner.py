@@ -768,7 +768,7 @@ class ModelRunner:
             def _eagle_tree(params, dparams, kv, dkv, fb, prev_hidden, tree):
                 return eagle_tree_round(
                     model, draft, params, dparams, kv, dkv, fb, prev_hidden,
-                    tree,
+                    tree, refresh=refresh,
                 )
 
             self._eagle_tree_jit = jax.jit(

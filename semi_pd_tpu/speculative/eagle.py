@@ -302,6 +302,7 @@ def eagle_tree_round(
     fb: ForwardArrays,  # tree-verify batch (B*N rows; see build_tree_verify_batch)
     prev_hidden: jax.Array,  # [B, H] target hidden seeding the draft
     tree,  # TreeTemplate (static)
+    refresh: bool = True,
 ):
     """EAGLE top-k TREE round, fully fused in one dispatch (reference:
     eagle_worker.py:162-366 + build_eagle_tree.py, which run draft CUDA
@@ -435,6 +436,43 @@ def eagle_tree_round(
     next_hidden = jnp.take_along_axis(
         hidden.reshape(B, N, -1), best[:, None, None], axis=1
     )[:, 0, :]
+
+    if refresh and D_ > 0:
+        # post-verify draft-extend over the accepted path (see eagle_round):
+        # the compacted slots hold tree-draft entries built from draft
+        # hiddens; rewrite them teacher-forced from the target's hiddens at
+        # the path's parent nodes. Rows past accept_len land beyond kv_len.
+        h_rows = hidden.reshape(B, N, -1)
+        path_slots = win_slots[:, 1 : D_ + 1]
+
+        def refresh_body(dkv, d):
+            pos = rope_pos[:, 0] + d
+            meta = AttnMeta(
+                q_lens=jnp.ones(B, jnp.int32), q_start=pos,
+                block_seq=jnp.arange(B, dtype=jnp.int32),
+                block_row=jnp.arange(B, dtype=jnp.int32),
+                block_qofs=jnp.zeros(B, jnp.int32),
+            )
+            tok_d = jnp.take_along_axis(
+                path_tokens, (d - 1)[None, None], axis=1)[:, 0]
+            prev_node = jnp.take_along_axis(
+                path_nodes, (d - 1)[None, None], axis=1)[:, 0]
+            h_prev = jnp.take_along_axis(
+                h_rows, prev_node[:, None, None], axis=1)[:, 0, :]
+            slot_d = jnp.take_along_axis(
+                path_slots, (d - 1)[None, None], axis=1)[:, 0]
+            _, dkv = draft_model.step(
+                draft_params,
+                jnp.take(embed_w, tok_d, axis=0),
+                h_prev.astype(prev_hidden.dtype),
+                dkv, pos, slot_d, fb.page_table, pos + 1, meta,
+            )
+            return dkv, None
+
+        draft_kv, _ = jax.lax.scan(
+            refresh_body, draft_kv, jnp.arange(1, D_ + 1, dtype=jnp.int32)
+        )
+
     new_key, _ = jax.random.split(fb.rng_key)
     return (accept_len, next_tok, path_tokens, next_hidden, new_key, kv,
             draft_kv)

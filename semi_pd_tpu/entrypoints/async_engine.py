@@ -68,6 +68,10 @@ class AsyncEngine:
     def shutdown(self) -> None:
         self._stop = True
         self._wake.set()
+        # multi-host: release follower processes from their recv loop
+        close = getattr(self.engine.runner, "close", None)
+        if close is not None:
+            close()
 
     # ------------------------------------------------------------- loop
     def _run(self) -> None:

@@ -72,6 +72,7 @@ class TickChannel:
             srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
             srv.bind(("0.0.0.0", port))
             srv.listen(self.world - 1)
+            srv.settimeout(300.0)  # don't hang boot forever on a lost node
             self.peers = []
             for _ in range(self.world - 1):
                 conn, addr = srv.accept()

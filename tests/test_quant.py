@@ -99,9 +99,18 @@ def test_awq_unpack_and_matmul():
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
 
 
-def test_engine_fp8_quant_accuracy(hf_and_ours=None):
-    """FP8-quantized tiny llama must stay close to fp32 logits and produce
-    sane greedy output end-to-end."""
+import pytest
+
+
+@pytest.mark.parametrize("quant,min_cos,max_rel", [
+    ("fp8", 0.999, 0.05),
+    ("int8", 0.999, 0.05),
+    ("blockwise_fp8", 0.999, 0.05),
+])
+def test_engine_quant_accuracy(quant, min_cos, max_rel):
+    """Quantized tiny llama must stay close to fp32 logits and produce
+    sane greedy output end-to-end (VERDICT round-1: expand HF-parity to
+    quantized paths — fp8 per-channel, int8 w8a8, 128x128 blockwise)."""
     import torch
     from transformers import LlamaConfig as HFC, LlamaForCausalLM as HFL
 
@@ -131,7 +140,7 @@ def test_engine_fp8_quant_accuracy(hf_and_ours=None):
     import jax.numpy as jnp
     from semi_pd_tpu.mem.pool import KVCache
 
-    qp = quantize_params(base, "fp8")
+    qp = quantize_params(base, quant)
     # Direct logit comparison on one prefill: fp8 must track fp32 closely.
     # (Greedy-token agreement is a bad metric on random-init models — logit
     # gaps are ~1e-3, below fp8 noise.)
@@ -149,8 +158,8 @@ def test_engine_fp8_quant_accuracy(hf_and_ours=None):
     l8, _ = eng.runner.model.forward(qp, fb, KVCache(spec).arrays)
     a, b = np.asarray(l32[0]), np.asarray(l8[0])
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
-    assert cos > 0.999, cos
-    assert np.abs(a - b).max() / np.abs(a).max() < 0.05
+    assert cos > min_cos, (quant, cos)
+    assert np.abs(a - b).max() / np.abs(a).max() < max_rel, quant
 
     # And the engine runs end-to-end with quantized weights
     eng.runner.params = qp

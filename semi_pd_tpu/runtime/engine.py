@@ -405,7 +405,7 @@ class Engine:
                 admitted, self.runner.req_pool.page_table, sched.page_size,
                 sched.t_buckets, sched.b_buckets, sched.p_buckets,
             )
-            emb = self.runner.encode_step(hb.to_device(self.runner.rng_key))
+            emb = self.runner.encode_step_host(hb)
             import numpy as _np
 
             out = [_np.asarray(emb[i]).tolist() for i in range(len(reqs))]
@@ -463,7 +463,7 @@ class Engine:
                 targets[off : off + n - 1] = r.input_ids[1:]
                 off += n
             lp = _np.asarray(
-                self.runner.score_step(hb.to_device(self.runner.rng_key), targets)
+                self.runner.score_step_host(hb, targets)
             )
             out = []
             off = 0

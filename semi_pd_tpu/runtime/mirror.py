@@ -75,6 +75,35 @@ class MirroredRunner:
         self._chan.broadcast(("read", len(toks)))
         return self._r.read_results(toks, lps)
 
+    def encode_step_host(self, hb):
+        self._chan.broadcast(("enc", hb.wire()))
+        return self._r.encode_step_host(hb)
+
+    def score_step_host(self, hb, targets):
+        import numpy as np
+
+        targets_np = np.asarray(targets)
+        self._chan.broadcast(("score", hb.wire(), targets_np))
+        return self._r.score_step_host(hb, targets_np)
+
+    # -- guarded: dispatching these on node 0 alone would desync or hang the
+    # SPMD world (collectives / diverging replicas). ServerArgs validation
+    # blocks most at startup; these are the runtime backstops.
+    def update_weights(self, *a, **k):
+        raise NotImplementedError("online weight updates are single-host for now")
+
+    def encode_images(self, *a, **k):
+        raise NotImplementedError("multimodal serving is single-host for now")
+
+    def eagle_step(self, *a, **k):
+        raise NotImplementedError("speculative decoding is single-host for now")
+
+    def eagle_tree_step(self, *a, **k):
+        raise NotImplementedError("speculative decoding is single-host for now")
+
+    def spec_step(self, *a, **k):
+        raise NotImplementedError("speculative decoding is single-host for now")
+
     def close(self):
         try:
             self._chan.broadcast(("stop",))
@@ -122,6 +151,10 @@ def follower_main(server_args, model_config=None) -> None:
             hb = HostBatch.from_wire(wire)
             t, l, _hidden = runner.step_with_hidden_host(hb, mask)
             ring.append((t, l))
+        elif kind == "enc":
+            runner.encode_step_host(HostBatch.from_wire(msg[1]))
+        elif kind == "score":
+            runner.score_step_host(HostBatch.from_wire(msg[1]), msg[2])
         elif kind == "read":
             n = msg[1]
             entries, ring = ring[:n], ring[n:]

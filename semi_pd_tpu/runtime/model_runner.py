@@ -611,6 +611,12 @@ class ModelRunner:
     def step_with_hidden_host(self, hb, vocab_mask=None):
         return self.step_with_hidden(hb.to_device(self.rng_key), vocab_mask)
 
+    def encode_step_host(self, hb):
+        return self.encode_step(hb.to_device(self.rng_key))
+
+    def score_step_host(self, hb, targets):
+        return self.score_step(hb.to_device(self.rng_key), targets)
+
     def read_results(self, toks, lps):
         """Fused device->host readback of N steps' (tokens, logprobs): one
         concatenated transfer instead of 2N. D2H transfers carry a ~27ms

@@ -72,9 +72,11 @@ outs = eng.generate(input_ids=prompts, sampling_params=sp)
 sp_pen = SamplingParams(max_new_tokens=8, temperature=0.0, ignore_eos=True,
                         repetition_penalty=1.3)
 out_pen = eng.generate(input_ids=prompts[0], sampling_params=sp_pen)
+emb = eng.encode(input_ids=prompts[0])  # mirrors the "enc" message
 eng.runner.close()
 print("RESULT " + json.dumps(
-    [o["output_ids"] for o in outs] + [out_pen["output_ids"]]))
+    [o["output_ids"] for o in outs] + [out_pen["output_ids"]]
+    + [[round(float(x), 5) for x in emb[:8]]]))
 """
 
 _RANK1 = _COMMON + """
@@ -131,6 +133,8 @@ def test_two_process_multihost_matches_single_process(tmp_path):
                             ignore_eos=True, repetition_penalty=1.3)
     want.append(eng.generate(
         input_ids=prompts[0], sampling_params=sp_pen)["output_ids"])
+    emb = eng.encode(input_ids=prompts[0])
+    want.append([round(float(x), 5) for x in emb[:8]])
     assert got == want
 
 

@@ -31,6 +31,7 @@ batch write there and padded page-table entries point there.
 from __future__ import annotations
 
 import dataclasses
+import heapq
 import logging
 from typing import List, Optional, Tuple
 
@@ -51,7 +52,15 @@ class PageAllocator:
     slot axis shards cleanly over the "dp" mesh axis; each partition reserves
     its FIRST page as a rank-local dump page (local page id 0 after the
     shard-local offset subtraction), and a request allocates only from its
-    assigned partition."""
+    assigned partition.
+
+    The free list is a MIN-HEAP (lowest page first), not the reference's
+    LIFO stack: the Pallas attention kernels issue ONE DMA per KV block when
+    the block's pages are consecutive pool slots (_kv_block_copies) instead
+    of one per page, and decode attention is DMA-issue-bound on this
+    hardware. Lowest-first reuse keeps freed ranges re-coalescing, so
+    multi-page allocations keep landing as consecutive runs long after the
+    initial ascending sweep."""
 
     def __init__(self, num_pages: int, page_size: int, partitions: int = 1):
         assert num_pages % partitions == 0, (num_pages, partitions)
@@ -60,10 +69,11 @@ class PageAllocator:
         self.partitions = partitions
         self.pages_per_part = num_pages // partitions
         # First page of each partition reserved as its dump page (page 0 for
-        # the single-partition case — padding writes land there).
+        # the single-partition case — padding writes land there). An
+        # ascending range is already a valid min-heap.
         self._free: List[List[int]] = [
-            list(range((r + 1) * self.pages_per_part - 1,
-                       r * self.pages_per_part, -1))
+            list(range(r * self.pages_per_part + 1,
+                       (r + 1) * self.pages_per_part))
             for r in range(partitions)
         ]
         self._total_free = sum(len(f) for f in self._free)
@@ -71,11 +81,6 @@ class PageAllocator:
     @property
     def usable_pages(self) -> int:
         return self.num_pages - self.partitions
-
-    @property
-    def free_pages(self) -> List[int]:  # single-partition compat view
-        assert self.partitions == 1
-        return self._free[0]
 
     def available_pages(self, part: Optional[int] = None) -> int:
         if part is not None:
@@ -92,14 +97,14 @@ class PageAllocator:
         if n_pages == 0:
             return np.empty((0,), dtype=np.int32)
         return np.array(
-            [free.pop() for _ in range(n_pages)], dtype=np.int32
+            [heapq.heappop(free) for _ in range(n_pages)], dtype=np.int32
         )
 
     def free(self, pages: np.ndarray) -> None:
         for p in pages.tolist() if isinstance(pages, np.ndarray) else pages:
             p = int(p)
             if p % self.pages_per_part != 0:  # dump pages are never freed
-                self._free[p // self.pages_per_part].append(p)
+                heapq.heappush(self._free[p // self.pages_per_part], p)
 
     def least_loaded_partition(self) -> int:
         return max(range(self.partitions), key=lambda r: len(self._free[r]))

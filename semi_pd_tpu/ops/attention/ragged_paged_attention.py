@@ -111,6 +111,60 @@ def _spec_tree_mask(valid, spec_anc, win_base, q_abs, kv_pos):
     return valid & (~in_win | tree_ok)
 
 
+def _kv_block_copies(
+    page_table_ref, bsafe, block_idx, ppb, page_size, specs, wait
+):
+    """Issue (wait=False) or await (wait=True) the KV-block gather.
+
+    specs: list of (hbm_ref, row_base, dst_block_ref, sem) — one entry per
+    pool component (K and V for the aligned layout, one combined row for the
+    chunked layout, one latent row for MLA).
+
+    Decode attention on this hardware is DMA-ISSUE-bound, not
+    bandwidth-bound: bench_kernels measured ~150-230ns per page copy
+    (page_size 16 → 32KB transfers take ~40ns of wire time), capping the
+    per-page gather at ~19%% of HBM roofline. When the block's ppb pages are
+    consecutive pool slots — the common case, since the allocator hands out
+    runs and prefill allocates a request's pages at once — ONE copy of the
+    whole KVBLK replaces ppb page copies. The predicate is recomputed from
+    the scalar-prefetched page table on the wait side so start/wait branch
+    identically (symmetric semaphore accounting, valid in interpret mode
+    too, where semaphores count per-copy rather than per-byte)."""
+    if ppb == 1:
+        page = page_table_ref[bsafe, block_idx]
+        for hbm, base, dst, sem in specs:
+            src = hbm.at[pl.ds((0 if wait else base + page * page_size),
+                               page_size)]
+            cp = pltpu.make_async_copy(src, dst, sem)
+            (cp.wait if wait else cp.start)()
+        return
+    first = page_table_ref[bsafe, block_idx * ppb]
+    contig = page_table_ref[bsafe, block_idx * ppb + 1] == first + 1
+    for p in range(2, ppb):
+        contig &= page_table_ref[bsafe, block_idx * ppb + p] == first + p
+
+    KVBLK = ppb * page_size
+
+    @pl.when(contig)
+    def _():
+        for hbm, base, dst, sem in specs:
+            src = hbm.at[pl.ds((0 if wait else base + first * page_size),
+                               KVBLK)]
+            cp = pltpu.make_async_copy(src, dst, sem)
+            (cp.wait if wait else cp.start)()
+
+    @pl.when(~contig)
+    def _():
+        for p in range(ppb):
+            page = page_table_ref[bsafe, block_idx * ppb + p]
+            for hbm, base, dst, sem in specs:
+                src = hbm.at[pl.ds(
+                    (0 if wait else base + page * page_size), page_size)]
+                cp = pltpu.make_async_copy(
+                    src, dst.at[pl.ds(p * page_size, page_size)], sem)
+                (cp.wait if wait else cp.start)()
+
+
 def _rpa_kernel(
     # scalar prefetch
     layer_ref,  # [1]
@@ -186,32 +240,19 @@ def _rpa_kernel(
     last_kv = jnp.minimum(kv_len, q_abs_hi + 1)
     last_ki = jnp.maximum((last_kv + KVBLK - 1) // KVBLK - 1, 0)
 
-    def start_kv_dma(slot, block_idx):
-        for p in range(ppb):
-            page = page_table_ref[bsafe, block_idx * ppb + p]
-            dst = pl.ds(p * page_size, page_size)
-            pltpu.make_async_copy(
-                kv_hbm.at[pl.ds(k_base + page * page_size, page_size)],
-                k_buf.at[slot, dst], kv_sems.at[slot, 0],
-            ).start()
-            if v_dim is None:
-                pltpu.make_async_copy(
-                    kv_hbm.at[pl.ds(v_base + page * page_size, page_size)],
-                    v_buf.at[slot, dst], kv_sems.at[slot, 1],
-                ).start()
+    def _dma_specs(slot):
+        specs = [(kv_hbm, k_base, k_buf.at[slot], kv_sems.at[slot, 0])]
+        if v_dim is None:
+            specs.append((kv_hbm, v_base, v_buf.at[slot], kv_sems.at[slot, 1]))
+        return specs
 
-    def wait_kv_dma(slot):
-        for p in range(ppb):
-            dst = pl.ds(p * page_size, page_size)
-            pltpu.make_async_copy(
-                kv_hbm.at[pl.ds(0, page_size)], k_buf.at[slot, dst],
-                kv_sems.at[slot, 0],
-            ).wait()
-            if v_dim is None:
-                pltpu.make_async_copy(
-                    kv_hbm.at[pl.ds(0, page_size)], v_buf.at[slot, dst],
-                    kv_sems.at[slot, 1],
-                ).wait()
+    def start_kv_dma(slot, block_idx):
+        _kv_block_copies(page_table_ref, bsafe, block_idx, ppb, page_size,
+                         _dma_specs(slot), wait=False)
+
+    def wait_kv_dma(slot, block_idx):
+        _kv_block_copies(page_table_ref, bsafe, block_idx, ppb, page_size,
+                         _dma_specs(slot), wait=True)
 
     slot = jax.lax.rem(ki, 2)
 
@@ -233,7 +274,7 @@ def _rpa_kernel(
         def _():
             start_kv_dma(1 - slot, ki + 1)
 
-        wait_kv_dma(slot)
+        wait_kv_dma(slot, ki)
 
         QBLK_, Hq, D = q_buf.shape
         if v_dim is None:
@@ -608,30 +649,19 @@ def _rpa_kernel_merged(
     last_kv = jnp.minimum(kv_len, q_abs_hi + 1)
     last_ki = jnp.maximum((last_kv + KVBLK - 1) // KVBLK - 1, 0)
 
-    def start_kv_dma(slot, block_idx):
-        for p in range(ppb):
-            page = page_table_ref[bsafe, block_idx * ppb + p]
-            dst = pl.ds(p * page_size, page_size)
-            pltpu.make_async_copy(
-                kv_hbm.at[pl.ds(k_base + page * page_size, page_size)],
-                k_buf.at[slot, dst], kv_sems.at[slot, 0],
-            ).start()
-            pltpu.make_async_copy(
-                kv_hbm.at[pl.ds(v_base + page * page_size, page_size)],
-                v_buf.at[slot, dst], kv_sems.at[slot, 1],
-            ).start()
+    def _dma_specs(slot):
+        return [
+            (kv_hbm, k_base, k_buf.at[slot], kv_sems.at[slot, 0]),
+            (kv_hbm, v_base, v_buf.at[slot], kv_sems.at[slot, 1]),
+        ]
 
-    def wait_kv_dma(slot):
-        for p in range(ppb):
-            dst = pl.ds(p * page_size, page_size)
-            pltpu.make_async_copy(
-                kv_hbm.at[pl.ds(0, page_size)], k_buf.at[slot, dst],
-                kv_sems.at[slot, 0],
-            ).wait()
-            pltpu.make_async_copy(
-                kv_hbm.at[pl.ds(0, page_size)], v_buf.at[slot, dst],
-                kv_sems.at[slot, 1],
-            ).wait()
+    def start_kv_dma(slot, block_idx):
+        _kv_block_copies(page_table_ref, bsafe, block_idx, ppb, page_size,
+                         _dma_specs(slot), wait=False)
+
+    def wait_kv_dma(slot, block_idx):
+        _kv_block_copies(page_table_ref, bsafe, block_idx, ppb, page_size,
+                         _dma_specs(slot), wait=True)
 
     slot = jax.lax.rem(ki, 2)
 
@@ -650,7 +680,7 @@ def _rpa_kernel_merged(
         def _():
             start_kv_dma(1 - slot, ki + 1)
 
-        wait_kv_dma(slot)
+        wait_kv_dma(slot, ki)
 
         G = Hq // Hkv
         q = q_buf[...].astype(jnp.float32)  # [QBLK, Hq*D/128, 128]
@@ -1104,21 +1134,16 @@ def _rpa_kernel_chunked(
     last_ki = jnp.maximum((last_kv + KVBLK - 1) // KVBLK - 1, 0)
 
     def start_kv_dma(slot, block_idx):
-        for p in range(ppb):
-            page = page_table_ref[bsafe, block_idx * ppb + p]
-            pltpu.make_async_copy(
-                kv_hbm.at[pl.ds(row_base + page * page_size, page_size)],
-                kv_buf.at[slot, pl.ds(p * page_size, page_size)],
-                kv_sem.at[slot],
-            ).start()
+        _kv_block_copies(
+            page_table_ref, bsafe, block_idx, ppb, page_size,
+            [(kv_hbm, row_base, kv_buf.at[slot], kv_sem.at[slot])],
+            wait=False)
 
-    def wait_kv_dma(slot):
-        for p in range(ppb):
-            pltpu.make_async_copy(
-                kv_hbm.at[pl.ds(0, page_size)],
-                kv_buf.at[slot, pl.ds(p * page_size, page_size)],
-                kv_sem.at[slot],
-            ).wait()
+    def wait_kv_dma(slot, block_idx):
+        _kv_block_copies(
+            page_table_ref, bsafe, block_idx, ppb, page_size,
+            [(kv_hbm, row_base, kv_buf.at[slot], kv_sem.at[slot])],
+            wait=True)
 
     slot = jax.lax.rem(ki, 2)
 
@@ -1137,7 +1162,7 @@ def _rpa_kernel_chunked(
         def _():
             start_kv_dma(1 - slot, ki + 1)
 
-        wait_kv_dma(slot)
+        wait_kv_dma(slot, ki)
 
         G = Hq // Hkv
         VB = (Hkv * D) // 128  # first V chunk

@@ -16,18 +16,23 @@ from semi_pd_tpu.ops.attention.reference import ragged_paged_attention_reference
 from semi_pd_tpu.runtime.forward_batch import build_attn_meta
 
 
-def _setup(rng, B, q_lens, kv_lens, Hq=4, Hkv=2, D=32, page_size=8, L=2, layer=1):
-    """Random cache + page tables for B seqs with given lens."""
+def _setup(rng, B, q_lens, kv_lens, Hq=4, Hkv=2, D=32, page_size=8, L=2,
+           layer=1, shuffle_pages=False):
+    """Random cache + page tables for B seqs with given lens. Contiguous
+    per-request page runs exercise the kernel's coalesced single-DMA path;
+    shuffle_pages=True scatters them (the fragmented-pool gather path)."""
     maxP = max((kv + page_size - 1) // page_size for kv in kv_lens) + 1
     num_pages = B * maxP + 2
     S = num_pages * page_size
     kv_cache = jnp.asarray(rng.normal(size=(L, 2, S, Hkv, D)).astype(np.float32))
 
+    perm = rng.permutation(np.arange(1, num_pages)) if shuffle_pages else None
     page_table = np.zeros((B, maxP), np.int32)
     next_page = 1
     for b in range(B):
         n = (kv_lens[b] + page_size - 1) // page_size
-        page_table[b, :n] = np.arange(next_page, next_page + n)
+        run = np.arange(next_page, next_page + n)
+        page_table[b, :n] = perm[run - 1] if shuffle_pages else run
         next_page += n
 
     T = sum(q_lens)
@@ -46,7 +51,8 @@ def _setup(rng, B, q_lens, kv_lens, Hq=4, Hkv=2, D=32, page_size=8, L=2, layer=1
 
 def _compare(rng, B, q_lens, kv_lens, pad_T=None, pad_B=None, **kw):
     q, kvc, pt, qri, qp, kvl, layer, ps = _setup(rng, B, q_lens, kv_lens, **{
-        k_: v_ for k_, v_ in kw.items() if k_ in ("Hq", "Hkv", "D", "page_size")
+        k_: v_ for k_, v_ in kw.items()
+        if k_ in ("Hq", "Hkv", "D", "page_size", "shuffle_pages")
     })
     ps = kw.get("page_size", 8)
     sw = kw.get("sliding_window")
@@ -122,6 +128,62 @@ def test_logit_cap_and_window():
 def test_page_size_16():
     rng = np.random.default_rng(6)
     _compare(rng, B=2, q_lens=[1, 33], kv_lens=[77, 33], page_size=16)
+
+
+def test_fragmented_page_table():
+    """Scattered (non-consecutive) pages take the kernel's per-page DMA
+    gather branch; consecutive runs take the coalesced single-DMA branch
+    (_kv_block_copies). Both must match the reference — the other tests in
+    this file allocate contiguous runs, so this is the gather branch's only
+    coverage."""
+    rng = np.random.default_rng(12)
+    _compare(rng, B=4, q_lens=[1, 1, 1, 1], kv_lens=[9, 170, 65, 40],
+             shuffle_pages=True)
+    _compare(rng, B=3, q_lens=[40, 130, 7], kv_lens=[90, 130, 57],
+             pad_T=256, shuffle_pages=True)
+    _compare(rng, B=2, q_lens=[1, 1], kv_lens=[300, 18], D=64,
+             force_merged=True, shuffle_pages=True)
+
+
+def test_chunked_fragmented_page_table():
+    """Gather branch of the chunked combined-pool kernel."""
+    from semi_pd_tpu.ops.attention.ragged_paged_attention import (
+        ragged_paged_attention_chunked,
+    )
+
+    rng = np.random.default_rng(13)
+    Hq, Hkv, D, PS, L = 8, 4, 64, 8, 2
+    q_lens, kv_lens = [1, 1, 20], [290, 5, 33]
+    B = len(q_lens); T = sum(q_lens)
+    n_pages = 64; S = n_pages * PS
+
+    kv5 = rng.normal(size=(L, 2, S, Hkv, D)).astype(np.float32)
+    q = jnp.asarray(rng.normal(size=(T, Hq, D)).astype(np.float32))
+    perm = rng.permutation(np.arange(1, n_pages))
+    pt = np.zeros((B, 48), np.int32); used = 0
+    for b in range(B):
+        n = -(-kv_lens[b] // PS)
+        pt[b, :n] = perm[used:used + n]; used += n
+    pt = jnp.asarray(pt)
+    qri = jnp.asarray(np.repeat(np.arange(B), q_lens), jnp.int32)
+    qp = jnp.asarray(
+        np.concatenate([np.arange(k - ql, k) for ql, k in zip(q_lens, kv_lens)]),
+        jnp.int32)
+    kvl = jnp.asarray(kv_lens, jnp.int32)
+
+    ref = ragged_paged_attention_reference(
+        q, jnp.asarray(kv5), 1, pt, qri, qp, kvl, page_size=PS, scale=0.25,
+    )
+    CT = 2 * Hkv * D // 128
+    kvc = np.swapaxes(kv5, 1, 2).reshape(L, S, CT, 128)
+    meta = build_attn_meta(np.asarray(q_lens, np.int64),
+                           np.asarray(kv_lens, np.int64), T)
+    out = ragged_paged_attention_chunked(
+        q, jnp.asarray(kvc), 1, pt, kvl, meta, page_size=PS,
+        num_kv_heads=Hkv, head_dim=D, scale=0.25, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:T], np.asarray(ref)[:T], rtol=2e-5, atol=2e-5)
 
 
 def test_merged_kernel_matches_reference():

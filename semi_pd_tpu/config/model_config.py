@@ -301,6 +301,7 @@ class ModelConfig:
         context_length: Optional[int] = None,
         dtype: str = "bfloat16",
         quantization: Optional[str] = None,
+        json_override_args: Optional[str] = None,
     ) -> "ModelConfig":
         if model_path.endswith(".gguf"):
             # Single-file GGUF checkpoint: synthesize the HF config from the
@@ -330,6 +331,13 @@ class ModelConfig:
                     hf_config = SimpleNamespace(**json.load(f))
                 if not getattr(hf_config, "architectures", None):
                     raise
+        if json_override_args and json_override_args != "{}":
+            # reference server_args.json_model_override_args: a JSON dict
+            # merged over the HF config (e.g. '{"rope_scaling": null}')
+            import json
+
+            for k, v in json.loads(json_override_args).items():
+                setattr(hf_config, k, v)
         return cls.from_hf_config(
             hf_config, model_path=model_path, context_length=context_length,
             dtype=dtype, quantization=quantization,

@@ -32,8 +32,18 @@ class ServerArgs:
     # Model and tokenizer
     model_path: str = ""
     tokenizer_path: Optional[str] = None
+    tokenizer_mode: str = "auto"  # auto (fast when available) | slow
+    skip_tokenizer_init: bool = False  # token-id API only (trainer loops)
+    # JSON dict merged over the HF config (reference server_args.py
+    # json_model_override_args; e.g. '{"rope_scaling": null}')
+    json_model_override_args: str = "{}"
+    # auto (detect: gguf > safetensors > *.bin) | safetensors | pt | gguf
+    load_format: str = "auto"
     trust_remote_code: bool = True
     context_length: Optional[int] = None
+    # Truncate over-length prompts to the context window instead of
+    # aborting them (reference allow_auto_truncate)
+    allow_auto_truncate: bool = False
     dtype: str = "bfloat16"  # model compute/weight dtype
     kv_cache_dtype: str = "auto"  # auto | bfloat16 | fp8_e4m3 | fp8_e5m2
     quantization: Optional[str] = None  # fp8 | int8 | awq_int4 | blockwise_fp8
@@ -98,6 +108,9 @@ class ServerArgs:
     # jax.distributed coordinator host:port (required when nnodes > 1); the
     # multi-host mirror channel listens on port + 1 (utils/multihost.py)
     dist_init_addr: Optional[str] = None
+    # Seconds a follower waits for the coordinator / mirror channel
+    # (reference dist_timeout; None = jax.distributed default + 300s accept)
+    dist_timeout: Optional[float] = None
 
     # Compiled program buckets (static shapes for jit; role of CUDA-graph
     # capture sizes in the reference)
@@ -114,10 +127,16 @@ class ServerArgs:
     ds_heavy_token_num: int = 256
     ds_channel_config_path: Optional[str] = None
     ds_heavy_channel_type: str = "k"  # q | k | qk (profiling key)
+    # Below this kv length dense decode is cheaper (and exact); the sparse
+    # top-k path kicks in only for longer contexts (reference :143)
+    ds_sparse_decode_threshold: int = 4096
 
     # Sampling / constrained decoding
     sampling_backend: str = "jax"
     grammar_backend: Optional[str] = "outlines_like"
+    # Override the bounded-whitespace regex inside JSON-schema grammars
+    # (reference constrained_json_whitespace_pattern; default [ \n\t]{0,4})
+    constrained_json_whitespace_pattern: Optional[str] = None
 
     # Speculative decoding
     speculative_algorithm: Optional[str] = None  # EAGLE | NEXTN | NGRAM
@@ -132,6 +151,13 @@ class ServerArgs:
     # acceptance drops. Exposed for A/B tests.
     speculative_disable_draft_refresh: bool = False
     speculative_draft_model_path: Optional[str] = None
+    # Relaxed acceptance for sampled requests (reference server_args.py:133):
+    # a draft is also accepted outright when its target probability exceeds
+    # threshold_single, and the rejection-sampling accept probability is
+    # raised from p to min(1, p / threshold_acc). Defaults (1.0) keep exact
+    # Leviathan rejection sampling; < 1.0 trades unbiasedness for speed.
+    speculative_accept_threshold_single: float = 1.0
+    speculative_accept_threshold_acc: float = 1.0
 
     # LoRA
     lora_paths: Optional[List[str]] = None
@@ -148,6 +174,14 @@ class ServerArgs:
 
     # Observability / debug
     log_level: str = "info"
+    # Log request input/output summaries (reference log_requests +
+    # log_requests_level: 0 = rid + lengths, 1 = + sampling params,
+    # 2 = + full prompt/output text)
+    log_requests: bool = False
+    log_requests_level: int = 0
+    decode_log_interval: float = 10.0  # seconds between decode-stats lines
+    # Include cached_tokens (radix prefix hits) in OpenAI usage objects
+    enable_cache_report: bool = False
     enable_metrics: bool = False
     show_time_cost: bool = False
     watchdog_timeout: float = 300.0
@@ -214,6 +248,15 @@ class ServerArgs:
                 b *= 2
             buckets.append(self.chunked_prefill_size)
             self.prefill_token_buckets = buckets
+
+        if self.tokenizer_mode not in ("auto", "slow"):
+            raise ValueError(f"unknown tokenizer_mode {self.tokenizer_mode!r}")
+        if self.load_format not in ("auto", "safetensors", "pt", "gguf"):
+            raise ValueError(f"unknown load_format {self.load_format!r}")
+        if not (0.0 < self.speculative_accept_threshold_single <= 1.0):
+            raise ValueError("speculative_accept_threshold_single in (0, 1]")
+        if not (0.0 < self.speculative_accept_threshold_acc <= 1.0):
+            raise ValueError("speculative_accept_threshold_acc in (0, 1]")
 
         if self.page_size < 1:
             raise ValueError("page_size must be >= 1")

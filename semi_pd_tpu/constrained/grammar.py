@@ -116,11 +116,13 @@ class GrammarCompiler:
     """Tokenizer-bound compiler with caching (reference: backend cache in
     base_grammar_backend.py)."""
 
-    def __init__(self, tokenizer, eos_ids: List[int]):
+    def __init__(self, tokenizer, eos_ids: List[int],
+                 json_whitespace_pattern: Optional[str] = None):
         self.eos_ids = eos_ids
         self._cache: Dict[Tuple[str, str], TokenDFA] = {}
         self.token_strs = _token_strings(tokenizer)
         self._vocab_trie = None  # built on first ebnf grammar, then shared
+        self.json_whitespace_pattern = json_whitespace_pattern
 
     def compile(self, kind: str, spec: str):
         key = (kind, spec)
@@ -132,7 +134,9 @@ class GrammarCompiler:
         elif kind == "json_schema":
             import json as _json
 
-            pattern = schema_to_regex(_json.loads(spec))
+            pattern = schema_to_regex(
+                _json.loads(spec),
+                whitespace_pattern=self.json_whitespace_pattern)
         elif kind == "ebnf":
             from semi_pd_tpu.constrained.ebnf import TokenPDA, build_vocab_trie
 

@@ -11,7 +11,7 @@ depth-bounded JSON value regex.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 # Bounded whitespace (outlines does the same): unbounded WS lets a model
 # stall emitting spaces forever inside the grammar.
@@ -34,7 +34,20 @@ def _free_value(depth: int) -> str:
     return f"(?:{STRING}|{NUMBER}|{BOOLEAN}|{NULL}|{arr}|{obj})"
 
 
-def schema_to_regex(schema: Any, depth: int = 3) -> str:
+def schema_to_regex(schema: Any, depth: int = 3,
+                    whitespace_pattern: Optional[str] = None) -> str:
+    """whitespace_pattern overrides the bounded-WS default for this
+    compilation (reference constrained_json_whitespace_pattern; outlines'
+    flag of the same name). The module constant is restored on exit;
+    recursive calls pass None and inherit the override."""
+    if whitespace_pattern is not None:
+        global WS
+        old = WS
+        WS = whitespace_pattern
+        try:
+            return schema_to_regex(schema, depth)
+        finally:
+            WS = old
     if schema is None or schema is True or schema == {}:
         return _free_value(depth)
     t = schema.get("type")

@@ -233,6 +233,19 @@ async def v1_embeddings(request: web.Request) -> web.Response:
     })
 
 
+def _usage(mi: Dict[str, Any], ae: "AsyncEngine") -> Dict[str, Any]:
+    """OpenAI usage object; --enable-cache-report adds cached_tokens
+    (reference adapter.py to_openai_style_logprobs cache report path)."""
+    u = {
+        "prompt_tokens": mi["prompt_tokens"],
+        "completion_tokens": mi["completion_tokens"],
+        "total_tokens": mi["prompt_tokens"] + mi["completion_tokens"],
+    }
+    if ae.engine.server_args.enable_cache_report:
+        u["prompt_tokens_details"] = {"cached_tokens": mi.get("cached_tokens", 0)}
+    return u
+
+
 async def flush_cache(request: web.Request) -> web.Response:
     ae: AsyncEngine = request.app["engine"]
     ok = ae.engine.flush_cache()
@@ -400,11 +413,7 @@ async def v1_completions(request: web.Request) -> web.StreamResponse:
             "finish_reason": mi.get("finish_reason"),
             "logprobs": None,
         }],
-        "usage": {
-            "prompt_tokens": mi["prompt_tokens"],
-            "completion_tokens": mi["completion_tokens"],
-            "total_tokens": mi["prompt_tokens"] + mi["completion_tokens"],
-        },
+        "usage": _usage(mi, ae),
     })
 
 
@@ -486,9 +495,5 @@ async def v1_chat_completions(request: web.Request) -> web.StreamResponse:
             "message": message,
             "finish_reason": finish_reason,
         }],
-        "usage": {
-            "prompt_tokens": mi["prompt_tokens"],
-            "completion_tokens": mi["completion_tokens"],
-            "total_tokens": mi["prompt_tokens"] + mi["completion_tokens"],
-        },
+        "usage": _usage(mi, ae),
     })

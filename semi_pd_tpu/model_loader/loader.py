@@ -65,21 +65,33 @@ def _np_dtype(jdt) -> np.dtype:
     )
 
 
-def iterate_hf_weights(model_path: str) -> Iterator[Tuple[str, np.ndarray]]:
+def iterate_hf_weights(
+    model_path: str, load_format: str = "auto"
+) -> Iterator[Tuple[str, np.ndarray]]:
     """Yield (name, numpy array) from a HF checkpoint dir (safetensors
     preferred, *.bin fallback, single-file or in-dir *.gguf; reference
-    weight_utils.py safetensors iter + gguf_quant_weights_iterator)."""
+    weight_utils.py safetensors iter + gguf_quant_weights_iterator).
+    load_format pins one family (reference --load-format): the call fails
+    instead of silently falling through to another container type."""
     gguf_files = (
         [model_path] if model_path.endswith(".gguf")
         else sorted(glob.glob(os.path.join(model_path, "*.gguf")))
     )
+    if load_format not in ("auto", "gguf"):
+        gguf_files = []
     if gguf_files:
         from semi_pd_tpu.model_loader.gguf_reader import iterate_gguf_weights
 
         for f in gguf_files:
             yield from iterate_gguf_weights(f)
         return
+    if load_format == "gguf":
+        raise FileNotFoundError(f"no *.gguf under {model_path}")
     st_files = sorted(glob.glob(os.path.join(model_path, "*.safetensors")))
+    if load_format == "pt":
+        st_files = []
+    elif load_format == "safetensors" and not st_files:
+        raise FileNotFoundError(f"no *.safetensors under {model_path}")
     if st_files:
         from safetensors import safe_open
 
@@ -197,6 +209,7 @@ def load_params(
     weights: Optional[Iterable[Tuple[str, Any]]] = None,
     model_path: Optional[str] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
+    load_format: str = "auto",
 ) -> Dict[str, Any]:
     """Assemble the model's param pytree from checkpoint weights.
 
@@ -213,7 +226,7 @@ def load_params(
 
     if weights is None:
         assert model_path is not None
-        weights = iterate_hf_weights(model_path)
+        weights = iterate_hf_weights(model_path, load_format=load_format)
 
     matched = _apply_weights(model, compiled, weights, lambda p: _get_path(host, p))
 

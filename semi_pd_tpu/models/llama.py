@@ -92,6 +92,7 @@ class LlamaForCausalLM:
         # double_sparsity.py). The KV pytree then carries a label buffer.
         self.ds_channels = None
         self.ds_heavy_token_num = 256
+        self.ds_sparse_threshold = 4096  # dense below (cheaper and exact)
         # ALiBi position bias (baichuan-13b): [Hq] slopes; disables rope.
         # Routed through the jnp reference attention (the Pallas kernel has
         # no bias hook yet).
@@ -389,6 +390,7 @@ class LlamaForCausalLM:
                 q, k, v, pool, labels, self.ds_channels, layer_idx, fb,
                 page_size=self.page_size, scale=self.scale,
                 heavy_token_num=self.ds_heavy_token_num,
+                sparse_threshold=self.ds_sparse_threshold,
             )
             kv_cache = (pool, labels)
         else:

@@ -114,9 +114,17 @@ def paged_attention_ds(
     kv_cache, label_cache,
     channels,  # [L, Hkv, C] device array
     layer_idx, fb, *, page_size: int, scale: float, heavy_token_num: int,
+    sparse_threshold: int = 4096,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Write K/V + labels; decode batches (T == B) use the sparse path,
-    extend stays dense. Returns (out, kv_cache', label_cache')."""
+    extend stays dense. Returns (out, kv_cache', label_cache').
+
+    sparse_threshold (reference ds_sparse_decode_threshold,
+    server_args.py:143): while every context is still shorter than this,
+    dense decode is both cheaper (top-k + gather overhead exceeds the read
+    it saves) and exact, so the sparse path only engages beyond it —
+    a runtime lax.cond, since kv_lens change per step while the program is
+    compiled once per bucket."""
     from semi_pd_tpu.ops.attention.reference import (
         ragged_paged_attention_reference,
     )
@@ -128,17 +136,26 @@ def paged_attention_ds(
         jnp.swapaxes(kv_new, 0, 1).astype(kv_cache.dtype)
     )
     label_cache = write_labels(label_cache, k_new, channels, layer_idx, fb.out_slots)
-    if T == B:  # decode
-        out = sparse_decode_attention(
-            q, kv_cache, label_cache, channels, layer_idx,
-            fb.page_table, fb.kv_lens, page_size, scale, heavy_token_num,
-        )
-    else:
-        out = ragged_paged_attention_reference(
+
+    def _dense(_):
+        return ragged_paged_attention_reference(
             q, kv_cache, layer_idx, fb.page_table, fb.q_req_idx,
             fb.mask_pos if fb.mask_pos is not None else fb.q_pos,
             fb.kv_lens, page_size=page_size, scale=scale,
+        ).astype(q.dtype)
+
+    if T == B:  # decode
+        def _sparse(_):
+            return sparse_decode_attention(
+                q, kv_cache, label_cache, channels, layer_idx,
+                fb.page_table, fb.kv_lens, page_size, scale, heavy_token_num,
+            )
+
+        out = jax.lax.cond(
+            jnp.max(fb.kv_lens) <= sparse_threshold, _dense, _sparse, None
         )
+    else:
+        out = _dense(None)
     return out, kv_cache, label_cache
 
 

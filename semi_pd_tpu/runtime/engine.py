@@ -43,13 +43,15 @@ class Engine:
         self.server_args = server_args
 
         self.tokenizer = tokenizer
-        if self.tokenizer is None and server_args.tokenizer_path:
+        if (self.tokenizer is None and server_args.tokenizer_path
+                and not server_args.skip_tokenizer_init):
             from transformers import AutoTokenizer
 
             try:
                 self.tokenizer = AutoTokenizer.from_pretrained(
                     server_args.tokenizer_path,
                     trust_remote_code=server_args.trust_remote_code,
+                    use_fast=server_args.tokenizer_mode != "slow",
                 )
             except Exception as e:  # random-weights bench without a tokenizer
                 # Single-file GGUF checkpoints carry a ggml vocab, not an HF
@@ -102,7 +104,11 @@ class Engine:
                 raise ValueError("grammar-constrained decoding needs a tokenizer")
             from semi_pd_tpu.constrained.grammar import GrammarCompiler
 
-            self._grammar_compiler = GrammarCompiler(self.tokenizer, self._eos_ids)
+            self._grammar_compiler = GrammarCompiler(
+                self.tokenizer, self._eos_ids,
+                json_whitespace_pattern=(
+                    self.server_args.constrained_json_whitespace_pattern),
+            )
         return self._grammar_compiler
 
     def _resolve_eos(self) -> List[int]:
@@ -171,6 +177,14 @@ class Engine:
                 req.grammar = gc.matcher("json_schema", sp.json_schema)
             else:
                 req.grammar = gc.matcher("ebnf", sp.ebnf)
+        if self.server_args.log_requests:
+            lvl = self.server_args.log_requests_level
+            msg = f"recv rid={req.rid} prompt_len={len(req.input_ids)}"
+            if lvl >= 1:
+                msg += f" sampling={sp}"
+            if lvl >= 2:
+                msg += f" prompt={prompt!r}" if prompt else f" ids={input_ids}"
+            logger.info(msg)
         return req
 
     def _expand_image_tokens(self, ids, image_data=None):
@@ -357,6 +371,13 @@ class Engine:
             trim_stop_str(req)
 
     def _to_output(self, req: Req) -> Dict[str, Any]:
+        if self.server_args.log_requests and req.finished:
+            msg = (f"done rid={req.rid} out={len(req.output_ids)} "
+                   f"reason={req.finish_reason.value} "
+                   f"cached={req.cached_tokens}")
+            if self.server_args.log_requests_level >= 2:
+                msg += f" text={req.decoded_text!r}"
+            logger.info(msg)
         return {
             "rid": req.rid,
             "text": req.decoded_text,

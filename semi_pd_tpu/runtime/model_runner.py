@@ -62,6 +62,7 @@ class ModelRunner:
                 context_length=server_args.context_length,
                 dtype=server_args.dtype,
                 quantization=server_args.quantization,
+                json_override_args=server_args.json_model_override_args,
             )
         self.model_config = model_config
         self.model = create_model(model_config)
@@ -115,7 +116,8 @@ class ModelRunner:
             )
         else:
             self.params = load_params(
-                self.model, model_path=self.server_args.model_path, mesh=self.mesh
+                self.model, model_path=self.server_args.model_path,
+                mesh=self.mesh, load_format=self.server_args.load_format,
             )
         q = self.server_args.quantization
         if q in ("fp8", "int8", "blockwise_fp8"):
@@ -227,6 +229,7 @@ class ModelRunner:
             )
             self.model.ds_channels = jnp.asarray(ch)
             self.model.ds_heavy_token_num = args.ds_heavy_token_num
+            self.model.ds_sparse_threshold = args.ds_sparse_decode_threshold
         self.kv_cache = KVCache(self.kv_spec, sharding=kv_sharding)
         self.page_allocator = PageAllocator(
             num_pages, page_size, partitions=self.dp_attn
@@ -370,7 +373,9 @@ class ModelRunner:
             logits, kv = model.forward(params, fb, kv)  # logits_idx covers all rows
             new_key, sub = jax.random.split(fb.rng_key)
             accept_len, next_tok = verify_and_accept(
-                logits, drafts, draft_lens, fb.sampling, sub, gamma
+                logits, drafts, draft_lens, fb.sampling, sub, gamma,
+                threshold_single=self.server_args.speculative_accept_threshold_single,
+                threshold_acc=self.server_args.speculative_accept_threshold_acc,
             )
             return accept_len, next_tok, new_key, kv
 
@@ -755,6 +760,8 @@ class ModelRunner:
             return eagle_round(
                 model, draft, params, dparams, kv, dkv, fb, prev_hidden,
                 gamma, refresh=refresh,
+                threshold_single=self.server_args.speculative_accept_threshold_single,
+                threshold_acc=self.server_args.speculative_accept_threshold_acc,
             )
 
         self._eagle_jit = jax.jit(

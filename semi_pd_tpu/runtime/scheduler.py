@@ -196,8 +196,20 @@ class Scheduler:
     # ================================================================ API
     def add_request(self, req: Req) -> None:
         if len(req.input_ids) >= self.runner.max_context_len:
-            req.finish_reason = FinishReason.ABORT
-            return
+            if self.args.allow_auto_truncate:
+                # Keep the prompt tail (reference tokenizer_manager
+                # allow_auto_truncate), leaving room for >= 1 new token.
+                keep = self.runner.max_context_len - 1
+                logger.warning(
+                    "rid=%s prompt %d > context %d: truncated to last %d "
+                    "tokens (--allow-auto-truncate)",
+                    req.rid, len(req.input_ids), self.runner.max_context_len,
+                    keep)
+                req.input_ids = req.input_ids[-keep:]
+                req.origin_prompt_len = len(req.input_ids)
+            else:
+                req.finish_reason = FinishReason.ABORT
+                return
         self.reqs_by_rid[req.rid] = req
         self.waiting.append(req)
 
@@ -240,7 +252,8 @@ class Scheduler:
         """One scheduler iteration. Returns (req, new_token) pairs produced
         this tick (token == -1 for non-final prefill chunks)."""
         now = time.monotonic()
-        if now - self._last_stats_log > 10 and self.running:
+        if (now - self._last_stats_log > self.args.decode_log_interval
+                and self.running):
             # reference log_decode_stats (scheduler.py:925-980)
             alloc = self.runner.page_allocator
             total = alloc.usable_pages

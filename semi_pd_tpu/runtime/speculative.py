@@ -58,6 +58,8 @@ def verify_and_accept(
     sampling: SamplingArrays,
     key: jax.Array,
     gamma: int,
+    threshold_single: float = 1.0,
+    threshold_acc: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (accept_len [B] i32, next_token [B] i32).
 
@@ -68,7 +70,11 @@ def verify_and_accept(
     Greedy requests accept while argmax matches the draft. Sampling requests
     use exact rejection sampling against the deterministic draft (q = delta):
     accept draft t with prob p(t); on rejection resample from p with t
-    removed — unbiased (Leviathan et al.)."""
+    removed — unbiased (Leviathan et al.).
+
+    Relaxations (reference server_args.py:133-134, defaults exact): a draft
+    is also accepted outright when p(t) > threshold_single, and the accept
+    probability is raised from p to min(1, p / threshold_acc)."""
     B = drafts.shape[0]
     V = logits.shape[-1]
     lg = logits.reshape(B, gamma + 1, V).astype(jnp.float32)
@@ -87,7 +93,9 @@ def verify_and_accept(
 
     key, sub = jax.random.split(key)
     u = jax.random.uniform(sub, (B, gamma))
-    ok_sample = u < p_draft
+    ok_sample = u < p_draft / threshold_acc
+    if threshold_single < 1.0:
+        ok_sample |= p_draft > threshold_single
     ok_greedy = argmaxes[:, :gamma] == drafts
     ok = jnp.where(greedy[:, None], ok_greedy, ok_sample)
     valid = jnp.arange(gamma, dtype=jnp.int32)[None, :] < draft_lens[:, None]

@@ -183,6 +183,8 @@ def eagle_round(
     prev_hidden: jax.Array,  # [B, H] target hidden seeding the draft
     gamma: int,
     refresh: bool = True,
+    threshold_single: float = 1.0,
+    threshold_acc: float = 1.0,
 ):
     """The fused EAGLE round. Returns
     (accept_len [B], next_tok [B], drafts [B, gamma], next_hidden [B, H],
@@ -255,7 +257,8 @@ def eagle_round(
         jnp.maximum(fb.kv_lens - base_kv, 0), gamma
     )  # == gamma for real rows, 0 for padding
     accept_len, next_tok = verify_and_accept(
-        logits, drafts, draft_lens, fb.sampling, sub, gamma
+        logits, drafts, draft_lens, fb.sampling, sub, gamma,
+        threshold_single=threshold_single, threshold_acc=threshold_acc,
     )
     h_rows = hidden.reshape(B, W, -1)
     next_hidden = jnp.take_along_axis(

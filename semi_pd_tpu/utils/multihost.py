@@ -36,10 +36,15 @@ def init_multihost(server_args) -> bool:
         raise ValueError("--nnodes > 1 requires --dist-init-addr host:port")
     import jax
 
+    kw = {}
+    if server_args.dist_timeout is not None:
+        # reference --dist-timeout (torch.distributed init timeout)
+        kw["initialization_timeout"] = int(server_args.dist_timeout)
     jax.distributed.initialize(
         coordinator_address=server_args.dist_init_addr,
         num_processes=server_args.nnodes,
         process_id=server_args.node_rank,
+        **kw,
     )
     _initialized = True
     logger.info(
@@ -67,12 +72,15 @@ class TickChannel:
         self.rank = server_args.node_rank
         self.world = server_args.nnodes
         host, port = _mirror_endpoint(server_args)
+        accept_timeout = (server_args.dist_timeout
+                          if server_args.dist_timeout is not None else 300.0)
         if self.rank == 0:
             srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
             srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
             srv.bind(("0.0.0.0", port))
             srv.listen(self.world - 1)
-            srv.settimeout(300.0)  # don't hang boot forever on a lost node
+            # don't hang boot forever on a lost node
+            srv.settimeout(accept_timeout)
             self.peers = []
             for _ in range(self.world - 1):
                 conn, addr = srv.accept()
@@ -82,7 +90,9 @@ class TickChannel:
             srv.close()
             self.sock = None
         else:
-            deadline = time.monotonic() + 120.0
+            deadline = time.monotonic() + (
+                accept_timeout if server_args.dist_timeout is not None
+                else 120.0)
             while True:
                 try:
                     self.sock = socket.create_connection((host, port), 5.0)

@@ -54,13 +54,29 @@ def test_ds_exact_when_budget_covers_sequence():
 
 def test_ds_tight_budget_generates():
     """Budget far below the sequence: outputs may differ from dense (that is
-    the approximation) but decoding stays finite and leak-free."""
+    the approximation) but decoding stays finite and leak-free. The sparse
+    threshold is dropped below the context so the top-k path actually runs."""
     rng = np.random.default_rng(1)
     prompt = rng.integers(0, 128, size=120).tolist()
     eng = _engine(enable_double_sparsity=True, ds_heavy_token_num=16,
-                  ds_heavy_channel_num=8)
+                  ds_heavy_channel_num=8, ds_sparse_decode_threshold=8)
     out = eng.generate(input_ids=prompt, sampling_params=SP)
     assert len(out["output_ids"]) == 8
+    eng.scheduler.check_memory()
+
+
+def test_ds_dense_below_threshold():
+    """Below ds_sparse_decode_threshold (reference server_args.py:143)
+    decode stays dense and exact even with a tight top-k budget."""
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, 128, size=n).tolist() for n in (60, 33)]
+    want = [o["output_ids"] for o in _engine().generate(
+        input_ids=prompts, sampling_params=SP)]
+    eng = _engine(enable_double_sparsity=True, ds_heavy_token_num=4,
+                  ds_heavy_channel_num=8)  # threshold default 4096 >> kv
+    got = [o["output_ids"] for o in eng.generate(
+        input_ids=prompts, sampling_params=SP)]
+    assert got == want
     eng.scheduler.check_memory()
 
 

@@ -1,0 +1,176 @@
+"""Reference flag-surface parity: allow_auto_truncate, tokenizer_mode /
+load_format validation, json_model_override_args, constrained JSON
+whitespace pattern, enable_cache_report usage shape, and the speculative
+acceptance-threshold relaxations (reference server_args.py:133-134,
+tokenizer_manager auto-truncate, adapter cache report)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from semi_pd_tpu.config.model_config import ModelConfig
+from semi_pd_tpu.config.server_args import ServerArgs
+from semi_pd_tpu.runtime.engine import Engine
+from semi_pd_tpu.runtime.req import FinishReason
+from semi_pd_tpu.sampling.sampling_params import SamplingParams
+
+
+def _mc(ctx=64):
+    from transformers import LlamaConfig
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=ctx, tie_word_embeddings=False,
+    )
+    cfg.architectures = ["LlamaForCausalLM"]
+    return ModelConfig.from_hf_config(cfg, dtype="float32")
+
+
+def _engine(**kw):
+    return Engine(server_args=ServerArgs(
+        model_path="", random_weights=True, page_size=4,
+        max_total_tokens=512, dtype="float32", **kw), model_config=_mc())
+
+
+def test_over_length_aborts_without_flag():
+    eng = _engine()
+    sp = SamplingParams(max_new_tokens=4, temperature=0.0, ignore_eos=True)
+    prompt = np.random.default_rng(0).integers(0, 128, size=200).tolist()
+    out = eng.generate(input_ids=prompt, sampling_params=sp)
+    assert out["meta_info"]["finish_reason"] == FinishReason.ABORT.value
+    assert out["output_ids"] == []
+
+
+def test_allow_auto_truncate_generates_from_tail():
+    eng = _engine(allow_auto_truncate=True)
+    sp = SamplingParams(max_new_tokens=4, temperature=0.0, ignore_eos=True)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, 128, size=200).tolist()
+    out = eng.generate(input_ids=prompt, sampling_params=sp)
+    assert len(out["output_ids"]) == 4
+    # truncation kept the TAIL: same output as prompting with the tail only
+    keep = eng.runner.max_context_len - 1
+    want = eng.generate(input_ids=prompt[-keep:], sampling_params=sp)
+    assert out["output_ids"] == want["output_ids"]
+    eng.scheduler.check_memory()
+
+
+def test_flag_validation():
+    with pytest.raises(ValueError, match="tokenizer_mode"):
+        ServerArgs(model_path="", tokenizer_mode="fast")
+    with pytest.raises(ValueError, match="load_format"):
+        ServerArgs(model_path="", load_format="npz")
+    with pytest.raises(ValueError, match="threshold_acc"):
+        ServerArgs(model_path="", speculative_accept_threshold_acc=0.0)
+
+
+def test_load_format_pins_family(tmp_path):
+    from semi_pd_tpu.model_loader.loader import iterate_hf_weights
+
+    import torch
+
+    torch.save({"x": torch.zeros(2)}, tmp_path / "model.bin")
+    # auto falls through to *.bin
+    assert [n for n, _ in iterate_hf_weights(str(tmp_path))] == ["x"]
+    # pinned safetensors refuses to fall back
+    with pytest.raises(FileNotFoundError):
+        list(iterate_hf_weights(str(tmp_path), load_format="safetensors"))
+    with pytest.raises(FileNotFoundError):
+        list(iterate_hf_weights(str(tmp_path), load_format="gguf"))
+
+
+def test_json_model_override_args(tmp_path):
+    cfg = {
+        "architectures": ["LlamaForCausalLM"], "vocab_size": 128,
+        "hidden_size": 64, "intermediate_size": 96, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "max_position_embeddings": 64, "rope_theta": 10000.0,
+        "model_type": "llama",
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    mc = ModelConfig.from_model_path(
+        str(tmp_path), dtype="float32",
+        json_override_args='{"rope_theta": 123456.0, "max_position_embeddings": 32}',
+    )
+    assert mc.rope_theta == 123456.0
+    assert mc.max_position_embeddings == 32
+
+
+def test_json_whitespace_pattern():
+    from semi_pd_tpu.constrained import json_schema
+    from semi_pd_tpu.constrained.json_schema import schema_to_regex
+
+    schema = {"type": "object", "properties": {"a": {"type": "integer"}},
+              "required": ["a"]}
+    default = schema_to_regex(schema)
+    tight = schema_to_regex(schema, whitespace_pattern="")
+    assert default != tight
+    import re
+
+    assert re.fullmatch(tight, '{"a":7}')
+    assert not re.fullmatch(tight, '{ "a": 7 }')
+    # module constant restored after the override
+    assert json_schema.WS == r"[ \n\t]{0,4}"
+    assert re.fullmatch(schema_to_regex(schema), '{ "a": 7 }')
+
+
+def test_usage_cache_report():
+    from types import SimpleNamespace
+
+    from semi_pd_tpu.entrypoints.http_server import _usage
+
+    mi = {"prompt_tokens": 10, "completion_tokens": 3, "cached_tokens": 8}
+    off = SimpleNamespace(engine=SimpleNamespace(
+        server_args=ServerArgs(model_path="", enable_cache_report=False)))
+    on = SimpleNamespace(engine=SimpleNamespace(
+        server_args=ServerArgs(model_path="", enable_cache_report=True)))
+    assert "prompt_tokens_details" not in _usage(mi, off)
+    assert _usage(mi, on)["prompt_tokens_details"]["cached_tokens"] == 8
+    assert _usage(mi, on)["total_tokens"] == 13
+
+
+def test_accept_threshold_relaxation():
+    """threshold_acc -> 0 accepts every valid draft for sampled requests;
+    defaults keep exact rejection sampling (some drafts rejected here)."""
+    import jax
+    import jax.numpy as jnp
+
+    from semi_pd_tpu.ops.sampling import SamplingArrays
+    from semi_pd_tpu.runtime.speculative import verify_and_accept
+
+    B, g, V = 4, 3, 16
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(B * (g + 1), V)).astype(np.float32))
+    drafts = jnp.asarray(rng.integers(0, V, size=(B, g)).astype(np.int32))
+    draft_lens = jnp.full((B,), g, jnp.int32)
+    sa = SamplingArrays(
+        temperature=jnp.ones(B), top_k=jnp.zeros(B, jnp.int32),
+        top_p=jnp.ones(B), min_p=jnp.zeros(B),
+        presence_penalty=jnp.zeros(B), frequency_penalty=jnp.zeros(B),
+        repetition_penalty=jnp.ones(B),
+    )
+    key = jax.random.PRNGKey(0)
+    exact_len, _ = verify_and_accept(logits, drafts, draft_lens, sa, key, g)
+    relaxed_len, _ = verify_and_accept(
+        logits, drafts, draft_lens, sa, key, g, threshold_acc=1e-9)
+    assert int(jnp.sum(relaxed_len)) == B * g  # everything accepted
+    assert int(jnp.sum(exact_len)) < B * g  # random drafts mostly rejected
+    # threshold_single: outright accept when p exceeds it; with a tiny
+    # threshold every draft's probability clears it
+    single_len, _ = verify_and_accept(
+        logits, drafts, draft_lens, sa, key, g, threshold_single=1e-9)
+    assert int(jnp.sum(single_len)) == B * g
+
+
+def test_skip_tokenizer_init():
+    eng = Engine(server_args=ServerArgs(
+        model_path="", tokenizer_path="/nonexistent-tokenizer-dir",
+        skip_tokenizer_init=True, random_weights=True, page_size=4,
+        max_total_tokens=512, dtype="float32"), model_config=_mc())
+    assert eng.tokenizer is None
+    sp = SamplingParams(max_new_tokens=2, temperature=0.0, ignore_eos=True)
+    out = eng.generate(input_ids=[1, 2, 3], sampling_params=sp)
+    assert len(out["output_ids"]) == 2

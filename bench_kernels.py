@@ -43,10 +43,13 @@ HQ, HKV, D = 32, 8, 64  # 1B-class flagship (llama-3.2-1B shapes)
 SCALE = D ** -0.5
 
 
-def make_case(B, kv_len, q_lens, seed=0, chunked=False):
+def make_case(B, kv_len, q_lens, seed=0, chunked=False, shuffled=False):
     """One shared KV pool + batch metadata for both backends. chunked=True
     uses the production pool layout for sub-lane head dims ([L, S, CT, 128],
-    K chunks then V chunks per slot — what the runner picks for D=64)."""
+    K chunks then V chunks per slot — what the runner picks for D=64).
+    shuffled=True scatters the page table (fragmented-pool gather path;
+    default contiguous runs take the coalesced single-DMA path, matching
+    the min-heap allocator's steady state)."""
     rng = np.random.default_rng(seed)
     pages_per_req = -(-kv_len // PAGE)
     num_pages = 1 + B * pages_per_req
@@ -60,9 +63,11 @@ def make_case(B, kv_len, q_lens, seed=0, chunked=False):
         kv_cache = jnp.asarray(
             rng.normal(size=(1, 2, S, HKV, D)).astype(np.float32), jnp.bfloat16
         )
+    perm = (rng.permutation(np.arange(1, num_pages)) if shuffled
+            else np.arange(1, num_pages))
     page_table = np.zeros((B, pages_per_req), np.int32)
     for b in range(B):
-        page_table[b] = 1 + b * pages_per_req + np.arange(pages_per_req)
+        page_table[b] = perm[b * pages_per_req + np.arange(pages_per_req)]
     T = int(sum(q_lens))
     q = jnp.asarray(rng.normal(size=(T, HQ, D)).astype(np.float32), jnp.bfloat16)
     kv_lens = np.full(B, kv_len, np.int32)
@@ -98,8 +103,9 @@ def timeit(fn, iters=5, warmup=2):
 CHAIN = 16
 
 
-def run_case(name, B, kv_len, q_lens, iters=5, chunked=False, kv_block=None):
-    c = make_case(B, kv_len, q_lens, chunked=chunked)
+def run_case(name, B, kv_len, q_lens, iters=5, chunked=False, kv_block=None,
+             shuffled=False):
+    c = make_case(B, kv_len, q_lens, chunked=chunked, shuffled=shuffled)
 
     # The chain carries BOTH q and the kv pool: each iteration writes this
     # step's K/V into the pool slots before reading (exactly the serving
@@ -277,6 +283,10 @@ def main():
                          chunked=True))
     rows.append(run_case("decode_b16_kv8192_chunked", 16, 8192, [1] * 16,
                          chunked=True))
+    # Fragmented pool (shuffled page table): the per-page gather branch —
+    # the floor the coalesced path lifts from.
+    rows.append(run_case("decode_b16_kv8192_chunked_shuffled", 16, 8192,
+                         [1] * 16, chunked=True, shuffled=True))
     # Cross-request streaming decode kernel (RPA_DECODE_STREAM): kv blocks
     # of the whole batch form one NBUF-deep DMA pipeline. Env is read at
     # trace time; each run_case builds fresh jits, so scoping it here works.

@@ -85,7 +85,7 @@ def paged_attention(
         kv_cache = kv_cache.at[layer_idx, fb.out_slots].set(
             val.astype(kv_cache.dtype)
         )
-        if _BACKEND == "pallas" and _SPEC_TREE is None:
+        if _BACKEND == "pallas":
             from semi_pd_tpu.ops.attention.ragged_paged_attention import (
                 ragged_paged_attention_chunked,
             )
@@ -95,6 +95,7 @@ def paged_attention(
                 fb.attn_meta, page_size=page_size, num_kv_heads=Hkv,
                 head_dim=D, scale=scale, logit_cap=logit_cap,
                 sliding_window=sliding_window, kv_block=kv_block,
+                spec_anc=_SPEC_TREE, win_base=fb.win_base,
             )
         else:
             from semi_pd_tpu.ops.attention.reference import (

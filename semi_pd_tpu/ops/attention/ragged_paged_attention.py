@@ -1084,9 +1084,9 @@ def _ragged_paged_attention_merged(
 
 
 def _rpa_kernel_chunked(
-    # scalar prefetch (same 9)
+    # scalar prefetch (same 10 as _rpa_kernel)
     layer_ref, num_slots_ref, page_table_ref, kv_lens_ref, q_lens_ref,
-    q_start_ref, block_seq_ref, block_row_ref, block_qofs_ref,
+    q_start_ref, block_seq_ref, block_row_ref, block_qofs_ref, win_base_ref,
     # HBM refs: q [Tpad, Hq*D/128, 128]; kv [L*S, CT, 128] with K chunks in
     # [0, Hkv*D/128) and V chunks in [Hkv*D/128, CT); out like q
     q_hbm, kv_hbm, out_hbm,
@@ -1094,7 +1094,7 @@ def _rpa_kernel_chunked(
     q_buf, kv_buf, o_buf, m_scr, l_scr, acc_scr, qp_scr, q_sem, kv_sem,
     o_sem,
     *, page_size, QBLK, KVBLK, scale, logit_cap, sliding_window,
-    D, Hq, Hkv,
+    D, Hq, Hkv, spec_anc=None,
 ):
     """Combined-KV variant of _rpa_kernel_merged for the chunked pool layout
     [L, S, CT, 128] (mem/pool.py): K and V of a slot share one row, so each
@@ -1202,6 +1202,10 @@ def _rpa_kernel_chunked(
         valid = (kv_pos <= q_abs) & (kv_pos < kv_len) & (q_local < n_rows)
         if sliding_window is not None and sliding_window > 0:
             valid &= kv_pos > (q_abs - sliding_window)
+        if spec_anc is not None:
+            valid = _spec_tree_mask(
+                valid, spec_anc, win_base_ref[bsafe], q_abs, kv_pos
+            )
         if pack:  # all groups of a kv head share the mask (same q rows)
             valid = jnp.concatenate([valid] * G, axis=0)  # [QG, KVBLK]
 
@@ -1474,12 +1478,19 @@ def ragged_paged_attention_chunked(
     kv_block: Optional[int] = None,
     interpret: bool = False,
     stream: Optional[bool] = None,
+    spec_anc=None,
+    win_base=None,
 ):
     """Driver for the chunked combined-KV pool layout (see KVCache).
 
     ``stream`` routes decode through the cross-request streaming kernel
     (_rpa_kernel_chunked_stream). Default: RPA_DECODE_STREAM env (opt-in
-    until validated on hardware)."""
+    until validated on hardware).
+
+    ``spec_anc`` + ``win_base`` enable the speculation-tree ancestor mask
+    (_spec_tree_mask) so tree-verify batches stay on the Pallas kernel for
+    chunked pools too (the stream kernel has no tree hook — blocked path
+    is forced)."""
     T, Hq, D = q.shape
     assert D == head_dim and 128 % D == 0 and (Hq * D) % 128 == 0
     B, maxP = page_table.shape
@@ -1517,6 +1528,8 @@ def ragged_paged_attention_chunked(
             and sliding_window is None
             and os.environ.get("RPA_DECODE_STREAM", "0") == "1"
         )
+    if spec_anc is not None:
+        stream = False
     if stream and sliding_window is None:
         NBUF = int(os.environ.get("RPA_STREAM_NBUF", "4"))
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1570,7 +1583,7 @@ def ragged_paged_attention_chunked(
         return out[:T].reshape(T, Hq, D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=10,
         grid=(NQB, KB),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -1612,6 +1625,7 @@ def ragged_paged_attention_chunked(
         D=D,
         Hq=Hq,
         Hkv=Hkv,
+        spec_anc=spec_anc,
     )
 
     layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
@@ -1633,6 +1647,7 @@ def ragged_paged_attention_chunked(
         meta.block_seq,
         meta.block_row,
         meta.block_qofs,
+        win_base if win_base is not None else jnp.zeros_like(kv_lens),
         q_in,
         kv_flat,
     )

@@ -325,6 +325,23 @@ def test_spec_tree_mask_matches_reference():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
+        if D == 64:  # chunked combined-pool layout carries the tree mask too
+            from semi_pd_tpu.ops.attention.ragged_paged_attention import (
+                ragged_paged_attention_chunked,
+            )
+
+            L, _, S, _, _ = kvc.shape
+            CT = 2 * Hkv * D // 128
+            kv_chunked = jnp.asarray(
+                np.swapaxes(np.asarray(kvc), 1, 2).reshape(L, S, CT, 128))
+            outc = ragged_paged_attention_chunked(
+                q, kv_chunked, layer, pt, kvl, meta, page_size=ps,
+                num_kv_heads=Hkv, head_dim=D, scale=0.25, interpret=True,
+                spec_anc=tree.anc_bits, win_base=win_base,
+            )
+            np.testing.assert_allclose(
+                np.asarray(outc), np.asarray(ref), rtol=2e-5, atol=2e-5
+            )
 
 
 def test_chunked_stream_decode_matches_reference():

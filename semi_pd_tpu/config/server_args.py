@@ -169,6 +169,13 @@ class ServerArgs:
     api_key: Optional[str] = None
     served_model_name: Optional[str] = None
     chat_template: Optional[str] = None
+    # Tool-call markup format for /v1/chat/completions (reference
+    # server_args.py --tool-call-parser: qwen25/mistral/llama3; None =
+    # auto-detect across all known formats).
+    tool_call_parser: Optional[str] = None
+    # Split chain-of-thought into message.reasoning_content (reference
+    # server_args.py --reasoning-parser: deepseek-r1/qwen3).
+    reasoning_parser: Optional[str] = None
     # OpenAI files/batches storage (reference adapter.py:169 storage_dir)
     file_storage_path: str = "/tmp/semi_pd_tpu_file_storage"
 

@@ -437,6 +437,10 @@ async def v1_chat_completions(request: web.Request) -> web.StreamResponse:
     cid = chat_id()
     sp = req.to_sampling_dict()
 
+    # Reference adapter: --reasoning-parser splits <think> chain-of-thought
+    # into message.reasoning_content (srt/reasoning_parser.py:121).
+    reasoning_kind = ae.engine.server_args.reasoning_parser
+
     if req.stream:
         resp = web.StreamResponse(
             headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
@@ -444,6 +448,11 @@ async def v1_chat_completions(request: web.Request) -> web.StreamResponse:
         await resp.prepare(request)
         first = True
         sent = 0
+        rparser = None
+        if reasoning_kind:
+            from semi_pd_tpu.utils.reasoning_parser import ReasoningParser
+
+            rparser = ReasoningParser(reasoning_kind)
         async for item in ae.generate(
             input_ids=input_ids, sampling_params=sp, stream=True
         ):
@@ -455,7 +464,13 @@ async def v1_chat_completions(request: web.Request) -> web.StreamResponse:
                 first = False
             text = item["text"][sent:]
             sent = len(item["text"])
-            if text:
+            if text and rparser is not None:
+                r_delta, c_delta = rparser.parse_stream(text)
+                if r_delta:
+                    delta["reasoning_content"] = r_delta
+                if c_delta:
+                    delta["content"] = c_delta
+            elif text:
                 delta["content"] = text
             chunk = {
                 "id": cid, "object": "chat.completion.chunk", "created": now(),
@@ -478,14 +493,25 @@ async def v1_chat_completions(request: web.Request) -> web.StreamResponse:
         return web.json_response({"error": {"message": (out or {}).get("error", "unknown")}}, status=500)
     mi = out["meta_info"]
 
-    message: Dict[str, Any] = {"role": "assistant", "content": out["text"]}
+    text = out["text"]
+    message: Dict[str, Any] = {"role": "assistant", "content": text}
+    if reasoning_kind:
+        from semi_pd_tpu.utils.reasoning_parser import ReasoningParser
+
+        reasoning, text = ReasoningParser(reasoning_kind).parse(text)
+        message = {"role": "assistant", "content": text}
+        if reasoning:
+            message["reasoning_content"] = reasoning
     finish_reason = mi.get("finish_reason")
     if req.tools:
         from semi_pd_tpu.utils.function_call import parse_tool_calls
 
-        content, calls = parse_tool_calls(out["text"])
+        content, calls = parse_tool_calls(
+            text, ae.engine.server_args.tool_call_parser
+        )
         if calls:
-            message = {"role": "assistant", "content": content or None, "tool_calls": calls}
+            message["content"] = content or None
+            message["tool_calls"] = calls
             finish_reason = "tool_calls"
 
     return web.json_response({

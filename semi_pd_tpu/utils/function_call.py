@@ -20,6 +20,14 @@ _PATTERNS = [
     re.compile(r"<\|python_tag\|>(\{.*\})", re.DOTALL),
 ]
 
+# --tool-call-parser name -> pattern index (reference FunctionCallParser
+# ToolCallParser registry: qwen25, mistral, llama32).
+_FORMAT_INDEX = {
+    "qwen25": 0, "hermes": 0,
+    "mistral": 1,
+    "llama3": 2, "llama32": 2,
+}
+
 
 def _mk_call(obj: Dict) -> Dict:
     return {
@@ -34,11 +42,19 @@ def _mk_call(obj: Dict) -> Dict:
     }
 
 
-def parse_tool_calls(text: str) -> Tuple[str, List[Dict]]:
-    """Returns (content_without_calls, tool_calls)."""
+def parse_tool_calls(
+    text: str, parser: Optional[str] = None
+) -> Tuple[str, List[Dict]]:
+    """Returns (content_without_calls, tool_calls). ``parser`` restricts
+    detection to one markup format (server --tool-call-parser); unknown or
+    unset names auto-detect across all formats."""
     calls: List[Dict] = []
     content = text
-    for pat in _PATTERNS:
+    if parser in _FORMAT_INDEX:
+        patterns = [_PATTERNS[_FORMAT_INDEX[parser]]]
+    else:
+        patterns = _PATTERNS
+    for pat in patterns:
         for m in pat.finditer(text):
             try:
                 obj = json.loads(m.group(1))

@@ -1,0 +1,72 @@
+"""Tool-call and reasoning parser flags.
+
+Reference: srt/function_call_parser.py:495 (FunctionCallParser with a
+--tool-call-parser format registry) and srt/reasoning_parser.py:121
+(--reasoning-parser splitting <think> chain-of-thought into
+message.reasoning_content, streaming-aware).
+"""
+
+from semi_pd_tpu.utils.function_call import parse_tool_calls
+from semi_pd_tpu.utils.reasoning_parser import ReasoningParser
+
+QWEN = 'before <tool_call>{"name": "get_weather", "arguments": {"city": "SF"}}</tool_call> after'
+MISTRAL = '[TOOL_CALLS] [{"name": "add", "arguments": {"a": 1, "b": 2}}]'
+LLAMA = '<|python_tag|>{"name": "search", "parameters": {"q": "tpu"}}'
+
+
+def test_tool_parser_auto_detect():
+    for text, name in ((QWEN, "get_weather"), (MISTRAL, "add"), (LLAMA, "search")):
+        content, calls = parse_tool_calls(text)
+        assert len(calls) == 1 and calls[0]["function"]["name"] == name
+
+
+def test_tool_parser_format_restriction():
+    # The right format parses...
+    _, calls = parse_tool_calls(MISTRAL, parser="mistral")
+    assert len(calls) == 1
+    # ...a mismatched format finds nothing (markup left in content).
+    content, calls = parse_tool_calls(MISTRAL, parser="qwen25")
+    assert calls == [] and "[TOOL_CALLS]" in content
+    _, calls = parse_tool_calls(QWEN, parser="llama3")
+    assert calls == []
+    # Unknown parser name falls back to auto-detect.
+    _, calls = parse_tool_calls(QWEN, parser="nonexistent")
+    assert len(calls) == 1
+
+
+def test_reasoning_parser_oneshot():
+    r, c = ReasoningParser("deepseek-r1").parse("<think>step 1</think>answer")
+    assert r == "step 1" and c == "answer"
+    # r1 templates often emit the opening tag themselves
+    r, c = ReasoningParser("deepseek-r1").parse("implicit cot</think>final")
+    assert r == "implicit cot" and c == "final"
+    # forced-reasoning model mid-thought (no closer yet): ALL reasoning —
+    # must agree with the streaming path
+    r, c = ReasoningParser("deepseek-r1").parse("still thinking")
+    assert r == "still thinking" and c == ""
+    # explicit-opener model without tags: plain content
+    r, c = ReasoningParser("qwen3").parse("just an answer")
+    assert r == "" and c == "just an answer"
+
+
+def test_reasoning_parser_streaming_matches_oneshot():
+    text = "<think>a long chain of thought</think>the actual answer"
+    for cut in range(1, len(text)):
+        p = ReasoningParser("qwen3")
+        r = c = ""
+        for delta in (text[:cut], text[cut:]):
+            rd, cd = p.parse_stream(delta)
+            r += rd
+            c += cd
+        assert "chain of thought" in r, cut
+        assert c == "the actual answer", cut
+        assert "</think" not in c and "<think>" not in c, cut
+
+
+def test_server_args_have_parser_flags():
+    from semi_pd_tpu.config.server_args import ServerArgs
+
+    a = ServerArgs(model_path="", random_weights=True,
+                   tool_call_parser="qwen25", reasoning_parser="deepseek-r1")
+    assert a.tool_call_parser == "qwen25"
+    assert a.reasoning_parser == "deepseek-r1"

@@ -45,11 +45,14 @@ GGML_Q4_0, GGML_Q4_1 = 2, 3
 GGML_Q5_0, GGML_Q5_1 = 6, 7
 GGML_Q8_0 = 8
 GGML_Q2_K, GGML_Q3_K, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K = 10, 11, 12, 13, 14
+GGML_IQ4_NL, GGML_IQ4_XS = 20, 23
 GGML_BF16 = 30
 _TYPE_NAMES = {
     0: "F32", 1: "F16", 2: "Q4_0", 3: "Q4_1", 6: "Q5_0", 7: "Q5_1",
     8: "Q8_0", 9: "Q8_1", 10: "Q2_K", 11: "Q3_K", 12: "Q4_K", 13: "Q5_K",
-    14: "Q6_K", 15: "Q8_K", 16: "IQ2_XXS", 30: "BF16",
+    14: "Q6_K", 15: "Q8_K", 16: "IQ2_XXS", 17: "IQ2_XS", 18: "IQ3_XXS",
+    19: "IQ1_S", 20: "IQ4_NL", 21: "IQ3_S", 22: "IQ2_S", 23: "IQ4_XS",
+    30: "BF16",
 }
 _BLOCK = {
     GGML_F32: (1, 4), GGML_F16: (1, 2), GGML_BF16: (1, 2),
@@ -58,7 +61,15 @@ _BLOCK = {
     # K-quants: 256-element superblocks
     GGML_Q2_K: (256, 84), GGML_Q3_K: (256, 110), GGML_Q4_K: (256, 144),
     GGML_Q5_K: (256, 176), GGML_Q6_K: (256, 210),
+    # IQ4: non-linear 4-bit codebook (block-32 NL, superblock-256 XS)
+    GGML_IQ4_NL: (32, 18), GGML_IQ4_XS: (256, 136),
 }
+
+# kvalues_iq4nl from public ggml-quants.c: the shared non-linear 4-bit
+# codebook for IQ4_NL / IQ4_XS
+_IQ4_VALUES = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10,
+     1, 13, 25, 38, 53, 69, 89, 113], dtype=np.float32)
 
 
 class _Cursor:
@@ -137,6 +148,27 @@ def _dequant(raw: np.ndarray, ggml_type: int, n_elems: int) -> np.ndarray:
         else:
             m = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
             out = d * q + m
+    elif ggml_type == GGML_IQ4_NL:
+        # block: d fp16, qs 16B nibble codebook indices (lo: elems 0..15)
+        d = blocks[:, :2].copy().view(np.float16).astype(np.float32)
+        qs = blocks[:, 2:]
+        lo = _IQ4_VALUES[qs & 0x0F]
+        hi = _IQ4_VALUES[qs >> 4]
+        out = d * np.concatenate([lo, hi], axis=1)
+    elif ggml_type == GGML_IQ4_XS:
+        # superblock: d fp16, scales_h u16 (2b/sub), scales_l 4B (4b/sub),
+        # qs 128B — 8 sub-blocks of 32 elems, 6-bit scale ls-32 each
+        d = blocks[:, :2].copy().view(np.float16).astype(np.float32)  # [B,1]
+        scales_h = blocks[:, 2:4].copy().view(np.uint16).astype(np.uint32)
+        scales_l = blocks[:, 4:8]                                     # [B,4]
+        qs = blocks[:, 8:].reshape(-1, 8, 16)                         # [B,8,16]
+        ib = np.arange(8)
+        ls = ((scales_l[:, ib // 2] >> (4 * (ib % 2))) & 0x0F) | (
+            ((scales_h >> (2 * ib)) & 3) << 4)                        # [B,8]
+        dl = d * (ls.astype(np.float32) - 32.0)                       # [B,8]
+        sub = np.concatenate(
+            [_IQ4_VALUES[qs & 0x0F], _IQ4_VALUES[qs >> 4]], axis=2)   # [B,8,32]
+        out = dl[:, :, None] * sub
     elif ggml_type in (GGML_Q2_K, GGML_Q3_K, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K):
         out = _dequant_k(blocks, ggml_type)
     else:  # pragma: no cover — guarded by caller
@@ -272,7 +304,8 @@ class GGUFFile:
             raise NotImplementedError(
                 f"GGUF tensor {name!r} uses encoding "
                 f"{_TYPE_NAMES.get(ttype, ttype)}; supported: F32, F16, BF16, "
-                f"Q8_0, Q4_0/1, Q5_0/1, Q2_K..Q6_K (IQ formats are not)"
+                f"Q8_0, Q4_0/1, Q5_0/1, Q2_K..Q6_K, IQ4_NL/XS "
+                f"(codebook IQ1/IQ2/IQ3 are not)"
             )
         n_elems = int(np.prod(dims))
         be, bb = _BLOCK[ttype]

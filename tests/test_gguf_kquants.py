@@ -11,6 +11,8 @@ import numpy as np
 import pytest
 
 from semi_pd_tpu.model_loader.gguf_reader import (
+    GGML_IQ4_NL,
+    GGML_IQ4_XS,
     GGML_Q2_K,
     GGML_Q3_K,
     GGML_Q4_K,
@@ -19,6 +21,7 @@ from semi_pd_tpu.model_loader.gguf_reader import (
     GGML_Q5_0,
     GGML_Q5_1,
     _BLOCK,
+    _IQ4_VALUES,
     _dequant,
 )
 
@@ -37,7 +40,33 @@ def _scale_min_k4(scales, j):
 
 
 def _scalar_dequant(block, t):
-    y = np.zeros(256 if t not in (GGML_Q5_0, GGML_Q5_1) else 32, np.float32)
+    y = np.zeros(
+        32 if t in (GGML_Q5_0, GGML_Q5_1, GGML_IQ4_NL) else 256, np.float32)
+    if t == GGML_IQ4_NL:
+        # ggml dequantize_row_iq4_nl
+        d = _f16(block, 0)
+        qs = block[2:18]
+        for j in range(16):
+            y[j] = d * _IQ4_VALUES[int(qs[j]) & 0x0F]
+            y[j + 16] = d * _IQ4_VALUES[int(qs[j]) >> 4]
+        return y
+    if t == GGML_IQ4_XS:
+        # ggml dequantize_row_iq4_xs
+        d = _f16(block, 0)
+        scales_h = int(np.frombuffer(bytes(block[2:4]), np.uint16)[0])
+        scales_l = block[4:8]
+        qs = block[8:136]
+        o = qo = 0
+        for ib in range(8):
+            ls = ((int(scales_l[ib // 2]) >> (4 * (ib % 2))) & 0x0F) | (
+                ((scales_h >> (2 * ib)) & 3) << 4)
+            dl = d * (ls - 32)
+            for j in range(16):
+                y[o + j] = dl * _IQ4_VALUES[int(qs[qo + j]) & 0x0F]
+                y[o + j + 16] = dl * _IQ4_VALUES[int(qs[qo + j]) >> 4]
+            o += 32
+            qo += 16
+        return y
     if t == GGML_Q5_0:
         d = _f16(block, 0)
         qh = int(np.frombuffer(bytes(block[2:6]), np.uint32)[0])
@@ -173,7 +202,8 @@ def _scalar_dequant(block, t):
 
 
 @pytest.mark.parametrize("t", [GGML_Q5_0, GGML_Q5_1, GGML_Q2_K, GGML_Q3_K,
-                               GGML_Q4_K, GGML_Q5_K, GGML_Q6_K])
+                               GGML_Q4_K, GGML_Q5_K, GGML_Q6_K,
+                               GGML_IQ4_NL, GGML_IQ4_XS])
 def test_vectorized_matches_scalar(t):
     be, bb = _BLOCK[t]
     rng = np.random.default_rng(t)

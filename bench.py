@@ -174,12 +174,19 @@ def run_serving_sim(eng, n_reqs, rate, prompt_len, out_len, seed=0,
     }
 
 
-def goodput(res, ttft_slo, tpot_slo):
-    """Completed (non-aborted) requests meeting BOTH the TTFT and the TPOT
-    SLO, per second (reference bench_serving.py goodput over its SLO flags).
-    TPOT = (last - first delivery)/(n-1): with fused-readback BURST delivery
-    a raw inter-arrival p95 just measures the flush cycle, not what a client
-    experiences over the stream."""
+def goodput(res, ttft_slo, itl_slo):
+    """Completed (non-aborted) requests meeting BOTH the TTFT SLO and an
+    interactivity SLO, per second (reference bench_serving.py goodput over
+    its ttft/tpot/itl SLO flags). Interactivity = per-request p90 of the
+    inter-DELIVERY gaps: with fused-readback burst delivery the stream
+    arrives depth tokens at a time, so the gaps a client sees are flush
+    cycles — a prefill stall shows up as one outsized gap. p90 (not max)
+    forgives a single tunnel-latency spike but fails a request whose decode
+    repeatedly stalls behind monolithic prefills — the isolation property
+    semi-PD exists to provide. Mean TPOT is reported in summarize() but no
+    longer gates: it averages stalls away (round-2 postmortem: colocated
+    passed a 159ms mean-TPOT gate while freezing streams for ~190ms on
+    every prefill)."""
     from semi_pd_tpu.runtime.req import FinishReason
 
     ok = 0
@@ -188,8 +195,9 @@ def goodput(res, ttft_slo, tpot_slo):
         if len(ts) < 2 or not r.finished or r.finish_reason is FinishReason.ABORT:
             continue
         ttft = ts[0] - res["arrivals"][i]
-        tpot = (ts[-1] - ts[0]) / max(len(ts) - 1, 1)
-        if ttft <= ttft_slo and tpot <= tpot_slo:
+        gaps = np.diff(ts)
+        stall = float(np.percentile(gaps, 90))
+        if ttft <= ttft_slo and stall <= itl_slo:
             ok += 1
     return ok / res["wall_s"]
 
@@ -242,7 +250,12 @@ def main():
     # SLO scale when a chunk carries several thousand tokens.
     prompt_len = int(os.environ.get("BENCH_PROMPT", "3584"))
     out_len = int(os.environ.get("BENCH_OUT", "64"))
-    ttft_slo = float(os.environ.get("BENCH_TTFT_SLO", "1.0"))
+    # TTFT gate: fixed via env, else derived from the idle single-request
+    # prefill latency measured after warmup (the achievable floor through
+    # THIS attachment): a fixed 1s gate fails every request of both modes
+    # when the tunnel adds ~44ms per flush cycle (round-2 observation).
+    ttft_env = os.environ.get("BENCH_TTFT_SLO")
+    ttft_slo = float(ttft_env) if ttft_env else 1.0
     # ITL gate: fixed via env, else derived from the calibrated device speed
     # (3x the saturated-burst median ITL) — the attachment's step time
     # varies 13-60ms run to run, so a fixed gate is meaningless.
@@ -337,6 +350,22 @@ def main():
                          sampling_params=sp_w)
         log(f"compile warmup {time.monotonic()-t0:.1f}s; {remaining():.0f}s left")
 
+        # Idle single-request first-token latency: the achievable TTFT floor
+        # (one full prefill + one readback, nothing else running).
+        state["phase"] = "ttft_floor"
+        assert eng.flush_cache()
+        sp_1 = SamplingParams(max_new_tokens=1, temperature=0.0, ignore_eos=True)
+        t0 = time.monotonic()
+        eng.generate(input_ids=[list(range(100, 100 + prompt_len))],
+                     sampling_params=sp_1)
+        t_pf = time.monotonic() - t0
+        if not ttft_env:
+            # Meetable when admission is prompt (a fresh request starts its
+            # prefill within ~a few service quanta), failed when it queues
+            # behind a monolithic prefill or a decode-starved scheduler.
+            ttft_slo = max(1.0, 6.0 * t_pf)
+        log(f"idle single-prefill {t_pf*1e3:.0f}ms -> TTFT gate {ttft_slo:.2f}s")
+
         # Calibrate service capacity with a short saturated burst (requests
         # all arrive at t=0), then pick an open-loop operating point at
         # ~70% utilization so scheduler differences are visible.
@@ -355,19 +384,29 @@ def main():
             f"({cal['out_tok_s']:.0f} tok/s, wall {cal['wall_s']:.1f}s, "
             f"done {cal['n_done']})")
         if not itl_env:
-            # TPOT gate: 1.5x the decode SLO the semi-PD controller
-            # promises, floored at 2x the device's own saturated TPOT so a
-            # degraded attachment doesn't zero both schedulers.
+            # Interactivity gate in CYCLE units (goodput gates per-request
+            # p90 delivery gap): prefill may at most double the pure decode
+            # flush cycle (readback + depth decode steps, learned by the
+            # scheduler during calibration). Floored at 1.5x the decode SLO
+            # so a degraded attachment doesn't zero both schedulers.
             slo_s = float(os.environ.get("BENCH_SLO_MS", "50")) / 1e3
-            cal_tpot = float(np.percentile(_tpots(cal), 50))
-            itl_slo = max(1.5 * slo_s, 2.0 * cal_tpot)
-            log(f"derived TPOT gate: {itl_slo*1e3:.0f}ms "
-                f"(cal tpot p50 {cal_tpot*1e3:.0f}ms)")
-        rate = float(os.environ.get("BENCH_RATE", 0.0)) or 0.7 * cap_rps
-        # Arrivals span <= ~60% of the per-pass budget; >=40 reqs for stats.
-        pass_budget = max(30.0, min(60.0, (remaining() - 20) / 2.2))
+            s = eng.scheduler
+            pure_cycle = s._readback_cost + max(s.overlap_depth, 1) * s._decode_cost
+            itl_slo = max(2.0 * pure_cycle, 1.5 * slo_s)
+            log(f"derived stall gate: {itl_slo*1e3:.0f}ms (pure decode cycle "
+                f"{pure_cycle*1e3:.0f}ms, cal tpot p50 "
+                f"{float(np.percentile(_tpots(cal), 50))*1e3:.0f}ms)")
+        # 0.9x capacity: enough load that prefills and decodes genuinely
+        # overlap (at 0.7x with multi-second service times concurrency was
+        # ~0.7 — the schedulers had nothing to disagree about), while still
+        # nominally stable so the queue drains.
+        rate = float(os.environ.get("BENCH_RATE", 0.0)) or 0.9 * cap_rps
+        pass_budget = max(30.0, min(90.0, (remaining() - 20) / 2.2))
+        # Arrivals must FIT the pass (round-2 postmortem: a 40-req floor at
+        # 0.19 req/s spanned 210s of arrivals in a 30s pass — only the first
+        # 8 were served and goodput compared truncation artifacts).
         n_reqs = int(os.environ.get("BENCH_REQS", 0)) or int(
-            min(200, max(40, rate * pass_budget * 0.6)))
+            min(200, max(8, rate * pass_budget * 0.8)))
         log(f"operating point: rate={rate:.2f} req/s n={n_reqs} "
             f"pass_budget={pass_budget:.0f}s")
 

@@ -150,6 +150,12 @@ class Scheduler:
         # tunneled TPU attachments — reading per-step would dominate the
         # ~13ms step itself).
         self._ring: List[_RingEntry] = []
+        # Extend entries held across one flush: their results (a sampled
+        # token on final chunks only) are latency-insensitive, and reading
+        # them with the decode tokens would make the blocking readback WAIT
+        # for the chunk's device time. Held, the chunk executes under the
+        # readback's D2H latency instead (split flush).
+        self._held: List[_RingEntry] = []
         self._last_decode = None  # (hb, dev_tokens) of newest in-flight decode
         self._decode_lag = 0  # in-flight decode steps ahead of host kv state
         self._cycle_t0 = None  # dispatch time of the cycle's first entry
@@ -231,13 +237,15 @@ class Scheduler:
 
     def has_work(self) -> bool:
         return bool(
-            self.waiting or self.running or self._ring or self._refill_parked
+            self.waiting or self.running or self._ring or self._held
+            or self._refill_parked
         )
 
     def drain(self) -> None:
         """Read back any in-flight steps whose requests have all finished
         (their results are discards). Makes an idle scheduler truly idle."""
-        if self._ring and not (self.running or self.waiting or self._refill_parked):
+        if (self._ring or self._held) and not (
+                self.running or self.waiting or self._refill_parked):
             self._flush_ring()
 
     def finish_stream_req(self, req: Req) -> None:
@@ -294,6 +302,10 @@ class Scheduler:
         extend = self._form_extend_batch(budget)
         if extend is not None:
             out += self._run_extend(extend)
+        if not out and not extend and self._held and not (
+                self.running or self._ring):
+            # held extends are the only work left: drain them
+            out += self._flush_ring()
         return out
 
     def _prefill_chunk_budget(self) -> int:
@@ -332,8 +344,14 @@ class Scheduler:
         # attribution drove it to 91ms -> 16-token chunks -> ever-smaller
         # cycles confirming the bad estimate — a starvation spiral).
         ovh = min(self._prefill_overhead, 0.25 * budget_time)
+        # Split-flush overlap: the cycle's one blocking readback executes
+        # the held extend chunk on-device underneath the D2H latency — that
+        # window is free prefill time. Credit its per-tick share on top of
+        # the visible-time budget.
+        hidden = (self._readback_cost / depth) if self.enable_overlap else 0.0
         tokens = int(
-            (budget_time - ovh) / max(self._prefill_cost_per_token, 1e-9)
+            (budget_time - ovh + hidden)
+            / max(self._prefill_cost_per_token, 1e-9)
         )
         tokens = (tokens // self.page_size) * self.page_size
         # Minimum one page per tick: prefill always makes progress.
@@ -631,7 +649,7 @@ class Scheduler:
         depth. Returns tokens produced by the flush (possibly none)."""
         out = []
         if len(self._ring) >= self.overlap_depth:
-            out = self._flush_ring()
+            out = self._flush_ring(hold_extends=True)
             self._note_dispatch()
             if e.kind == "decode":
                 # e was chained before the flush and stays in flight: it is
@@ -641,12 +659,27 @@ class Scheduler:
         self._ring.append(e)
         return out
 
-    def _flush_ring(self) -> List[Tuple[Req, int]]:
-        """Read back every in-flight step in ONE fused D2H transfer and
-        process results in dispatch order."""
-        if not self._ring:
+    def _flush_ring(self, hold_extends: bool = False) -> List[Tuple[Req, int]]:
+        """Read back in-flight steps in ONE fused D2H transfer and process
+        results in dispatch order.
+
+        With hold_extends (the depth-triggered flush on the overlap hot
+        path), this cycle's extend entries are NOT read: their device work
+        then executes underneath the blocking readback's D2H latency instead
+        of serializing into it, and their results (latency-insensitive — a
+        sampled token on final chunks only) drain at the next flush. All
+        other call sites fully drain, including previously held entries."""
+        if not (self._ring or self._held):
             return []
-        entries, self._ring = self._ring, []
+        ring, self._ring = self._ring, []
+        entries = self._held + ring
+        self._held = []
+        if hold_extends:
+            tail = [e for e in ring if e.kind == "extend"]
+            if tail and len(tail) < len(entries):
+                self._held = tail
+                held_ids = {id(e) for e in tail}
+                entries = [e for e in entries if id(e) not in held_ids]
         self._last_decode = None
         self._decode_lag = 0
         t_read0 = time.monotonic()

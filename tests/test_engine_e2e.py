@@ -142,8 +142,10 @@ def test_forced_retraction_fault_injection(hf_model, monkeypatch):
     eng = _mk_engine(hf_model, disable_radix_cache=True)
     rng = np.random.default_rng(17)
     prompts = [rng.integers(0, 256, size=12).tolist() for _ in range(4)]
-    want = [_hf_greedy(hf_model, p, 10) for p in prompts]
-    sp = SamplingParams(max_new_tokens=10, temperature=0.0, ignore_eos=True)
+    # 24 tokens: keeps running>1 long enough for all 3 injections even with
+    # the split flush (requests join `running` one flush later).
+    want = [_hf_greedy(hf_model, p, 24) for p in prompts]
+    sp = SamplingParams(max_new_tokens=24, temperature=0.0, ignore_eos=True)
     outs = eng.generate(input_ids=prompts, sampling_params=sp)
     assert eng.scheduler.n_retracted >= 3
     for o, w in zip(outs, want):
@@ -166,3 +168,38 @@ def test_stop_conditions(hf_model):
     assert out["output_ids"] == want[:5]
     assert out["meta_info"]["finish_reason"] == "stop_token"
     eng.scheduler.check_memory()
+
+
+def test_split_flush_holds_extends(hf_model):
+    """Split flush: the depth-triggered flush must HOLD extend entries (so
+    the blocking decode readback never waits on a prefill chunk's device
+    time — the chunk executes under the D2H latency) and drain them at the
+    next flush, with greedy parity and memory invariants intact."""
+    eng = _mk_engine(
+        hf_model, enable_semi_pd=True, chunked_prefill_size=32,
+        disable_radix_cache=True,
+    )
+    s = eng.scheduler
+    held_seen = []
+    orig = s._flush_ring
+
+    def spy(hold_extends=False):
+        out = orig(hold_extends=hold_extends)
+        held_seen.append(len(s._held))
+        return out
+
+    s._flush_ring = spy
+    rng = np.random.default_rng(11)
+    # One short prompt reaches decode fast; long prompts keep 32-token
+    # chunks streaming through the same flush cycles.
+    prompts = [rng.integers(0, 256, size=n).tolist() for n in (12, 200, 180)]
+    want = [_hf_greedy(hf_model, p, 12) for p in prompts]
+    sp = SamplingParams(max_new_tokens=12, temperature=0.0, ignore_eos=True)
+    outs = eng.generate(input_ids=prompts, sampling_params=sp)
+    assert max(held_seen) >= 1, "mixed cycles should exercise the held path"
+    assert held_seen[-1] == 0, "held extends must drain by completion"
+    for o, w in zip(outs, want):
+        assert o["output_ids"] == w
+    s.drain()  # a stale in-flight decode of finished reqs may remain
+    assert not s._held and not s._ring
+    s.check_memory()

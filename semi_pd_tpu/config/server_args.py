@@ -59,7 +59,13 @@ class ServerArgs:
     max_prefill_tokens: int = 16384
 
     # Scheduling
-    schedule_policy: str = "lpm"  # lpm | fcfs | lof | random | dfs-weight
+    schedule_policy: str = "lpm"
+    # Reference --num-continuous-decode-steps: decode iterations per
+    # scheduler loop; aliased onto overlap_depth (see __post_init__)
+    num_continuous_decode_steps: Optional[int] = None
+    # Reference --is-embedding: serve pooling/encode only; generation
+    # entry points reject
+    is_embedding: bool = False  # lpm | fcfs | lof | random | dfs-weight
     disable_overlap_schedule: bool = False  # overlap decode pipeline
     # In-flight step pipeline depth: results are read back in one fused
     # device->host transfer every `overlap_depth` steps. Device->host reads
@@ -205,6 +211,11 @@ class ServerArgs:
             self.tokenizer_path = self.model_path
         if self.served_model_name is None:
             self.served_model_name = self.model_path
+        if self.num_continuous_decode_steps is not None:
+            # Reference --num-continuous-decode-steps = N decode iterations
+            # per scheduler loop; TPU-native equivalent is the in-flight
+            # ring depth (N async steps per blocking readback).
+            self.overlap_depth = max(1, int(self.num_continuous_decode_steps))
 
         if self.dp_size > 1 and self.enable_semi_pd:
             # Unlike the reference (server_args.py:1163-1164 forbids multi-node

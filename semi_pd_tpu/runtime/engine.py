@@ -301,6 +301,10 @@ class Engine:
         image_data=None,
     ) -> Union[Dict, List[Dict]]:
         """Synchronous batch generation (reference engine.py:122 generate)."""
+        if self.server_args.is_embedding:
+            raise ValueError(
+                "engine is in embedding mode (--is-embedding); use encode()"
+            )
         sp = sampling_params
         mnt = sp.get("max_new_tokens") if isinstance(sp, dict) else getattr(sp, "max_new_tokens", None)
         if return_logprob and mnt == 0:

@@ -174,3 +174,27 @@ def test_skip_tokenizer_init():
     sp = SamplingParams(max_new_tokens=2, temperature=0.0, ignore_eos=True)
     out = eng.generate(input_ids=[1, 2, 3], sampling_params=sp)
     assert len(out["output_ids"]) == 2
+
+
+def test_is_embedding_rejects_generation():
+    """--is-embedding serves pooling only (reference server_args is_embedding
+    + engine embedding mode): generate raises, encode works."""
+    eng = _engine(is_embedding=True)
+    sp = SamplingParams(max_new_tokens=4, temperature=0.0, ignore_eos=True)
+    with pytest.raises(ValueError, match="embedding mode"):
+        eng.generate(input_ids=[1, 2, 3], sampling_params=sp)
+    vecs = eng.encode(input_ids=[1, 2, 3, 4])
+    assert len(vecs) == 64  # hidden_size vector
+    eng.scheduler.check_memory()
+
+
+def test_num_continuous_decode_steps_alias():
+    """--num-continuous-decode-steps maps onto the in-flight ring depth
+    (reference: N decode iterations per scheduler loop)."""
+    eng = _engine(num_continuous_decode_steps=2)
+    assert eng.server_args.overlap_depth == 2
+    assert eng.scheduler.overlap_depth == 2
+    sp = SamplingParams(max_new_tokens=6, temperature=0.0, ignore_eos=True)
+    out = eng.generate(input_ids=[5, 6, 7], sampling_params=sp)
+    assert len(out["output_ids"]) == 6
+    eng.scheduler.check_memory()

@@ -60,6 +60,9 @@ class ServerArgs:
 
     # Scheduling
     schedule_policy: str = "lpm"
+    # Reference --enable-mixed-chunk: colocated ticks run decode alongside
+    # the prefill chunk (ForwardMode.MIXED analog; see _tick_colocated)
+    enable_mixed_chunk: bool = False
     # Reference --num-continuous-decode-steps: decode iterations per
     # scheduler loop; aliased onto overlap_depth (see __post_init__)
     num_continuous_decode_steps: Optional[int] = None

@@ -281,10 +281,20 @@ class Scheduler:
 
     def _tick_colocated(self) -> List[Tuple[Req, int]]:
         """Reference event_loop_normal: run a prefill batch when one can form,
-        else a decode batch — a long prefill stalls decode for its duration."""
+        else a decode batch — a long prefill stalls decode for its duration.
+
+        With --enable-mixed-chunk (reference ForwardMode.MIXED folds decodes
+        into the chunked-prefill forward, schedule_batch.py mix_with_running)
+        the tick ALSO runs the decode step alongside the chunk: same
+        user-visible effect — decode keeps flowing through long prefills at
+        full chunk size — via two pipelined dispatches per tick instead of
+        one padded fused batch, which would pollute the decode shape buckets."""
         extend = self._form_extend_batch(self.args.chunked_prefill_size)
         if extend is not None:
-            return self._run_extend(extend)
+            out = []
+            if self.args.enable_mixed_chunk and (self.running or self._ring):
+                out += self._run_decode()
+            return out + self._run_extend(extend)
         if self.running or self._ring:
             return self._run_decode()
         return self._flush_ring()

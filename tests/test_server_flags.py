@@ -198,3 +198,45 @@ def test_num_continuous_decode_steps_alias():
     out = eng.generate(input_ids=[5, 6, 7], sampling_params=sp)
     assert len(out["output_ids"]) == 6
     eng.scheduler.check_memory()
+
+
+@pytest.mark.parametrize("mixed", [False, True])
+def test_enable_mixed_chunk_interleaves_decode(mixed):
+    """--enable-mixed-chunk: colocated ticks run decode alongside each
+    prefill chunk (reference ForwardMode.MIXED / mix_with_running), so a
+    running stream keeps producing while a long prompt prefills; without
+    the flag the reference event_loop_normal stalls decode for the whole
+    prefill."""
+    eng = _engine(
+        chunked_prefill_size=8, enable_mixed_chunk=mixed,
+        disable_radix_cache=True, context_length=512,
+    )
+    s = eng.scheduler
+    sp = SamplingParams(max_new_tokens=40, temperature=0.0, ignore_eos=True)
+    short = eng.make_request(input_ids=[1, 2, 3, 4], sampling_params=sp)
+    s.add_request(short)
+    # let the short request finish prefill and start decoding
+    while len(short.output_ids) < 3:
+        s.tick()
+    rng = np.random.default_rng(9)
+    long_req = eng.make_request(
+        input_ids=rng.integers(0, 128, size=120).tolist(),
+        sampling_params=SamplingParams(
+            max_new_tokens=2, temperature=0.0, ignore_eos=True),
+    )
+    s.add_request(long_req)
+    produced_during_prefill = 0
+    while long_req.prefilled_len < long_req.prompt_len:
+        for req, tok in s.tick():
+            if req is short and tok >= 0:
+                produced_during_prefill += 1
+    if mixed:
+        assert produced_during_prefill >= 5, "decode must flow through prefill"
+    else:
+        # event_loop_normal semantics: at most the in-flight ring drains
+        assert produced_during_prefill <= s.overlap_depth + 1
+    # drive everything to completion; memory must balance
+    while s.has_work():
+        s.tick()
+    assert len(short.output_ids) == 40
+    eng.scheduler.check_memory()

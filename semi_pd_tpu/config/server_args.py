@@ -59,7 +59,7 @@ class ServerArgs:
     max_prefill_tokens: int = 16384
 
     # Scheduling
-    schedule_policy: str = "lpm"
+    schedule_policy: str = "lpm"  # lpm | fcfs | lof | random | dfs-weight
     # Reference --enable-mixed-chunk: colocated ticks run decode alongside
     # the prefill chunk (ForwardMode.MIXED analog; see _tick_colocated)
     enable_mixed_chunk: bool = False
@@ -68,7 +68,7 @@ class ServerArgs:
     num_continuous_decode_steps: Optional[int] = None
     # Reference --is-embedding: serve pooling/encode only; generation
     # entry points reject
-    is_embedding: bool = False  # lpm | fcfs | lof | random | dfs-weight
+    is_embedding: bool = False
     disable_overlap_schedule: bool = False  # overlap decode pipeline
     # In-flight step pipeline depth: results are read back in one fused
     # device->host transfer every `overlap_depth` steps. Device->host reads
@@ -78,6 +78,17 @@ class ServerArgs:
     # (tp_worker_overlap_thread.py). Raises per-token delivery delay by up
     # to depth steps; EOS overshoot wastes at most depth-1 steps.
     overlap_depth: int = 4
+    # Adaptive ring depth (the default): every flush the scheduler re-sizes
+    # the ring toward ceil(readback_cost / step_cost) — on tunneled TPU
+    # attachments the fixed D2H latency (~45ms measured) dwarfs a ~1ms decode
+    # step, so a static depth of 4 leaves the device idle most of the cycle —
+    # clamped to [overlap_depth, max_overlap_depth] and to max_stall_ms.
+    # Disabled automatically when --num-continuous-decode-steps pins a depth.
+    adaptive_overlap_depth: bool = True
+    max_overlap_depth: int = 64
+    # Bound on one flush cycle (the client-visible token-burst gap: results
+    # are delivered depth tokens at a time). None = 4 x decode_slo_ms.
+    max_stall_ms: Optional[float] = None
     schedule_conservativeness: float = 1.0
     chunked_prefill_size: int = 2048
     disable_radix_cache: bool = False
@@ -214,11 +225,22 @@ class ServerArgs:
             self.tokenizer_path = self.model_path
         if self.served_model_name is None:
             self.served_model_name = self.model_path
+        if self.tool_call_parser is not None:
+            # Reference FunctionCallParser raises on an unregistered parser
+            # name; a typo must not silently widen to auto-detection.
+            from semi_pd_tpu.utils.function_call import _FORMAT_INDEX
+
+            if self.tool_call_parser not in _FORMAT_INDEX:
+                raise ValueError(
+                    f"unknown --tool-call-parser {self.tool_call_parser!r}; "
+                    f"known: {sorted(_FORMAT_INDEX)}"
+                )
         if self.num_continuous_decode_steps is not None:
             # Reference --num-continuous-decode-steps = N decode iterations
             # per scheduler loop; TPU-native equivalent is the in-flight
             # ring depth (N async steps per blocking readback).
             self.overlap_depth = max(1, int(self.num_continuous_decode_steps))
+            self.adaptive_overlap_depth = False  # user pinned the depth
 
         if self.dp_size > 1 and self.enable_semi_pd:
             # Unlike the reference (server_args.py:1163-1164 forbids multi-node
@@ -293,7 +315,13 @@ class ServerArgs:
         for f in dataclasses.fields(ServerArgs):
             name = "--" + f.name.replace("_", "-")
             if f.type == "bool" or f.type is bool:
-                parser.add_argument(name, action="store_true", default=f.default)
+                if f.default:  # default-True bools need --no-<flag> to unset
+                    parser.add_argument(
+                        name, action=argparse.BooleanOptionalAction,
+                        default=f.default)
+                else:
+                    parser.add_argument(name, action="store_true",
+                                        default=f.default)
             elif f.name in ("decode_bs_buckets", "prefill_token_buckets", "lora_paths"):
                 parser.add_argument(name, type=str, default=None)
             else:

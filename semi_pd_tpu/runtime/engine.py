@@ -140,6 +140,14 @@ class Engine:
         if isinstance(sampling_params, dict):
             sampling_params = SamplingParams.from_dict(sampling_params)
         sampling_params = sampling_params or SamplingParams()
+        if self.server_args.is_embedding and sampling_params.max_new_tokens:
+            # Shared gate for sync Engine.generate AND AsyncEngine/HTTP
+            # generation handlers (reference tokenizer_manager rejects
+            # generation on an --is-embedding server); encode()/score()
+            # requests carry max_new_tokens=0 and pass.
+            raise ValueError(
+                "engine is in embedding mode (--is-embedding); use encode()"
+            )
         if input_ids is None:
             assert prompt is not None and self.tokenizer is not None
             input_ids = self.tokenizer.encode(prompt)

@@ -163,6 +163,18 @@ class Scheduler:
         self.enable_overlap = not server_args.disable_overlap_schedule
         if not self.enable_overlap:
             self.overlap_depth = 1
+        # Adaptive ring depth: the static default (4) was tuned for one
+        # attachment; the measured readback/step ratio varies 50x between a
+        # local CPU device (~0 readback) and a tunneled TPU (~45ms readback,
+        # ~1ms steps). _adapt_depth re-sizes after each accounted cycle.
+        self._depth_floor = self.overlap_depth
+        self._adaptive_depth = (
+            server_args.adaptive_overlap_depth and self.enable_overlap
+        )
+        self._max_stall_s = (
+            server_args.max_stall_ms / 1e3 if server_args.max_stall_ms
+            else 4.0 * server_args.decode_slo_ms / 1e3
+        )
         # Speculative decoding (NGRAM: runtime/speculative.py; EAGLE:
         # speculative/eagle.py fused program)
         self.spec_algo = server_args.speculative_algorithm
@@ -658,7 +670,7 @@ class Scheduler:
         """Append to the in-flight ring, flushing first if the ring is at
         depth. Returns tokens produced by the flush (possibly none)."""
         out = []
-        if len(self._ring) >= self.overlap_depth:
+        if len(self._ring) >= self._ring_target():
             out = self._flush_ring(hold_extends=True)
             self._note_dispatch()
             if e.kind == "decode":
@@ -704,6 +716,9 @@ class Scheduler:
             # cost to decode and starved the chunk budget.
             self._account_costs(entries, now - self._cycle_t0)
         self._cycle_t0 = None
+        # Mixed cycles never reach the decode-only accounting branch, but
+        # the readback estimate refreshed above is reason enough to re-size.
+        self._adapt_depth()
         out = []
         for e, t_np, l_np in zip(entries, toks_np, lps_np):
             if e.kind == "decode":
@@ -732,6 +747,7 @@ class Scheduler:
                 self._decode_cost,
                 max(dt - self._readback_cost, 1e-4) / max(n_dec, 1),
             )
+            self._adapt_depth()
             return
         if not exts:
             return
@@ -753,6 +769,39 @@ class Scheduler:
             self._prefill_overhead = self._ewma(
                 self._prefill_overhead, max(ovh, 0.0)
             )
+
+    def _adapt_depth(self) -> None:
+        """Re-size the in-flight ring to the measured attachment.
+
+        Target depth = ceil(readback / step): enough in-flight steps that the
+        fixed D2H latency is amortized to <= half of a decode-only cycle
+        (readback + depth * step). Capped by the stall bound — one flush
+        cycle IS the client-visible token-burst gap, so it may not exceed
+        max_stall_ms — by max_overlap_depth, and slew-limited to 2x per
+        adjustment so one stalled readback cannot explode the ring."""
+        if not self._adaptive_depth:
+            return
+        step = max(self._decode_cost, 1e-5)
+        want = -(-self._readback_cost // step)  # ceil
+        stall_cap = (self._max_stall_s - self._readback_cost) / step
+        want = min(want, stall_cap, float(self.args.max_overlap_depth),
+                   2.0 * self.overlap_depth)
+        floor = min(self._depth_floor, self.args.max_overlap_depth)
+        self.overlap_depth = max(int(want), floor, 1)
+
+    def _ring_target(self) -> int:
+        """Flush threshold for the ring: the adaptive depth, capped by the
+        largest number of decode tokens any running request still needs —
+        steps past every request's budget are pure waste (EOS/length
+        overshoot is bounded by the ring depth)."""
+        d = max(self.overlap_depth, 1)
+        if self.running:
+            rem = max(
+                (r.sampling_params.max_new_tokens or d) - len(r.output_ids)
+                for r in self.running
+            )
+            d = max(1, min(d, rem))
+        return d
 
     # ================================================================ decode
     def _run_decode(self) -> List[Tuple[Req, int]]:

@@ -51,6 +51,19 @@ class ReasoningParser:
             return text.strip(), ""
         return "", text
 
+    def flush(self) -> Tuple[str, str]:
+        """Drain the partial-tag holdback at end of stream. The holdback in
+        parse_stream withholds up to ``len(tag)-1`` trailing characters while
+        they could still be a tag prefix; once the stream is over they are
+        ordinary text and must be emitted (as reasoning if still inside the
+        think span, content otherwise)."""
+        out, self._buf = self._buf, ""
+        if not out:
+            return "", ""
+        if self._in_reasoning:
+            return out.replace(self.start_tag, ""), ""
+        return "", out
+
     def parse_stream(self, delta: str) -> Tuple[str, str]:
         """Feed a streamed delta; returns (reasoning_delta, content_delta)."""
         self._buf += delta

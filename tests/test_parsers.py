@@ -70,3 +70,31 @@ def test_server_args_have_parser_flags():
                    tool_call_parser="qwen25", reasoning_parser="deepseek-r1")
     assert a.tool_call_parser == "qwen25"
     assert a.reasoning_parser == "deepseek-r1"
+
+
+def test_reasoning_parser_flush_drains_partial_tag_holdback():
+    # Stream output ending in a possible tag prefix: the holdback withholds
+    # it; flush() must emit the residue (ADVICE r2: truncated "<", "<t", ...)
+    p = ReasoningParser("qwen3")
+    r, c = p.parse_stream("answer ends with <t")
+    assert c == "answer ends with "
+    rf, cf = p.flush()
+    assert rf == "" and cf == "<t"
+    # inside reasoning: residue goes to reasoning_content
+    p = ReasoningParser("deepseek-r1")
+    r, c = p.parse_stream("thinking </th")
+    assert r == "thinking "
+    rf, cf = p.flush()
+    assert rf == "</th" and cf == ""
+    # nothing held back -> nothing emitted
+    assert p.flush() == ("", "")
+
+
+def test_unknown_tool_call_parser_rejected_at_server_args():
+    import pytest
+
+    from semi_pd_tpu.config.server_args import ServerArgs
+
+    with pytest.raises(ValueError, match="tool-call-parser"):
+        ServerArgs(model_path="", random_weights=True,
+                   tool_call_parser="llama")  # typo for llama3/llama32

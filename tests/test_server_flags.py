@@ -183,6 +183,13 @@ def test_is_embedding_rejects_generation():
     sp = SamplingParams(max_new_tokens=4, temperature=0.0, ignore_eos=True)
     with pytest.raises(ValueError, match="embedding mode"):
         eng.generate(input_ids=[1, 2, 3], sampling_params=sp)
+    # make_request is the gate shared with AsyncEngine/HTTP generation
+    # (ADVICE r2: async path bypassed the sync-only check)
+    with pytest.raises(ValueError, match="embedding mode"):
+        eng.make_request(input_ids=[1, 2, 3], sampling_params=sp)
+    # --is-embedding propagates into ModelConfig so pooling takes effect
+    # (reference tokenizer_manager.py:176)
+    assert eng.runner.model_config.is_embedding
     vecs = eng.encode(input_ids=[1, 2, 3, 4])
     assert len(vecs) == 64  # hidden_size vector
     eng.scheduler.check_memory()

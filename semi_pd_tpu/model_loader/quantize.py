@@ -32,7 +32,7 @@ QUANT_LEAF_NAMES = {
 }
 
 
-def _quant_one(w: jax.Array, method: str):
+def _quant_one(w: jax.Array, method: str, group_size: int = 0):
     """Quantize a [.., din, dout] weight (leading dims = stacked layers)."""
     lead = w.shape[:-2]
     w2 = w.reshape((-1,) + w.shape[-2:])
@@ -47,6 +47,28 @@ def _quant_one(w: jax.Array, method: str):
         wq = jnp.clip(
             jnp.round(w2.astype(jnp.float32) / ws[:, None, :]), -127, 127
         ).astype(jnp.int8)
+    elif method == "awq_int4":
+        # Asymmetric group int4 (the serving format for AWQ/GPTQ
+        # checkpoints — re-grouping an exactly-group-quantized tensor at the
+        # same group size is lossless). Leaves match _awq_int4_matmul:
+        # w int8 values 0..15, ws/wz [din/g, dout].
+        din = w2.shape[1]
+        g = group_size or 128
+        while din % g:
+            g //= 2
+        wg = w2.reshape(w2.shape[0], din // g, g, -1).astype(jnp.float32)
+        wmin = jnp.min(wg, axis=2)
+        wmax = jnp.max(wg, axis=2)
+        ws = jnp.maximum((wmax - wmin) / 15.0, 1e-12)
+        wz = jnp.clip(jnp.round(-wmin / ws), 0, 15)
+        wq = jnp.clip(
+            jnp.round(wg / ws[:, :, None, :]) + wz[:, :, None, :], 0, 15
+        ).astype(jnp.int8).reshape(w2.shape)
+        return (
+            wq.reshape(lead + wq.shape[1:]),
+            ws.reshape(lead + ws.shape[1:]).astype(jnp.float32),
+            wz.reshape(lead + wz.shape[1:]).astype(jnp.int8),
+        )
     else:
         raise ValueError(f"unknown quantization {method!r}")
     return (
@@ -55,7 +77,9 @@ def _quant_one(w: jax.Array, method: str):
     )
 
 
-def quantize_params(params: Dict[str, Any], method: str) -> Dict[str, Any]:
+def quantize_params(
+    params: Dict[str, Any], method: str, group_size: int = 0
+) -> Dict[str, Any]:
     n_quant = [0]
 
     def rec(node, name):
@@ -66,12 +90,15 @@ def quantize_params(params: Dict[str, Any], method: str) -> Dict[str, Any]:
                 and getattr(node["w"], "ndim", 0) >= 2
                 and node["w"].dtype in (jnp.bfloat16, jnp.float32, jnp.float16)
             ):
-                wq, ws = jax.jit(_quant_one, static_argnums=1, donate_argnums=0)(
-                    node["w"], method
-                )
+                res = jax.jit(
+                    _quant_one, static_argnums=(1, 2), donate_argnums=0
+                )(node["w"], method, group_size)
                 n_quant[0] += 1
                 out = dict(node)
-                out["w"], out["ws"] = wq, ws
+                if len(res) == 3:
+                    out["w"], out["ws"], out["wz"] = res
+                else:
+                    out["w"], out["ws"] = res
                 return out
             return {k: rec(v, k) for k, v in node.items()}
         if isinstance(node, list):

@@ -64,6 +64,11 @@ class ModelRunner:
                 quantization=server_args.quantization,
                 json_override_args=server_args.json_model_override_args,
             )
+        if server_args.is_embedding:
+            # Reference tokenizer_manager.py:176 passes --is-embedding into
+            # ModelConfig so pooling mode takes effect even for generative
+            # architectures served encode-only.
+            model_config.is_embedding = True
         self.model_config = model_config
         self.model = create_model(model_config)
         self.model.page_size = server_args.page_size
@@ -105,6 +110,7 @@ class ModelRunner:
     # ------------------------------------------------------------- weights
     def _load_weights(self):
         t0 = time.monotonic()
+        pq = None  # pre-quantized checkpoint descriptor (AWQ/GPTQ/ct)
         if self.server_args.random_weights or not self.server_args.model_path:
             from semi_pd_tpu.model_loader.loader import device_init_params
 
@@ -115,15 +121,46 @@ class ModelRunner:
                 self.model, self.server_args.seed, self.mesh
             )
         else:
-            self.params = load_params(
-                self.model, model_path=self.server_args.model_path,
-                mesh=self.mesh, load_format=self.server_args.load_format,
-            )
+            weights = None
+            if self.model_config.quantization_config is not None:
+                from semi_pd_tpu.model_loader.prequant import detect_prequant
+
+                pq = detect_prequant(self.model_config.quantization_config)
+            if pq is not None:
+                from semi_pd_tpu.model_loader.loader import iterate_hf_weights
+                from semi_pd_tpu.model_loader.prequant import dequantize_stream
+
+                logger.info(
+                    "pre-quantized checkpoint: %s %d-bit (group %d); "
+                    "dequantizing on load", pq.method, pq.bits, pq.group_size)
+                weights = dequantize_stream(
+                    iterate_hf_weights(
+                        self.server_args.model_path,
+                        load_format=self.server_args.load_format),
+                    pq,
+                )
+            if weights is not None:
+                self.params = load_params(
+                    self.model, weights=weights, mesh=self.mesh)
+            else:
+                self.params = load_params(
+                    self.model, model_path=self.server_args.model_path,
+                    mesh=self.mesh, load_format=self.server_args.load_format,
+                )
+            if pq is not None and self.server_args.quantization is None:
+                # Serve at the checkpoint's intended bit-width: re-quantize
+                # the dequantized tree into the matching TPU-native format.
+                self.server_args.quantization = pq.requant
+        if self.server_args.quantization == "none":
+            # explicit opt-out: serve a pre-quantized checkpoint dequantized
+            # at full model dtype (no re-quantization)
+            self.server_args.quantization = None
         q = self.server_args.quantization
-        if q in ("fp8", "int8", "blockwise_fp8"):
+        if q in ("fp8", "int8", "blockwise_fp8", "awq_int4"):
             from semi_pd_tpu.model_loader.quantize import quantize_params
 
-            self.params = quantize_params(self.params, q)
+            group = pq.group_size if pq is not None else 0
+            self.params = quantize_params(self.params, q, group_size=group)
         n_bytes = sum(
             x.size * x.dtype.itemsize for x in jax.tree.leaves(self.params)
         )

@@ -370,6 +370,39 @@ async def v1_completions(request: web.Request) -> web.StreamResponse:
     cid = completion_id()
     sp = req.to_sampling_dict()
 
+    if req.echo and req.logprobs and not sp.get("max_new_tokens"):
+        # Prompt-scoring mode (reference adapter.py v1_completions echo +
+        # logprobs: teacher-forced input logprobs, no generation). Powers
+        # the OpenAI-protocol lang backend's `select`.
+        try:
+            lps = await ae.run_job(lambda: ae.engine.score(
+                prompt=prompt, input_ids=input_ids))
+        except (ValueError, AssertionError) as e:
+            return web.json_response({"error": {"message": str(e)}}, status=400)
+        tok = ae.engine.tokenizer
+        ids = [tid for _, tid in lps]
+        pieces = (tok.convert_ids_to_tokens(ids)
+                  if hasattr(tok, "convert_ids_to_tokens") else
+                  [str(t) for t in ids])
+        n_prompt = len(lps) + 1  # position 0 has no logprob
+        return web.json_response({
+            "id": cid, "object": "text_completion", "created": now(),
+            "model": req.model,
+            "choices": [{
+                "index": 0,
+                "text": prompt if prompt is not None else "",
+                "finish_reason": "stop",
+                "logprobs": {
+                    "tokens": pieces,
+                    "token_logprobs": [lp for lp, _ in lps],
+                    "top_logprobs": None,
+                    "text_offset": None,
+                },
+            }],
+            "usage": {"prompt_tokens": n_prompt, "completion_tokens": 0,
+                      "total_tokens": n_prompt},
+        })
+
     if req.stream:
         resp = web.StreamResponse(
             headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
@@ -405,11 +438,14 @@ async def v1_completions(request: web.Request) -> web.StreamResponse:
     if out is None or "error" in out:
         return web.json_response({"error": {"message": (out or {}).get("error", "unknown")}}, status=500)
     mi = out["meta_info"]
+    text = out["text"]
+    if req.echo and prompt is not None:
+        text = prompt + text  # reference adapter echo: prepend the prompt
     return web.json_response({
         "id": cid, "object": "text_completion", "created": now(), "model": req.model,
         "choices": [{
             "index": 0,
-            "text": out["text"],
+            "text": text,
             "finish_reason": mi.get("finish_reason"),
             "logprobs": None,
         }],
@@ -481,6 +517,23 @@ async def v1_chat_completions(request: web.Request) -> web.StreamResponse:
                 }],
             }
             await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+        if rparser is not None:
+            # Drain the partial-tag holdback: text ending in "<", "<t", ...
+            # was withheld as a possible tag prefix and must still stream.
+            r_tail, c_tail = rparser.flush()
+            if r_tail or c_tail:
+                tail_delta: Dict[str, Any] = {}
+                if r_tail:
+                    tail_delta["reasoning_content"] = r_tail
+                if c_tail:
+                    tail_delta["content"] = c_tail
+                chunk = {
+                    "id": cid, "object": "chat.completion.chunk",
+                    "created": now(), "model": req.model,
+                    "choices": [{"index": 0, "delta": tail_delta,
+                                 "finish_reason": None}],
+                }
+                await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
         await resp.write(b"data: [DONE]\n\n")
         await resp.write_eof()
         return resp

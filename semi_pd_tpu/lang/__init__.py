@@ -14,7 +14,8 @@
     st = f.run(q="what is 3*7?")
 """
 
-from semi_pd_tpu.lang.backends import EngineBackend, RuntimeEndpoint
+from semi_pd_tpu.lang.backends import (EngineBackend, OpenAIBackend,
+                                        RuntimeEndpoint)
 from semi_pd_tpu.lang.interpreter import (
     ProgramState,
     SglFunction,
@@ -29,6 +30,7 @@ from semi_pd_tpu.lang.interpreter import (
 
 __all__ = [
     "EngineBackend",
+    "OpenAIBackend",
     "ProgramState",
     "RuntimeEndpoint",
     "SglFunction",

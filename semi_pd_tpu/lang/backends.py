@@ -1,10 +1,14 @@
-"""DSL backends: in-process Engine and HTTP RuntimeEndpoint.
+"""DSL backends: in-process Engine, HTTP RuntimeEndpoint, OpenAI protocol.
 
 Reference: python/sglang/lang/backend/runtime_endpoint.py (RuntimeEndpoint
-hitting /generate, select via normalized prompt logprobs) and the in-process
-Engine path. `select` scores each choice continuation with the teacher-forced
-input-logprob mode (Engine.score / /generate with max_new_tokens=0) — one
-prefill per choice, and the shared prompt prefix is a radix-cache hit."""
+hitting /generate, select via normalized prompt logprobs), the in-process
+Engine path, and lang/backend/openai.py (OpenAI-protocol client — here one
+generic OpenAI-compatible backend covers the reference's openai/litellm
+family; it works against this framework's own /v1 surface or any other
+OpenAI-compatible server). `select` scores each choice continuation with the
+teacher-forced input-logprob mode (Engine.score / /generate with
+max_new_tokens=0 / /v1/completions echo+logprobs) — one prefill per choice,
+and the shared prompt prefix is a radix-cache hit."""
 
 from __future__ import annotations
 
@@ -83,4 +87,67 @@ class RuntimeEndpoint:
             })
             lps = out["meta_info"]["input_token_logprobs"]
             per_choice.append([lp for lp, _ in lps])
+        return _rank_scores(per_choice, method)
+
+
+class OpenAIBackend:
+    """OpenAI-protocol DSL backend (reference lang/backend/openai.py).
+
+    Speaks /v1/completions against any OpenAI-compatible base_url —
+    including this framework's own server, which implements the
+    echo+logprobs prompt-scoring mode `select` needs (adapter.py
+    v1_completions parity). In this zero-egress environment it is tested
+    against the in-repo server; pointed at api.openai.com it is the
+    reference's OpenAI backend."""
+
+    def __init__(self, base_url: str, model: str = "default",
+                 api_key: str | None = None, timeout: float = 120.0):
+        self.base_url = base_url.rstrip("/")
+        self.model = model
+        self.api_key = api_key
+        self.timeout = timeout
+
+    def _post(self, path: str, payload: Dict) -> Dict:
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        req = _urlreq.Request(
+            self.base_url + path, data=json.dumps(payload).encode(),
+            headers=headers,
+        )
+        with _urlreq.urlopen(req, timeout=self.timeout) as r:
+            return json.loads(r.read())
+
+    @staticmethod
+    def _oai_params(params: Dict) -> Dict:
+        out = {}
+        if "max_new_tokens" in params:
+            out["max_tokens"] = params["max_new_tokens"]
+        for k in ("temperature", "top_p", "stop"):
+            if k in params:
+                out[k] = params[k]
+        return out
+
+    def generate(self, text: str, params: Dict) -> str:
+        out = self._post("/v1/completions", {
+            "model": self.model, "prompt": text, **self._oai_params(params),
+        })
+        return out["choices"][0]["text"]
+
+    def select(self, text: str, choices: Sequence[str], method: str) -> List[float]:
+        def score(t: str):
+            return self._post("/v1/completions", {
+                "model": self.model, "prompt": t, "echo": True,
+                "logprobs": 1, "max_tokens": 0,
+            })
+
+        # token count of the bare prompt fixes the choice boundary
+        n_prompt = score(text)["usage"]["prompt_tokens"]
+        per_choice = []
+        for c in choices:
+            out = score(text + c)
+            lps = out["choices"][0]["logprobs"]["token_logprobs"]
+            # token_logprobs[i] is position i+1; choice tokens are
+            # positions >= n_prompt -> list indices >= n_prompt - 1
+            per_choice.append(lps[n_prompt - 1:])
         return _rank_scores(per_choice, method)

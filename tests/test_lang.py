@@ -113,3 +113,64 @@ def test_default_backend_and_errors(backend):
         sgl.set_default_backend(None)
     with pytest.raises(ValueError):
         sgl.select("n", [])
+
+
+@pytest.fixture(scope="module")
+def live_server(backend):
+    """Real aiohttp server on localhost so the sync OpenAI-protocol client
+    can hit it (reference tier-3 pattern: popen_launch_server + HTTP)."""
+    import asyncio
+    import socket
+    import threading
+
+    from aiohttp import web as _web
+
+    from semi_pd_tpu.entrypoints.async_engine import AsyncEngine
+    from semi_pd_tpu.entrypoints.http_server import build_app
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+    runner_box = {}
+
+    def run():
+        asyncio.set_event_loop(loop)
+        ae = AsyncEngine(backend.engine)
+        ae.start(loop)
+        app = build_app(ae)
+        runner = _web.AppRunner(app)
+        loop.run_until_complete(runner.setup())
+        site = _web.TCPSite(runner, "127.0.0.1", port)
+        loop.run_until_complete(site.start())
+        runner_box["runner"] = runner
+        started.set()
+        loop.run_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert started.wait(30)
+    yield f"http://127.0.0.1:{port}"
+    loop.call_soon_threadsafe(loop.stop)
+    t.join(timeout=10)
+
+
+def test_openai_backend_gen_and_select(backend, live_server):
+    """The OpenAI-protocol backend (reference lang/backend/openai.py) against
+    our own /v1 surface: gen via /v1/completions, select via echo+logprobs
+    prompt scoring — must agree with the in-process EngineBackend."""
+    oai = sgl.OpenAIBackend(live_server, model="default")
+
+    @sgl.function
+    def f(s):
+        s += "pick: " + sgl.select("c", ["alpha", "beta", "gamma"])
+        s += " then " + sgl.gen("out", max_tokens=3, temperature=0.0)
+
+    st_o = f.run(backend=oai)
+    st_e = f.run(backend=backend)
+    assert st_o["c"] == st_e["c"]
+    assert st_o["out"] == st_e["out"]
+    np.testing.assert_allclose(
+        st_o.meta["c__scores"], st_e.meta["c__scores"], rtol=1e-4, atol=1e-5)

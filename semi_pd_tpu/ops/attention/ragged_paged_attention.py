@@ -284,12 +284,20 @@ def _rpa_kernel(
         G = Hq // Hkv
         QG = QBLK_ * G
 
-        q = q_buf[...].astype(jnp.float32)  # [QBLK, Hq, D]
+        # Dots consume the native (bf16 when serving) dtype with f32
+        # accumulation: upcasting the inputs to f32 first would push the
+        # matmuls off the MXU's bf16 path (~4-8x the passes) for zero
+        # information gain — the pool and q are already bf16 in HBM.
+        q = q_buf[...]  # [QBLK, Hq, D]
         if v_dim is None:
-            k = k_buf[slot].astype(jnp.float32)  # [KVBLK, Hkv, D]
-            v = v_buf[slot].astype(jnp.float32)
+            k = k_buf[slot]  # [KVBLK, Hkv, D]
+            v = v_buf[slot]
+            if k.dtype != q.dtype:  # fp8 KV: dequant-free upcast for the MXU
+                k, v = k.astype(q.dtype), v.astype(q.dtype)
         else:
-            k3 = k_buf[slot].astype(jnp.float32)  # [KVBLK, 2, D/2]
+            k3 = k_buf[slot]  # [KVBLK, 2, D/2]
+            if k3.dtype != q.dtype:
+                k3 = k3.astype(q.dtype)
 
         # Mask shared by all kv heads: [QG, KVBLK] (q rows replicated per G)
         kv_pos = kv_blk_start + jax.lax.broadcasted_iota(jnp.int32, (QG, KVBLK), 1)
@@ -341,7 +349,7 @@ def _rpa_kernel(
             l_new = l_old * corr + jnp.sum(p, axis=1, keepdims=True)
             if v_dim is None:
                 pv = jax.lax.dot_general(
-                    p, v[:, h, :],
+                    p.astype(v.dtype), v[:, h, :],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [QG, Dv]
@@ -354,7 +362,7 @@ def _rpa_kernel(
                     hi = min(v_dim, lo + HALF)
                     if hi > lo:
                         parts.append(jax.lax.dot_general(
-                            p, k3[:, c, 0 : hi - lo],
+                            p.astype(k3.dtype), k3[:, c, 0 : hi - lo],
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         ))
@@ -503,12 +511,16 @@ def _rpa_kernel_stream(
             co = st[3]
             slot = jax.lax.rem(co, NBUF)
             wait_block_dma(slot)
-            q = q_buf[...].astype(jnp.float32)
+            q = q_buf[...]  # native dtype: bf16 dots, f32 accumulation
             if v_dim is None:
-                k = k_buf[slot].astype(jnp.float32)
-                v = v_buf[slot].astype(jnp.float32)
+                k = k_buf[slot]
+                v = v_buf[slot]
+                if k.dtype != q.dtype:  # fp8 KV
+                    k, v = k.astype(q.dtype), v.astype(q.dtype)
             else:
-                k3 = k_buf[slot].astype(jnp.float32)
+                k3 = k_buf[slot]
+                if k3.dtype != q.dtype:
+                    k3 = k3.astype(q.dtype)
             kv_blk_start = j * KVBLK
             kv_pos = kv_blk_start + jax.lax.broadcasted_iota(
                 jnp.int32, (QG, KVBLK), 1)
@@ -548,7 +560,7 @@ def _rpa_kernel_stream(
                 l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
                 if v_dim is None:
                     pv = jax.lax.dot_general(
-                        p_, v[:, h, :],
+                        p_.astype(v.dtype), v[:, h, :],
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
@@ -560,7 +572,7 @@ def _rpa_kernel_stream(
                         hi = min(v_dim, lo + HALF)
                         if hi > lo:
                             parts.append(jax.lax.dot_general(
-                                p_, k3[:, comp, 0 : hi - lo],
+                                p_.astype(k3.dtype), k3[:, comp, 0 : hi - lo],
                                 dimension_numbers=(((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                             ))
@@ -683,9 +695,11 @@ def _rpa_kernel_merged(
         wait_kv_dma(slot, ki)
 
         G = Hq // Hkv
-        q = q_buf[...].astype(jnp.float32)  # [QBLK, Hq*D/128, 128]
-        k = k_buf[slot].astype(jnp.float32)  # [KVBLK, Hkv*D/128, 128]
-        v = v_buf[slot].astype(jnp.float32)
+        q = q_buf[...]  # [QBLK, Hq*D/128, 128] native dtype (bf16 dots)
+        k = k_buf[slot]  # [KVBLK, Hkv*D/128, 128]
+        v = v_buf[slot]
+        if k.dtype != q.dtype:  # fp8 KV
+            k, v = k.astype(q.dtype), v.astype(q.dtype)
 
         def head(x, h):  # static chunk/lane slice -> [rows, D]
             c, o = (h * D) // 128, (h * D) % 128
@@ -725,7 +739,7 @@ def _rpa_kernel_merged(
                 corr = jnp.exp(m_old - m_new)
                 l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
                 pv = jax.lax.dot_general(
-                    p_, v_h,
+                    p_.astype(v_h.dtype), v_h,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [QBLK, D]
@@ -788,11 +802,16 @@ def ragged_paged_attention(
     # Decode is per-page-DMA bound: larger KV blocks amortize grid-step
     # overhead and keep more page DMAs in flight (measured v5e, B=64 kv=1k:
     # 256 -> 68 GB/s, 1024 -> 186 GB/s; BENCH_KERNELS.json). Clamp so the
-    # double-buffered KV scratch stays within ~8MB of the 16MB scoped VMEM
-    # (kvb=2048 at CT=8 OOM'd the v5e compiler).
+    # double-buffered KV scratch stays within ~6MB of the 16MB scoped VMEM:
+    # the flash loop's k/v VALUE temporaries cost another ~KVBLK row each,
+    # and 8MB of scratch OOM'd the v5e compiler at D=128 Hkv=8 (17.3M scoped;
+    # kvb=2048 at CT=8 likewise).
     kv_block = kv_block or (1024 if is_decode else 256)
     row_bytes = 2 * Hkv * D * jnp.dtype(kv_cache.dtype).itemsize  # K+V row
-    vmem_rows = (8 << 20) // (2 * max(row_bytes, 1))  # 2 pipeline slots
+    # MLA's wide latent rows (768 lanes) leave less headroom for the flash
+    # loop's value temporaries (observed 18.3M scoped at a 6MB budget).
+    budget = (4 << 20) if v_dim is not None else (6 << 20)
+    vmem_rows = budget // (2 * max(row_bytes, 1))  # 2 pipeline slots
     kv_block = min(kv_block, max(page_size, vmem_rows // page_size * page_size))
     KVBLK = min(kv_block, max(page_size, max_kv))
     if KVBLK % page_size:
@@ -1171,7 +1190,7 @@ def _rpa_kernel_chunked(
             # lane offsets of the D<128 head slices — Mosaic cannot
             # concatenate vectors whose lane offsets differ (observed:
             # "result/input offset mismatch on non-concat dimension").
-            qf = q_buf[...].astype(jnp.float32)
+            qf = q_buf[...]  # native dtype: bf16 dots, f32 accumulation
             for h in range(Hkv):
                 for g in range(G):
                     hq = h * G + g
@@ -1189,8 +1208,10 @@ def _rpa_kernel_chunked(
         wait_kv_dma(slot, ki)
 
         VB = (Hkv * D) // 128  # first V chunk
-        q = q_buf[...].astype(jnp.float32)  # [QBLK, Hq*D/128, 128]
-        kv = kv_buf[slot].astype(jnp.float32)  # [KVBLK, CT, 128]
+        q = q_buf[...]  # [QBLK, Hq*D/128, 128] native dtype (bf16 dots)
+        kv = kv_buf[slot]  # [KVBLK, CT, 128]
+        if kv.dtype != q.dtype:  # fp8 KV
+            kv = kv.astype(q.dtype)
 
         def head(x, h, base=0):
             c, o = base + (h * D) // 128, (h * D) % 128
@@ -1245,7 +1266,7 @@ def _rpa_kernel_chunked(
             corr = jnp.exp(m_old - m_new)
             l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
             pv = jax.lax.dot_general(
-                p_, v_h,
+                p_.astype(v_h.dtype), v_h,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [QG or QBLK, D]
@@ -1404,8 +1425,10 @@ def _rpa_kernel_chunked_stream(
             co = st[3]
             slot = jax.lax.rem(co, NBUF)
             wait_block_dma(slot)
-            q = q_buf[...].astype(jnp.float32)
-            kv = kv_buf[slot].astype(jnp.float32)
+            q = q_buf[...]  # native dtype: bf16 dots, f32 accumulation
+            kv = kv_buf[slot]
+            if kv.dtype != q.dtype:  # fp8 KV
+                kv = kv.astype(q.dtype)
             kv_blk_start = j * KVBLK
             kv_pos = kv_blk_start + jax.lax.broadcasted_iota(
                 jnp.int32, (QBLK, KVBLK), 1)
@@ -1434,7 +1457,7 @@ def _rpa_kernel_chunked_stream(
                     corr = jnp.exp(m_old - m_new)
                     l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
                     pv = jax.lax.dot_general(
-                        p_, v_h,
+                        p_.astype(v_h.dtype), v_h,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
@@ -1604,10 +1627,11 @@ def ragged_paged_attention_chunked(
                        (Hq > Hkv and QBLK <= 32) else (Hq, QBLK),
                        jnp.float32),
             pltpu.VMEM((QBLK, Hq, 128), jnp.float32),
-            # staged packed q [Hkv, QG, D] (lane-padded); dummy when unpacked
+            # staged packed q [Hkv, QG, D] (lane-padded, native dtype so the
+            # packed dot stays on the MXU bf16 path); dummy when unpacked
             pltpu.VMEM((Hkv, QBLK * (Hq // Hkv), 128) if
-                       (Hq > Hkv and QBLK <= 32) else (1, 8, 128),
-                       jnp.float32),
+                       (Hq > Hkv and QBLK <= 32) else (1, 16, 128),
+                       q.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),

@@ -69,6 +69,12 @@ class ModelRunner:
             # ModelConfig so pooling mode takes effect even for generative
             # architectures served encode-only.
             model_config.is_embedding = True
+        if server_args.context_length:
+            # --context-length overrides the HF value on BOTH config paths
+            # (reference model_config.py context_length arg); previously an
+            # explicitly-passed ModelConfig silently kept the HF limit and
+            # over-length prompts were aborted despite the flag.
+            model_config.context_length = server_args.context_length
         self.model_config = model_config
         self.model = create_model(model_config)
         self.model.page_size = server_args.page_size

@@ -50,10 +50,13 @@ def test_depth_grows_on_high_latency_attachment():
     assert s.overlap_depth == 4
     feed_decode_cycles(s, 1, readback=48e-3, step=1e-3)
     assert s.overlap_depth == 8  # slew-limited: at most 2x per adjustment
-    feed_decode_cycles(s, 8, readback=48e-3, step=1e-3)
-    # step EWMA converges ~1ms -> target ceil(48/1)=48 <= stall cap
-    # (200-48)/1=152 and <= max_overlap_depth 64
-    assert 32 <= s.overlap_depth <= 64
+    # The step-cost EWMA is itself slew-limited (0.9x per cycle from its 5ms
+    # prior), so convergence takes ~20 cycles — a couple of seconds of real
+    # serving at 50-100ms cycles.
+    feed_decode_cycles(s, 24, readback=48e-3, step=1e-3)
+    # step EWMA ~1ms -> target ceil(48/1)=48 <= stall cap (200-48)/1=152
+    # and <= max_overlap_depth 64
+    assert 40 <= s.overlap_depth <= 64
 
 
 def test_depth_stays_at_floor_on_fast_attachment():

@@ -288,6 +288,10 @@ def _rpa_kernel(
         # accumulation: upcasting the inputs to f32 first would push the
         # matmuls off the MXU's bf16 path (~4-8x the passes) for zero
         # information gain — the pool and q are already bf16 in HBM.
+        # Exception: the MLA half-lane layout — bf16 operands there blow up
+        # both scoped VMEM (18.3M vs the 16M limit) and runtime (measured
+        # 0.74 -> 3.6ms at b64/kv1k on v5e: the [KVBLK, 2, D/2] half slices
+        # relayout pathologically in bf16), so it keeps the f32 upcast.
         q = q_buf[...]  # [QBLK, Hq, D]
         if v_dim is None:
             k = k_buf[slot]  # [KVBLK, Hkv, D]
@@ -295,9 +299,8 @@ def _rpa_kernel(
             if k.dtype != q.dtype:  # fp8 KV: dequant-free upcast for the MXU
                 k, v = k.astype(q.dtype), v.astype(q.dtype)
         else:
-            k3 = k_buf[slot]  # [KVBLK, 2, D/2]
-            if k3.dtype != q.dtype:
-                k3 = k3.astype(q.dtype)
+            q = q.astype(jnp.float32)
+            k3 = k_buf[slot].astype(jnp.float32)  # [KVBLK, 2, D/2]
 
         # Mask shared by all kv heads: [QG, KVBLK] (q rows replicated per G)
         kv_pos = kv_blk_start + jax.lax.broadcasted_iota(jnp.int32, (QG, KVBLK), 1)
@@ -517,10 +520,9 @@ def _rpa_kernel_stream(
                 v = v_buf[slot]
                 if k.dtype != q.dtype:  # fp8 KV
                     k, v = k.astype(q.dtype), v.astype(q.dtype)
-            else:
-                k3 = k_buf[slot]
-                if k3.dtype != q.dtype:
-                    k3 = k3.astype(q.dtype)
+            else:  # MLA keeps f32 (see _rpa_kernel)
+                q = q.astype(jnp.float32)
+                k3 = k_buf[slot].astype(jnp.float32)
             kv_blk_start = j * KVBLK
             kv_pos = kv_blk_start + jax.lax.broadcasted_iota(
                 jnp.int32, (QG, KVBLK), 1)
@@ -695,11 +697,15 @@ def _rpa_kernel_merged(
         wait_kv_dma(slot, ki)
 
         G = Hq // Hkv
-        q = q_buf[...]  # [QBLK, Hq*D/128, 128] native dtype (bf16 dots)
-        k = k_buf[slot]  # [KVBLK, Hkv*D/128, 128]
-        v = v_buf[slot]
-        if k.dtype != q.dtype:  # fp8 KV
-            k, v = k.astype(q.dtype), v.astype(q.dtype)
+        # This variant keeps the f32 upcast: bf16 operands here trigger a
+        # Mosaic compile-time blow-up on v5e (>9min vs ~40s, measured) —
+        # the per-(head, group) unrolled loop over lane-offset slices
+        # relayouts pathologically in bf16. The serving path for D<128 is
+        # the chunked-pool kernel (which does run bf16 dots); this one is
+        # the compatibility path for non-chunked [L, 2, S, H, D<128] pools.
+        q = q_buf[...].astype(jnp.float32)  # [QBLK, Hq*D/128, 128]
+        k = k_buf[slot].astype(jnp.float32)  # [KVBLK, Hkv*D/128, 128]
+        v = v_buf[slot].astype(jnp.float32)
 
         def head(x, h):  # static chunk/lane slice -> [rows, D]
             c, o = (h * D) // 128, (h * D) % 128
@@ -808,9 +814,10 @@ def ragged_paged_attention(
     # kvb=2048 at CT=8 likewise).
     kv_block = kv_block or (1024 if is_decode else 256)
     row_bytes = 2 * Hkv * D * jnp.dtype(kv_cache.dtype).itemsize  # K+V row
-    # MLA's wide latent rows (768 lanes) leave less headroom for the flash
-    # loop's value temporaries (observed 18.3M scoped at a 6MB budget).
-    budget = (4 << 20) if v_dim is not None else (6 << 20)
+    # MLA keeps f32 compute (see kernel) whose temporaries fit the round-2
+    # budget; row_bytes already double-counts its single component (ncomp=1),
+    # so 8MB yields the measured-good KVBLK=1024.
+    budget = (8 << 20) if v_dim is not None else (6 << 20)
     vmem_rows = budget // (2 * max(row_bytes, 1))  # 2 pipeline slots
     kv_block = min(kv_block, max(page_size, vmem_rows // page_size * page_size))
     KVBLK = min(kv_block, max(page_size, max_kv))

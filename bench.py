@@ -426,6 +426,7 @@ def main():
             state["detail"][mode] = summarize(res, ttft_slo, itl_slo)
             s = eng.scheduler
             state["detail"][mode]["controller"] = {
+                "overlap_depth": s.overlap_depth,
                 "cost_per_token_us": round(s._prefill_cost_per_token * 1e6, 2),
                 "overhead_ms": round(s._prefill_overhead * 1e3, 2),
                 "decode_ms": round(s._decode_cost * 1e3, 2),

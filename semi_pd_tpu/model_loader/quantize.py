@@ -84,6 +84,30 @@ def quantize_params(
 
     def rec(node, name):
         if isinstance(node, dict):
+            if name == "experts":
+                # MoE expert stacks are raw [E, din, dout] arrays (consumed
+                # by ragged_dot, not apply_linear). Store them per-channel
+                # quantized ({"w", "ws"}); ops/moe.expert_weights dequantizes
+                # at use, fused into the grouped GEMM's operand read. Expert
+                # stacks dominate a large-MoE model's weight footprint
+                # (reference: fp8 w8a8 expert path, ep_moe/layer.py).
+                em = {"fp8": "fp8", "blockwise_fp8": "fp8",
+                      "int8": "int8", "awq_int4": "int8"}[method]
+                out = {}
+                for k, v in node.items():
+                    if (
+                        k in ("gate_up", "down")
+                        and getattr(v, "ndim", 0) >= 3
+                        and v.dtype in (jnp.bfloat16, jnp.float32, jnp.float16)
+                    ):
+                        wq, ws = jax.jit(
+                            _quant_one, static_argnums=(1, 2), donate_argnums=0
+                        )(v, em, 0)
+                        n_quant[0] += 1
+                        out[k] = {"w": wq, "ws": ws}
+                    else:
+                        out[k] = rec(v, k)
+                return out
             if (
                 name in QUANT_LEAF_NAMES
                 and "w" in node

@@ -72,15 +72,33 @@ def route_topk(
     return w, idx.astype(jnp.int32)
 
 
+def expert_weights(w) -> jax.Array:
+    """Resolve a (possibly quantized) expert-stack leaf to a dense operand
+    for ragged_dot. Quantized experts are stored as {"w": int8/fp8 [E, din,
+    dout], "ws": [E, dout] per-channel scales} (model_loader/quantize.py) —
+    half/quarter the HBM of bf16 stacks, which dominate a large-MoE model's
+    footprint (reference: fp8 w8a8 expert kernels, ep_moe/layer.py). The
+    convert+scale is elementwise on a dot operand, which XLA fuses into the
+    grouped GEMM's operand read."""
+    if isinstance(w, dict):
+        # ws is [..., dout] per channel over stacked leading dims ([E] or
+        # [L, E] before the layer scan slices L away)
+        deq = w["w"].astype(jnp.float32) * w["ws"][..., None, :]
+        return deq.astype(jnp.bfloat16)
+    return w
+
+
 def moe_ffn(
     x: jax.Array,  # [T, d]
-    gate_up: jax.Array,  # [E, d, 2f]
+    gate_up: jax.Array,  # [E, d, 2f] (or quantized dict — expert_weights)
     down: jax.Array,  # [E, f, d]
     weights: jax.Array,  # [T, K] f32 routing weights
     expert_idx: jax.Array,  # [T, K] i32
     act=silu_and_mul,  # gated activation over [.., 2f] (grok: gelu_and_mul)
 ) -> jax.Array:
     """Sort-by-expert grouped-GEMM MoE forward. [T, d] -> [T, d]."""
+    gate_up = expert_weights(gate_up)
+    down = expert_weights(down)
     T, d = x.shape
     E = gate_up.shape[0]
     K = weights.shape[1]
@@ -153,6 +171,12 @@ def moe_ffn_ep(
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
+    # Quantized expert stacks dequantize per shard INSIDE shard_map (each
+    # rank converts only its local experts).
+    gate_up_q, down_q = gate_up, down
+    gate_up = gate_up_q["w"] if isinstance(gate_up_q, dict) else gate_up_q
+    down = down_q["w"] if isinstance(down_q, dict) else down_q
+
     T, d = x.shape
     E = gate_up.shape[0]
     K = weights.shape[1]
@@ -173,7 +197,14 @@ def moe_ffn_ep(
     counts = jnp.bincount(flat_e, length=E)
     starts = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)])
 
-    def local(x, gu, dn, sorted_e, token_of, w_flat, starts):
+    quant = isinstance(gate_up_q, dict)
+
+    def local(x, gu, dn, sorted_e, token_of, w_flat, starts, *scales):
+        if quant:  # dequantize only this rank's expert shard
+            gu = (gu.astype(jnp.float32)
+                  * scales[0][..., None, :]).astype(jnp.bfloat16)
+            dn = (dn.astype(jnp.float32)
+                  * scales[1][..., None, :]).astype(jnp.bfloat16)
         r = jax.lax.axis_index(axis)
         e_lo = r * E_local
         begin = starts[e_lo]
@@ -206,11 +237,16 @@ def moe_ffn_ep(
         return jax.lax.psum(out, axis)
 
     other = tuple(a for a in mesh.axis_names if a != axis)
+    args = [x, gate_up, down, sorted_e, token_of, w_flat, starts]
+    specs = [P(), P(axis), P(axis), P(), P(), P(), P()]
+    if quant:
+        args += [gate_up_q["ws"], down_q["ws"]]
+        specs += [P(axis), P(axis)]
     out = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(), P(), P(), P()),
+        in_specs=tuple(specs),
         out_specs=P(),
         check_rep=False,
-    )(x, gate_up, down, sorted_e, token_of, w_flat, starts)
+    )(*args)
     return out.astype(x.dtype)

@@ -216,6 +216,11 @@ class ServerArgs:
     profiler_dir: Optional[str] = None
     stream_interval: int = 1
 
+    # Attention backend override (reference --attention-backend): None =
+    # auto (Pallas on TPU, jnp reference elsewhere); "reference" forces the
+    # jnp backend on TPU too (kernel-debugging escape hatch).
+    attention_backend: Optional[str] = None  # pallas | reference
+
     # Test / emulation
     device_platform: Optional[str] = None  # force "cpu" for tests
     num_virtual_devices: Optional[int] = None  # host-platform device count
@@ -327,6 +332,17 @@ class ServerArgs:
             else:
                 base = {int: int, float: float}.get(_base_type(f.type), str)
                 parser.add_argument(name, type=base, default=_default_of(f))
+        # Reference-name aliases for drop-in launch commands
+        # (srt/server_args.py spells these out long-form).
+        for flag, dest, typ in (
+            ("--tensor-parallel-size", "tp_size", int),
+            ("--data-parallel-size", "dp_size", int),
+            ("--expert-parallel-size", "ep_size", int),
+            ("--random-seed", "seed", int),
+            ("--device", "device_platform", str),
+        ):
+            parser.add_argument(
+                flag, dest=dest, type=typ, default=argparse.SUPPRESS)
 
     @classmethod
     def from_cli_args(cls, args: argparse.Namespace) -> "ServerArgs":

@@ -81,7 +81,8 @@ class ModelRunner:
 
         # Attention backend: pallas on TPU, jnp reference elsewhere
         platform = jax.devices()[0].platform
-        backend = "pallas" if platform in ("tpu", "axon") else "reference"
+        backend = server_args.attention_backend or (
+            "pallas" if platform in ("tpu", "axon") else "reference")
         attention_backend.set_attention_backend(backend)
         # scan_layers stays on for TPU too: compile time is O(1) in depth and
         # the traced-layer-index DMA offsets that hung Mosaic in early v5e

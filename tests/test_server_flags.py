@@ -247,3 +247,29 @@ def test_enable_mixed_chunk_interleaves_decode(mixed):
         s.tick()
     assert len(short.output_ids) == 40
     eng.scheduler.check_memory()
+
+
+def test_reference_flag_aliases_and_attention_backend():
+    """Reference long-form flag names work as aliases (drop-in launch
+    commands: --tensor-parallel-size, --random-seed, --device, ...), and
+    --attention-backend forces a backend (reference server_args.py)."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    ServerArgs.add_cli_args(p)
+    a = ServerArgs.from_cli_args(p.parse_args([
+        "--model-path", "x", "--tensor-parallel-size", "4",
+        "--data-parallel-size", "2", "--random-seed", "7",
+        "--device", "cpu", "--random-weights",
+        "--attention-backend", "reference",
+    ]))
+    assert (a.tp_size, a.dp_size, a.seed, a.device_platform) == (4, 2, 7, "cpu")
+    assert a.attention_backend == "reference"
+
+    eng = _engine(attention_backend="reference")
+    from semi_pd_tpu.layers import attention as attn_mod
+
+    sp = SamplingParams(max_new_tokens=2, temperature=0.0, ignore_eos=True)
+    out = eng.generate(input_ids=[3, 4, 5], sampling_params=sp)
+    assert len(out["output_ids"]) == 2
+    eng.scheduler.check_memory()

@@ -203,9 +203,12 @@ def dequantize_stream(
             continue
         prefix = name[: -(len(suffix) + 1)]
         if cfg.method == "compressed-tensors" and suffix == "weight" and (
-            tensor.dtype.kind == "f" and tensor.dtype.itemsize >= 2
+            np.asarray(tensor).dtype.itemsize >= 2
         ):
-            # unquantized module (norms/embeddings keep plain fp weights)
+            # Unquantized module (norms/embeddings keep plain fp weights).
+            # Gate on itemsize, not dtype.kind: ml_dtypes bfloat16 reports
+            # kind 'V', and a kind-based check withheld bf16 weights forever.
+            # Quantized payloads (int8 / fp8) are always 1 byte.
             yield name, tensor
             continue
         parts = pending.setdefault(prefix, {})

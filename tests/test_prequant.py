@@ -247,3 +247,14 @@ def test_engine_serves_awq_checkpoint(tmp_path):
     out2 = eng2.generate(input_ids=[5, 9, 2, 7], sampling_params=sp)
     assert out1["output_ids"] == out2["output_ids"]
     eng_none.scheduler.check_memory()
+
+
+def test_compressed_tensors_bf16_passthrough():
+    """bf16 unquantized modules must pass through (ml_dtypes bfloat16
+    reports numpy kind 'V'; a kind-based gate withheld them forever)."""
+    import ml_dtypes
+
+    cfg = PrequantConfig(method="compressed-tensors", bits=8)
+    bf = np.zeros((4, 4), ml_dtypes.bfloat16)
+    out = dict(dequantize_stream([("m.norm.weight", bf)], cfg))
+    assert "m.norm.weight" in out and out["m.norm.weight"].dtype == bf.dtype

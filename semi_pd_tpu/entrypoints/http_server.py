@@ -489,11 +489,25 @@ async def v1_chat_completions(request: web.Request) -> web.StreamResponse:
             from semi_pd_tpu.utils.reasoning_parser import ReasoningParser
 
             rparser = ReasoningParser(reasoning_kind)
+        tdet = None
+        if req.tools:
+            # Streaming tool-call holdback (reference FunctionCallParser
+            # parse_stream_chunk): markup must not leak into content deltas;
+            # finish_reason becomes "tool_calls" in a final chunk.
+            from semi_pd_tpu.utils.function_call import (
+                StreamingToolCallDetector,
+            )
+
+            tdet = StreamingToolCallDetector(
+                ae.engine.server_args.tool_call_parser)
+        fin_reason = None
         async for item in ae.generate(
             input_ids=input_ids, sampling_params=sp, stream=True
         ):
             if "error" in item:
                 break
+            if item["finished"]:
+                fin_reason = item["meta_info"].get("finish_reason")
             delta: Dict[str, Any] = {}
             if first:
                 delta["role"] = "assistant"
@@ -508,12 +522,17 @@ async def v1_chat_completions(request: web.Request) -> web.StreamResponse:
                     delta["content"] = c_delta
             elif text:
                 delta["content"] = text
+            if tdet is not None and "content" in delta:
+                c = tdet.feed(delta.pop("content"))
+                if c:
+                    delta["content"] = c
             chunk = {
                 "id": cid, "object": "chat.completion.chunk", "created": now(),
                 "model": req.model,
                 "choices": [{
                     "index": 0, "delta": delta,
-                    "finish_reason": item["meta_info"].get("finish_reason") if item["finished"] else None,
+                    "finish_reason": (fin_reason if item["finished"]
+                                      and tdet is None else None),
                 }],
             }
             await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
@@ -521,6 +540,8 @@ async def v1_chat_completions(request: web.Request) -> web.StreamResponse:
             # Drain the partial-tag holdback: text ending in "<", "<t", ...
             # was withheld as a possible tag prefix and must still stream.
             r_tail, c_tail = rparser.flush()
+            if tdet is not None and c_tail:
+                c_tail = tdet.feed(c_tail)
             if r_tail or c_tail:
                 tail_delta: Dict[str, Any] = {}
                 if r_tail:
@@ -534,6 +555,25 @@ async def v1_chat_completions(request: web.Request) -> web.StreamResponse:
                                  "finish_reason": None}],
                 }
                 await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+        if tdet is not None:
+            residual, calls = tdet.finish()
+            tail_delta = {}
+            if calls:
+                tail_delta["tool_calls"] = [
+                    {**c, "index": i} for i, c in enumerate(calls)
+                ]
+                if residual:
+                    tail_delta["content"] = residual
+                fin_reason = "tool_calls"
+            elif residual:
+                tail_delta["content"] = residual
+            chunk = {
+                "id": cid, "object": "chat.completion.chunk",
+                "created": now(), "model": req.model,
+                "choices": [{"index": 0, "delta": tail_delta,
+                             "finish_reason": fin_reason}],
+            }
+            await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
         await resp.write(b"data: [DONE]\n\n")
         await resp.write_eof()
         return resp

@@ -42,6 +42,60 @@ def _mk_call(obj: Dict) -> Dict:
     }
 
 
+class StreamingToolCallDetector:
+    """Streaming tool-call holdback (reference FunctionCallParser
+    parse_stream_chunk): text streams through until a tool-call opener is
+    seen (a partial-opener tail is withheld like the reasoning parser's tag
+    holdback); from the opener on, everything buffers and is parsed into
+    tool_calls at end of stream."""
+
+    _OPENERS = ["<tool_call>", "[TOOL_CALLS]", "<|python_tag|>"]
+
+    def __init__(self, parser: Optional[str] = None):
+        self.parser = parser
+        if parser in _FORMAT_INDEX:
+            self._openers = [self._OPENERS[_FORMAT_INDEX[parser]]]
+        else:
+            self._openers = list(self._OPENERS)
+        self._buf = ""
+        self._captured = ""  # markup + everything after it
+        self.in_call = False
+
+    def feed(self, delta: str) -> str:
+        """Returns the text safe to stream now ('' once capturing)."""
+        if self.in_call:
+            self._captured += delta
+            return ""
+        self._buf += delta
+        for op in self._openers:
+            i = self._buf.find(op)
+            if i >= 0:
+                out, self._captured = self._buf[:i], self._buf[i:]
+                self._buf = ""
+                self.in_call = True
+                return out
+        # hold back the longest suffix that is a prefix of some opener
+        hold = 0
+        for op in self._openers:
+            for n in range(min(len(op) - 1, len(self._buf)), 0, -1):
+                if self._buf.endswith(op[:n]):
+                    hold = max(hold, n)
+                    break
+        out = self._buf[: len(self._buf) - hold] if hold else self._buf
+        self._buf = self._buf[len(self._buf) - hold:] if hold else ""
+        return out
+
+    def finish(self):
+        """-> (residual_text, tool_calls). Call once, after the stream."""
+        if self.in_call:
+            content, calls = parse_tool_calls(self._captured, self.parser)
+            if calls:
+                return content, calls
+            # markup never parsed: release it as plain text
+            return self._captured, []
+        return self._buf, []
+
+
 def parse_tool_calls(
     text: str, parser: Optional[str] = None
 ) -> Tuple[str, List[Dict]]:

@@ -174,3 +174,31 @@ def test_openai_backend_gen_and_select(backend, live_server):
     assert st_o["out"] == st_e["out"]
     np.testing.assert_allclose(
         st_o.meta["c__scores"], st_e.meta["c__scores"], rtol=1e-4, atol=1e-5)
+
+
+def test_chat_stream_with_tools_emits_single_finish_chunk(live_server):
+    """tools + stream=True drives the streaming tool-call holdback path:
+    exactly one finish chunk (reference parse_stream_chunk behavior); with
+    no markup in the output the text still streams through."""
+    import json as _json
+    from urllib import request as _rq
+
+    body = _json.dumps({
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 6, "stream": True, "temperature": 0,
+        "tools": [{"type": "function",
+                   "function": {"name": "f", "parameters": {}}}],
+    }).encode()
+    r = _rq.urlopen(_rq.Request(
+        live_server + "/v1/chat/completions", data=body,
+        headers={"Content-Type": "application/json"}), timeout=60)
+    finishes, content = [], ""
+    for line in r.read().decode().splitlines():
+        if not line.startswith("data: ") or line == "data: [DONE]":
+            continue
+        c = _json.loads(line[6:])["choices"][0]
+        if c["finish_reason"]:
+            finishes.append(c["finish_reason"])
+        content += c["delta"].get("content", "")
+    assert finishes == ["length"]
+    assert len(content) > 0  # text still streamed (no markup in output)

@@ -6,6 +6,8 @@ Reference: srt/function_call_parser.py:495 (FunctionCallParser with a
 message.reasoning_content, streaming-aware).
 """
 
+import json
+
 from semi_pd_tpu.utils.function_call import parse_tool_calls
 from semi_pd_tpu.utils.reasoning_parser import ReasoningParser
 
@@ -98,3 +100,37 @@ def test_unknown_tool_call_parser_rejected_at_server_args():
     with pytest.raises(ValueError, match="tool-call-parser"):
         ServerArgs(model_path="", random_weights=True,
                    tool_call_parser="llama")  # typo for llama3/llama32
+
+
+def test_streaming_tool_call_detector():
+    from semi_pd_tpu.utils.function_call import StreamingToolCallDetector
+
+    # markup split across deltas: nothing leaks into content
+    det = StreamingToolCallDetector("qwen25")
+    out = ""
+    for d in ['I will call: <tool', '_call>{"name": "f", "argum',
+              'ents": {"x": 1}}</tool_call>']:
+        out += det.feed(d)
+    assert out == "I will call: "
+    residual, calls = det.finish()
+    assert len(calls) == 1 and calls[0]["function"]["name"] == "f"
+    assert json.loads(calls[0]["function"]["arguments"]) == {"x": 1}
+
+    # plain text: partial-prefix holdback drains at finish
+    det = StreamingToolCallDetector("qwen25")
+    out = det.feed("no calls here <to")
+    assert out == "no calls here "
+    residual, calls = det.finish()
+    assert residual == "<to" and calls == []
+
+    # unparseable markup is released as plain text
+    det = StreamingToolCallDetector("qwen25")
+    det.feed("<tool_call>not json")
+    residual, calls = det.finish()
+    assert calls == [] and residual == "<tool_call>not json"
+
+    # mistral format
+    det = StreamingToolCallDetector("mistral")
+    det.feed('[TOOL_CALLS] [{"name": "g", "arguments": {}}]')
+    residual, calls = det.finish()
+    assert len(calls) == 1 and calls[0]["function"]["name"] == "g"

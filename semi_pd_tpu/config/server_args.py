@@ -48,6 +48,13 @@ class ServerArgs:
     kv_cache_dtype: str = "auto"  # auto | bfloat16 | fp8_e4m3 | fp8_e5m2
     quantization: Optional[str] = None  # fp8 | int8 | awq_int4 | blockwise_fp8
     random_weights: bool = False  # skip checkpoint load; random-init (tests/bench)
+    # HF revision forwarded to config/tokenizer loading (reference --revision;
+    # only meaningful when the transformers cache already holds it — this
+    # build environment has no egress to download one)
+    revision: Optional[str] = None
+    # Delete checkpoint weight files after a successful load to reclaim disk
+    # (reference --delete-ckpt-after-loading, model_loader weight_utils)
+    delete_ckpt_after_loading: bool = False
     seed: int = 0
 
     # Memory / KV cache
@@ -123,6 +130,9 @@ class ServerArgs:
     disable_jump_forward: bool = False
     # Skip the post-launch warmup generation (reference srt/warmup.py)
     skip_server_warmup: bool = False
+    # Comma-separated named warmups from the registry to run after launch
+    # (reference --warmups + srt/warmup.py execute_warmups)
+    warmups: Optional[str] = None
     nnodes: int = 1
     node_rank: int = 0
     # jax.distributed coordinator host:port (required when nnodes > 1); the
@@ -153,6 +163,10 @@ class ServerArgs:
 
     # Sampling / constrained decoding
     sampling_backend: str = "jax"
+    # Allow requests to name a registered custom logit processor (reference
+    # --enable-custom-logit-processor, io_struct.py:80-82; TPU-native
+    # registry form — sampling/logit_processor.py)
+    enable_custom_logit_processor: bool = False
     grammar_backend: Optional[str] = "outlines_like"
     # Override the bounded-whitespace regex inside JSON-schema grammars
     # (reference constrained_json_whitespace_pattern; default [ \n\t]{0,4})
@@ -215,6 +229,10 @@ class ServerArgs:
     enable_nan_detection: bool = False
     profiler_dir: Optional[str] = None
     stream_interval: int = 1
+    # Dump every step's host batch + sampled tokens (and logits on the
+    # sync paths) as .npz files for offline diffing (reference
+    # --debug-tensor-dump-output-folder, model_runner.py); None = off.
+    debug_tensor_dump_output_folder: Optional[str] = None
 
     # Attention backend override (reference --attention-backend): None =
     # auto (Pallas on TPU, jnp reference elsewhere); "reference" forces the

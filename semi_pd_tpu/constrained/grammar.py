@@ -137,6 +137,15 @@ class GrammarCompiler:
             pattern = schema_to_regex(
                 _json.loads(spec),
                 whitespace_pattern=self.json_whitespace_pattern)
+        elif kind == "structural_tag":
+            from semi_pd_tpu.constrained.structural_tag import (
+                compile_structural_tag,
+            )
+
+            tdfa = TokenDFA(compile_structural_tag(spec), self.token_strs,
+                            self.eos_ids)
+            self._cache[key] = tdfa
+            return tdfa
         elif kind == "ebnf":
             from semi_pd_tpu.constrained.ebnf import TokenPDA, build_vocab_trie
 

@@ -59,6 +59,10 @@ def main(argv=None):
             ),
         )
         logger.info("warmup generation done in %.1fs", time.monotonic() - t0)
+    if args.warmups:
+        from semi_pd_tpu.utils.warmup import execute_warmups
+
+        execute_warmups([w for w in args.warmups.split(",") if w], engine)
     async_engine = AsyncEngine(engine)
 
     async def _serve():

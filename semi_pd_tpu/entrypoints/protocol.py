@@ -29,10 +29,11 @@ class CompletionRequest(BaseModel):
     ignore_eos: bool = False
     json_schema: Optional[str] = None
     regex: Optional[str] = None
+    logit_bias: Optional[Dict[str, float]] = None
     user: Optional[str] = None
 
     def to_sampling_dict(self) -> Dict[str, Any]:
-        return dict(
+        d = dict(
             max_new_tokens=self.max_tokens,
             temperature=self.temperature,
             top_p=self.top_p,
@@ -46,6 +47,12 @@ class CompletionRequest(BaseModel):
             json_schema=self.json_schema,
             regex=self.regex,
         )
+        if self.logit_bias:
+            # rides the custom-logit-processor bias path (the reference
+            # declares logit_bias in protocol.py:156 but never applies it)
+            d["custom_logit_processor"] = "logit_bias"
+            d["custom_params"] = {"logit_bias": self.logit_bias}
+        return d
 
 
 class ChatMessage(BaseModel):
@@ -77,11 +84,13 @@ class ChatCompletionRequest(BaseModel):
     tool_choice: Union[str, Dict[str, Any], None] = "auto"
     logprobs: bool = False
     top_logprobs: Optional[int] = None
+    logit_bias: Optional[Dict[str, float]] = None
     user: Optional[str] = None
 
     def to_sampling_dict(self) -> Dict[str, Any]:
         max_new = self.max_completion_tokens or self.max_tokens or 512
         json_schema = None
+        structural_tag = None
         if self.response_format:
             t = self.response_format.get("type")
             if t == "json_schema":
@@ -91,7 +100,15 @@ class ChatCompletionRequest(BaseModel):
                 json_schema = _json.dumps(js) if js is not None else None
             elif t == "json_object":
                 json_schema = '{"type": "object"}'
-        return dict(
+            elif t == "structural_tag":
+                # reference adapter.py:993-996: the whole response_format
+                # object (minus "type") is the tag spec
+                import json as _json
+
+                spec = {k: v for k, v in self.response_format.items()
+                        if k != "type"}
+                structural_tag = _json.dumps(spec)
+        d = dict(
             max_new_tokens=max_new,
             temperature=self.temperature,
             top_p=self.top_p,
@@ -103,7 +120,12 @@ class ChatCompletionRequest(BaseModel):
             repetition_penalty=self.repetition_penalty,
             ignore_eos=self.ignore_eos,
             json_schema=json_schema,
+            structural_tag=structural_tag,
         )
+        if self.logit_bias:
+            d["custom_logit_processor"] = "logit_bias"
+            d["custom_params"] = {"logit_bias": self.logit_bias}
+        return d
 
 
 def completion_id() -> str:

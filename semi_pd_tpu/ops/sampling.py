@@ -91,8 +91,14 @@ def sample(
         logits = apply_penalties(logits, counts, prompt_mask, params)
     if vocab_mask is not None:
         # Grammar-constrained decoding (reference: apply_vocab_mask,
-        # srt/constrained/base_grammar_backend.py:30-110)
-        logits = jnp.where(vocab_mask, logits, -jnp.inf)
+        # srt/constrained/base_grammar_backend.py:30-110). A float array is
+        # an additive logit bias instead (custom logit processors,
+        # sampling/logit_processor.py; grammar bans arrive folded in as
+        # -inf). Trace-time branch: jit specializes on the dtype.
+        if vocab_mask.dtype == jnp.bool_:
+            logits = jnp.where(vocab_mask, logits, -jnp.inf)
+        else:
+            logits = logits + vocab_mask.astype(jnp.float32)
 
     greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 

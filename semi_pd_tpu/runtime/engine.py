@@ -177,14 +177,28 @@ class Engine:
                 raise ValueError("no LoRA adapters loaded")
             req.lora_id = self.lora_manager.adapter_index(lora_path)
         sp = sampling_params
-        if sp.json_schema or sp.regex or sp.ebnf:
+        if sp.json_schema or sp.regex or sp.ebnf or sp.structural_tag:
             gc = self._get_grammar_compiler()
             if sp.regex:
                 req.grammar = gc.matcher("regex", sp.regex)
             elif sp.json_schema:
                 req.grammar = gc.matcher("json_schema", sp.json_schema)
+            elif sp.structural_tag:
+                req.grammar = gc.matcher("structural_tag", sp.structural_tag)
             else:
                 req.grammar = gc.matcher("ebnf", sp.ebnf)
+        if sp.custom_logit_processor is not None:
+            if (not self.server_args.enable_custom_logit_processor
+                    and sp.custom_logit_processor != "logit_bias"):
+                # logit_bias is exempt: it is a standard OpenAI request field
+                # that merely rides the same bias path.
+                raise ValueError(
+                    "custom_logit_processor requires "
+                    "--enable-custom-logit-processor "
+                    "(reference io_struct.py:80-82 gating)")
+            from semi_pd_tpu.sampling.logit_processor import resolve_processor
+
+            resolve_processor(sp.custom_logit_processor)  # fail fast on typo
         if self.server_args.log_requests:
             lvl = self.server_args.log_requests_level
             msg = f"recv rid={req.rid} prompt_len={len(req.input_ids)}"

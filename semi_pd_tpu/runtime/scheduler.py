@@ -557,17 +557,41 @@ class Scheduler:
 
     def _vocab_mask(self, reqs: List[Req], B: int):
         """Dense [B, V] grammar mask, or None when no request is constrained
-        (the unconstrained step variant then runs mask-free)."""
-        if not any(r.grammar is not None for r in reqs):
+        (the unconstrained step variant then runs mask-free). When a custom
+        logit processor is active the return is a float32 additive-bias
+        array instead (grammar bans folded in as -inf); the fused sampler
+        picks where-vs-add at trace time by dtype (ops/sampling.sample)."""
+        has_grammar = any(r.grammar is not None for r in reqs)
+        has_custom = any(
+            r.sampling_params.custom_logit_processor is not None for r in reqs
+        )
+        if not has_grammar and not has_custom:
             return None
         V = self.runner.model_config.vocab_size
-        mask = np.ones((B, V), dtype=bool)
+        if not has_custom:
+            mask = np.ones((B, V), dtype=bool)
+            for i, r in enumerate(reqs):
+                if r.grammar is not None and not r.grammar.finished:
+                    m = r.grammar.vocab_mask()
+                    mask[i, : len(m)] = m
+                    mask[i, len(m):] = False
+            return mask
+        from semi_pd_tpu.sampling.logit_processor import resolve_processor
+
+        bias = np.zeros((B, V), dtype=np.float32)
         for i, r in enumerate(reqs):
             if r.grammar is not None and not r.grammar.finished:
                 m = r.grammar.vocab_mask()
-                mask[i, : len(m)] = m
-                mask[i, len(m):] = False
-        return mask
+                bias[i, : len(m)][~m] = -np.inf
+                bias[i, len(m):] = -np.inf
+            name = r.sampling_params.custom_logit_processor
+            if name is not None:
+                row = resolve_processor(name).bias(
+                    r.output_ids, r.sampling_params.custom_params, V
+                )
+                if row is not None:
+                    bias[i] += row
+        return bias
 
     def _run_extend(self, admitted: List[Tuple[Req, int]]) -> List[Tuple[Req, int]]:
         """Dispatch a prefill/extend step. The common (unconstrained) path
@@ -833,7 +857,7 @@ class Scheduler:
         the NGRAM verify window; drafts are generated on device."""
         g = self.spec_gamma
         if any(
-            r.grammar is not None or r.sampling_params.needs_penalties
+            r.grammar is not None or r.sampling_params.needs_per_step_host
             or getattr(r, "spec_hidden", None) is None
             for r in self.running
         ):
@@ -975,7 +999,7 @@ class Scheduler:
 
         g = self.spec_gamma
         if any(
-            r.grammar is not None or r.sampling_params.needs_penalties
+            r.grammar is not None or r.sampling_params.needs_per_step_host
             for r in self.running
         ):
             # masks depend on each accepted token: fall back to plain decode
@@ -1063,7 +1087,7 @@ class Scheduler:
         if hb_prev.mode != ForwardMode.DECODE or hb_prev.reqs != self.running:
             return None
         if any(
-            r.grammar is not None or r.sampling_params.needs_penalties
+            r.grammar is not None or r.sampling_params.needs_per_step_host
             for r in self.running
         ):
             return None

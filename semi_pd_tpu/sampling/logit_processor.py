@@ -1,0 +1,128 @@
+"""Custom logit processors, the TPU-native way.
+
+Reference: ``srt/sampling/custom_logit_processor.py`` — a per-request
+dill-serialized callable applied to the device logits tensor before
+sampling, gated by ``--enable-custom-logit-processor``
+(``io_struct.py:80-82``, applied in ``sampling_batch_info.py``).
+
+Shipping arbitrary pickled callables into the hot loop is a torch-eager
+idiom: on TPU the whole step (forward + penalties + mask + sample) is one
+jitted XLA program and device logits never visit the host mid-step. The
+TPU-native contract is therefore a *named, registered* processor that
+contributes an additive per-request logit-bias row computed host-side from
+the request's visible state (generated ids + ``custom_params``); the rows
+ride the same per-step upload as grammar masks and are added to the logits
+inside the fused program (``ops/sampling.sample``). ``-inf`` bans a token.
+
+This covers the reference's documented use cases (token banning, forced
+tokens, per-step bias schedules) without deserializing code from the wire —
+processors are registered server-side by name, so the security posture is
+also strictly better than accepting hex-encoded dill from clients.
+
+Requests opt in via ``sampling_params.custom_logit_processor = "<name>"``
+plus an optional ``custom_params`` dict (same field names as the
+reference).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+_REGISTRY: Dict[str, "CustomLogitProcessor"] = {}
+
+
+class CustomLogitProcessor(ABC):
+    """Stateless processor: returns an additive bias row for one request."""
+
+    name: str = ""
+
+    @abstractmethod
+    def bias(
+        self,
+        output_ids: List[int],
+        custom_params: Optional[Dict[str, Any]],
+        vocab_size: int,
+    ) -> Optional[np.ndarray]:
+        """float32 [vocab_size] additive bias (None = neutral this step)."""
+
+
+def register_processor(proc: CustomLogitProcessor) -> CustomLogitProcessor:
+    if not proc.name:
+        raise ValueError("processor needs a non-empty .name")
+    _REGISTRY[proc.name] = proc
+    return proc
+
+
+def resolve_processor(name: str) -> CustomLogitProcessor:
+    proc = _REGISTRY.get(name)
+    if proc is None:
+        raise ValueError(
+            f"unknown custom logit processor {name!r}; registered: "
+            f"{sorted(_REGISTRY)}"
+        )
+    return proc
+
+
+class LogitBiasProcessor(CustomLogitProcessor):
+    """OpenAI-style static logit_bias: custom_params = {"logit_bias":
+    {token_id: float}}. Also backs the `logit_bias` field of the OpenAI
+    endpoints (reference declares it in protocol.py:156 but never applies
+    it; here it works)."""
+
+    name = "logit_bias"
+
+    def bias(self, output_ids, custom_params, vocab_size):
+        table = (custom_params or {}).get("logit_bias") or {}
+        if not table:
+            return None
+        row = np.zeros(vocab_size, np.float32)
+        for tid, b in table.items():
+            tid = int(tid)
+            if 0 <= tid < vocab_size:
+                row[tid] = float(b)
+        return row
+
+
+class DisallowTokensProcessor(CustomLogitProcessor):
+    """Ban a token-id list outright: custom_params = {"token_ids": [...]}."""
+
+    name = "disallow_tokens"
+
+    def bias(self, output_ids, custom_params, vocab_size):
+        ids = (custom_params or {}).get("token_ids") or []
+        if not ids:
+            return None
+        row = np.zeros(vocab_size, np.float32)
+        for tid in ids:
+            tid = int(tid)
+            if 0 <= tid < vocab_size:
+                row[tid] = -np.inf
+        return row
+
+
+class ThinkingBudgetProcessor(CustomLogitProcessor):
+    """Force an end-of-thinking token once the output hits a budget:
+    custom_params = {"budget": N, "end_token_id": id}. (The reference repo's
+    docs use exactly this example for custom logit processors.)"""
+
+    name = "thinking_budget"
+
+    def bias(self, output_ids, custom_params, vocab_size):
+        p = custom_params or {}
+        budget = int(p.get("budget", 0))
+        end_id = int(p.get("end_token_id", -1))
+        if end_id < 0 or end_id >= vocab_size or len(output_ids) < budget:
+            return None
+        if end_id in output_ids:
+            return None  # already closed
+        row = np.full(vocab_size, -np.inf, np.float32)
+        row[end_id] = 0.0
+        return row
+
+
+register_processor(LogitBiasProcessor())
+register_processor(DisallowTokensProcessor())
+register_processor(ThinkingBudgetProcessor())

@@ -31,6 +31,13 @@ class SamplingParams:
     json_schema: Optional[str] = None
     regex: Optional[str] = None
     ebnf: Optional[str] = None
+    # JSON string {"structures": [{begin, schema, end}], "triggers": [...]}
+    # (reference sampling_params.py:72 + xgrammar_backend.py:162)
+    structural_tag: Optional[str] = None
+    # Named custom logit processor + its per-request params (TPU-native form
+    # of reference custom_logit_processor.py — see sampling/logit_processor.py)
+    custom_logit_processor: Optional[str] = None
+    custom_params: Optional[Dict[str, Any]] = None
 
     def __post_init__(self):
         if self.temperature < 0.0:
@@ -48,15 +55,25 @@ class SamplingParams:
         self.stop = self.stop or []
         self.stop_token_ids = list(self.stop_token_ids or [])
         n_constraints = sum(
-            x is not None for x in (self.json_schema, self.regex, self.ebnf)
+            x is not None
+            for x in (self.json_schema, self.regex, self.ebnf,
+                      self.structural_tag)
         )
         if n_constraints > 1:
-            raise ValueError("at most one of json_schema/regex/ebnf may be set")
+            raise ValueError(
+                "at most one of json_schema/regex/ebnf/structural_tag may be set")
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "SamplingParams":
         fields = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in fields})
+
+    @property
+    def needs_per_step_host(self) -> bool:
+        """True when sampling needs host-computed per-step inputs (penalty
+        histograms or a custom logit-processor bias) — such requests take the
+        synchronous decode path instead of the chained overlap ring."""
+        return self.needs_penalties or self.custom_logit_processor is not None
 
     @property
     def needs_penalties(self) -> bool:

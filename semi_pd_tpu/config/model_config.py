@@ -302,6 +302,7 @@ class ModelConfig:
         dtype: str = "bfloat16",
         quantization: Optional[str] = None,
         json_override_args: Optional[str] = None,
+        revision: Optional[str] = None,
     ) -> "ModelConfig":
         if model_path.endswith(".gguf"):
             # Single-file GGUF checkpoint: synthesize the HF config from the
@@ -315,7 +316,8 @@ class ModelConfig:
 
             try:
                 hf_config = AutoConfig.from_pretrained(
-                    model_path, trust_remote_code=trust_remote_code
+                    model_path, trust_remote_code=trust_remote_code,
+                    revision=revision,
                 )
             except ValueError:
                 # Remote-code model types (internlm2, baichuan, exaone,

@@ -52,6 +52,7 @@ class Engine:
                     server_args.tokenizer_path,
                     trust_remote_code=server_args.trust_remote_code,
                     use_fast=server_args.tokenizer_mode != "slow",
+                    revision=server_args.revision,
                 )
             except Exception as e:  # random-weights bench without a tokenizer
                 # Single-file GGUF checkpoints carry a ggml vocab, not an HF

@@ -37,6 +37,28 @@ from semi_pd_tpu.runtime.forward_batch import ForwardArrays
 
 logger = logging.getLogger(__name__)
 
+def _delete_checkpoint_files(model_path: str) -> None:
+    """--delete-ckpt-after-loading: reclaim disk once weights are resident
+    (reference server_args.py delete_ckpt_after_loading, applied in
+    model_loader/weight_utils.py). Config/tokenizer files are kept — only
+    weight shards go."""
+    import glob
+    import os
+
+    if os.path.isfile(model_path):  # single-file gguf
+        paths = [model_path]
+    else:
+        paths = []
+        for pat in ("*.safetensors", "*.bin", "*.pt", "*.gguf"):
+            paths += glob.glob(os.path.join(model_path, pat))
+    for p in paths:
+        try:
+            os.remove(p)
+            logger.info("deleted checkpoint file %s", p)
+        except OSError as e:
+            logger.warning("could not delete %s: %s", p, e)
+
+
 KV_DTYPES = {
     "bfloat16": jnp.bfloat16,
     "float32": jnp.float32,
@@ -63,6 +85,7 @@ class ModelRunner:
                 dtype=server_args.dtype,
                 quantization=server_args.quantization,
                 json_override_args=server_args.json_model_override_args,
+                revision=server_args.revision,
             )
         if server_args.is_embedding:
             # Reference tokenizer_manager.py:176 passes --is-embedding into
@@ -175,6 +198,10 @@ class ModelRunner:
             "weights ready: %.2f GiB in %.1fs", n_bytes / 2**30, time.monotonic() - t0
         )
         self.weight_bytes = n_bytes
+        if (self.server_args.delete_ckpt_after_loading
+                and self.server_args.model_path
+                and not self.server_args.random_weights):
+            _delete_checkpoint_files(self.server_args.model_path)
 
     # ------------------------------------------------------------- memory
     def _init_memory_pool(self):

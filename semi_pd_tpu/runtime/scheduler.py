@@ -642,6 +642,8 @@ class Scheduler:
             done_flags=done_flags, hidden=hidden,
         )
         if sync:
+            if self.args.debug_tensor_dump_output_folder:
+                self._dump_step(entry, np.asarray(tokens), np.asarray(logprobs))
             out += self._process_extend_entry(
                 entry, np.asarray(tokens), np.asarray(logprobs)
             )
@@ -745,11 +747,35 @@ class Scheduler:
         self._adapt_depth()
         out = []
         for e, t_np, l_np in zip(entries, toks_np, lps_np):
+            if self.args.debug_tensor_dump_output_folder:
+                self._dump_step(e, t_np, l_np)
             if e.kind == "decode":
                 out += self._process_decode_entry(e, t_np, l_np)
             else:
                 out += self._process_extend_entry(e, t_np, l_np)
         return out
+
+    def _dump_step(self, e: _RingEntry, toks, lps) -> None:
+        """--debug-tensor-dump-output-folder: write each step's host batch
+        + sampled tokens as .npz for offline diffing (reference
+        --debug-tensor-dump-* in model_runner.py dumps forward inputs/
+        logits; here the readback point is where host truth materializes)."""
+        import os
+
+        folder = self.args.debug_tensor_dump_output_folder
+        os.makedirs(folder, exist_ok=True)
+        n = self._dump_counter = getattr(self, "_dump_counter", -1) + 1
+        hb = e.hb
+        np.savez(
+            os.path.join(folder, f"step_{n:06d}_{e.kind}.npz"),
+            mode=np.asarray(str(hb.mode)),
+            rids=np.asarray([r.rid for r in hb.reqs]),
+            input_ids=np.asarray(hb.input_ids),
+            positions=np.asarray(hb.q_pos),
+            kv_lens=np.asarray(hb.kv_lens),
+            tokens=np.asarray(toks),
+            logprobs=np.asarray(lps),
+        )
 
     def _account_costs(self, entries: List[_RingEntry], dt: float) -> None:
         """Attribute a flush cycle's FULL wall time to the cost EWMAs that

@@ -273,3 +273,54 @@ def test_reference_flag_aliases_and_attention_backend():
     out = eng.generate(input_ids=[3, 4, 5], sampling_params=sp)
     assert len(out["output_ids"]) == 2
     eng.scheduler.check_memory()
+
+
+def test_debug_tensor_dump_and_warmup_registry(tmp_path):
+    dump = str(tmp_path / "dump")
+    eng = _engine(debug_tensor_dump_output_folder=dump,
+                  skip_tokenizer_init=True)
+    eng.generate(input_ids=[[1, 2, 3]], sampling_params=SamplingParams(
+        max_new_tokens=3, temperature=0.0, ignore_eos=True))
+    import glob
+
+    files = sorted(glob.glob(os.path.join(dump, "*.npz")))
+    assert files, "no step dumps written"
+    z = np.load(files[0])
+    assert {"input_ids", "tokens", "rids"} <= set(z.files)
+
+    from semi_pd_tpu.utils.warmup import _warmup_registry, execute_warmups, warmup
+
+    ran = []
+
+    @warmup("test_only")
+    def _w(engine):
+        ran.append(engine)
+
+    try:
+        execute_warmups(["test_only", "missing_name_is_logged"], eng)
+    finally:
+        _warmup_registry.pop("test_only", None)
+    assert ran == [eng]
+
+
+def test_delete_ckpt_after_loading(tmp_path):
+    import torch
+    from transformers import LlamaConfig as HFC, LlamaForCausalLM as HFL
+
+    cfg = HFC(vocab_size=128, hidden_size=64, intermediate_size=96,
+              num_hidden_layers=2, num_attention_heads=4,
+              num_key_value_heads=2, max_position_embeddings=64,
+              tie_word_embeddings=False)
+    torch.manual_seed(0)
+    HFL(cfg).save_pretrained(str(tmp_path), safe_serialization=True)
+    eng = Engine(server_args=ServerArgs(
+        model_path=str(tmp_path), dtype="float32", page_size=4,
+        max_total_tokens=512, delete_ckpt_after_loading=True,
+        skip_tokenizer_init=True))
+    import glob
+
+    assert not glob.glob(os.path.join(str(tmp_path), "*.safetensors"))
+    assert os.path.exists(os.path.join(str(tmp_path), "config.json"))
+    out = eng.generate(input_ids=[[1, 2, 3]], sampling_params=SamplingParams(
+        max_new_tokens=2, temperature=0.0, ignore_eos=True))
+    assert len(out[0]["output_ids"]) == 2

@@ -185,6 +185,10 @@ class ServerArgs:
     # acceptance drops. Exposed for A/B tests.
     speculative_disable_draft_refresh: bool = False
     speculative_draft_model_path: Optional[str] = None
+    # FR-Spec hot-token map (.pt/.json/.npy list of token ids): the EAGLE
+    # draft head is sliced to this subset, shrinking the per-step draft
+    # GEMM (reference --speculative-token-map, eagle_worker.py:70-95)
+    speculative_token_map: Optional[str] = None
     # Relaxed acceptance for sampled requests (reference server_args.py:133):
     # a draft is also accepted outright when its target probability exceeds
     # threshold_single, and the rejection-sampling accept probability is

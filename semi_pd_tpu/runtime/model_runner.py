@@ -827,12 +827,24 @@ class ModelRunner:
 
         refresh = not self.server_args.speculative_disable_draft_refresh
 
+        hot_ids = None
+        if self.server_args.speculative_token_map:
+            # FR-Spec: the draft head runs over the hot-vocab subset only
+            # (reference eagle_worker.py:70-95 load_token_map + head slice).
+            from semi_pd_tpu.speculative.eagle import load_token_map
+
+            hot_np = load_token_map(self.server_args.speculative_token_map)
+            hot_ids = jnp.asarray(hot_np, dtype=jnp.int32)
+            logger.info("FR-Spec hot vocab: %d of %d tokens", hot_np.size,
+                        mc.vocab_size)
+
         def _eagle(params, dparams, kv, dkv, fb, prev_hidden, gamma):
             return eagle_round(
                 model, draft, params, dparams, kv, dkv, fb, prev_hidden,
                 gamma, refresh=refresh,
                 threshold_single=self.server_args.speculative_accept_threshold_single,
                 threshold_acc=self.server_args.speculative_accept_threshold_acc,
+                hot_ids=hot_ids,
             )
 
         self._eagle_jit = jax.jit(
@@ -852,7 +864,7 @@ class ModelRunner:
             def _eagle_tree(params, dparams, kv, dkv, fb, prev_hidden, tree):
                 return eagle_tree_round(
                     model, draft, params, dparams, kv, dkv, fb, prev_hidden,
-                    tree, refresh=refresh,
+                    tree, refresh=refresh, hot_ids=hot_ids,
                 )
 
             self._eagle_tree_jit = jax.jit(

@@ -172,6 +172,45 @@ class EagleDraftModel:
         return h
 
 
+def load_token_map(path: str):
+    """FR-Spec hot-token map loader (reference eagle_worker.py:496-504
+    load_token_map; torch.load of a token-id list). Also accepts .json and
+    .npy for torch-free deployments."""
+    import numpy as np
+
+    if path.endswith(".json"):
+        import json
+
+        with open(path) as f:
+            ids = json.load(f)
+    elif path.endswith(".npy"):
+        ids = np.load(path)
+    else:
+        import torch
+
+        ids = torch.load(path, map_location="cpu", weights_only=True)
+        ids = ids.tolist() if hasattr(ids, "tolist") else ids
+    return np.asarray(ids, dtype=np.int32)
+
+
+def _hot_head(head, hot_ids):
+    """Slice the lm_head to the hot vocabulary (reference
+    eagle_worker.py:92-95 ``head.data[hot_token_id]``): the draft's head
+    GEMM shrinks from [H, V] to [H, Vh] and its argmax/top-k indices map
+    back through ``hot_ids``. Returns None for head formats that cannot be
+    sliced (blockwise-quantized scales)."""
+    w = head["w"]
+    out = {"w": jnp.take(w, hot_ids, axis=1)}
+    if "b" in head:
+        out["b"] = jnp.take(head["b"], hot_ids, axis=0)
+    if "ws" in head:
+        ws = head["ws"]
+        if ws.ndim == w.ndim:  # 128x128 blockwise: not sliceable per column
+            return None
+        out["ws"] = jnp.take(ws, hot_ids, axis=0)
+    return out
+
+
 def eagle_round(
     target_model,
     draft_model: EagleDraftModel,
@@ -185,6 +224,7 @@ def eagle_round(
     refresh: bool = True,
     threshold_single: float = 1.0,
     threshold_acc: float = 1.0,
+    hot_ids=None,  # [Vh] i32 FR-Spec hot vocab (--speculative-token-map)
 ):
     """The fused EAGLE round. Returns
     (accept_len [B], next_tok [B], drafts [B, gamma], next_hidden [B, H],
@@ -203,6 +243,12 @@ def eagle_round(
     W = gamma + 1
     embed_w = params["embed"]["w"]
     head = params.get("lm_head") or {"w": embed_w.T}
+
+    draft_head, hot_map = head, None
+    if hot_ids is not None:
+        hh = _hot_head(head, hot_ids)
+        if hh is not None:
+            draft_head, hot_map = hh, hot_ids
 
     win_slots = fb.out_slots.reshape(B, W)
     win_pos = fb.q_pos.reshape(B, W)
@@ -235,9 +281,11 @@ def eagle_round(
             meta,
         )
         logits = apply_linear(
-            head, draft_model.pre_head(draft_params, h)
+            draft_head, draft_model.pre_head(draft_params, h)
         ).astype(jnp.float32)
         nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        if hot_map is not None:
+            nxt = jnp.take(hot_map, nxt)  # hot-vocab index -> real token id
         return (nxt, h, dkv), nxt
 
     (_, _, draft_kv), drafts_t = jax.lax.scan(
@@ -306,6 +354,7 @@ def eagle_tree_round(
     prev_hidden: jax.Array,  # [B, H] target hidden seeding the draft
     tree,  # TreeTemplate (static)
     refresh: bool = True,
+    hot_ids=None,  # [Vh] i32 FR-Spec hot vocab (--speculative-token-map)
 ):
     """EAGLE top-k TREE round, fully fused in one dispatch (reference:
     eagle_worker.py:162-366 + build_eagle_tree.py, which run draft CUDA
@@ -336,6 +385,11 @@ def eagle_tree_round(
     B = fb.page_table.shape[0]
     embed_w = params["embed"]["w"]
     head = params.get("lm_head") or {"w": embed_w.T}
+    draft_head, hot_map = head, None
+    if hot_ids is not None:
+        hh = _hot_head(head, hot_ids)
+        if hh is not None:
+            draft_head, hot_map = hh, hot_ids
 
     win_slots = fb.out_slots.reshape(B, N)
     rope_pos = fb.q_pos.reshape(B, N)  # base + depth(node)
@@ -387,9 +441,11 @@ def eagle_tree_round(
             if d < tree.depth:
                 k_d = tree.branching[d]
                 logits = apply_linear(
-                    head, draft_model.pre_head(draft_params, h)
-                ).astype(jnp.float32)  # [Bn, V]
+                    draft_head, draft_model.pre_head(draft_params, h)
+                ).astype(jnp.float32)  # [Bn, V] (or [Bn, Vh] hot vocab)
                 _, topk_idx = jax.lax.top_k(logits, k_d)  # [Bn, k_d]
+                if hot_map is not None:
+                    topk_idx = jnp.take(hot_map, topk_idx)  # -> real ids
                 for li, j in enumerate(level):
                     rows = topk_idx[li * B : (li + 1) * B]  # [B, k_d]
                     for child in range(len(tree.parents)):

@@ -151,3 +151,36 @@ def test_draft_extend_refresh_semantics():
         )
     np.testing.assert_allclose(
         np.asarray(dkv_manual), np.asarray(dkv_on), rtol=1e-5, atol=1e-6)
+
+
+def test_eagle_fr_spec_token_map(tmp_path):
+    """FR-Spec (--speculative-token-map): drafts are restricted to the hot
+    vocab but outputs stay exactly equal to plain decode (verification is
+    target-exact regardless of drafts). Reference eagle_worker.py:70-95."""
+    import json
+
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, 64, size=12).tolist()]
+    sp = SamplingParams(max_new_tokens=12, temperature=0.0, ignore_eos=True)
+
+    base = _mk(spec=False)
+    want = base.generate(input_ids=prompts, sampling_params=sp)
+
+    tmap = tmp_path / "hot.json"
+    tmap.write_text(json.dumps(list(range(0, 64, 2))))  # even ids only
+
+    cfg = ModelConfig(
+        architecture="LlamaForCausalLM", vocab_size=64, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=8, max_position_embeddings=512,
+        context_length=512, dtype="float32",
+    )
+    eng = Engine(server_args=ServerArgs(
+        model_path="", random_weights=True, page_size=4,
+        max_total_tokens=2048, seed=9, speculative_algorithm="EAGLE",
+        speculative_num_draft_tokens=3,
+        speculative_token_map=str(tmap)), model_config=cfg)
+    got = eng.generate(input_ids=prompts, sampling_params=sp)
+    assert want[0]["output_ids"] == got[0]["output_ids"]
+    assert eng.scheduler.n_spec_steps > 0
+    eng.scheduler.check_memory()

@@ -46,6 +46,11 @@ class ServerArgs:
     allow_auto_truncate: bool = False
     dtype: str = "bfloat16"  # model compute/weight dtype
     kv_cache_dtype: str = "auto"  # auto | bfloat16 | fp8_e4m3 | fp8_e5m2
+    # Calibrated per-layer fp8-KV scale JSON (reference
+    # --quantization-param-path; vLLM kv_cache_scales schema). Stored KV is
+    # divided by the scale (using the fp8 range) and reads rescale exactly
+    # by linearity — see layers/attention.py _KV_SCALES.
+    quantization_param_path: Optional[str] = None
     quantization: Optional[str] = None  # fp8 | int8 | awq_int4 | blockwise_fp8
     random_weights: bool = False  # skip checkpoint load; random-init (tests/bench)
     # HF revision forwarded to config/tokenizer loading (reference --revision;

@@ -37,6 +37,35 @@ from semi_pd_tpu.runtime.forward_batch import ForwardArrays
 
 logger = logging.getLogger(__name__)
 
+def _load_kv_cache_scales(path: str, num_layers: int):
+    """Parse a kv-cache-scales JSON (the vLLM schema the reference loads via
+    model.load_kv_cache_scales, e.g. models/qwen2.py:296): either
+    {"kv_cache": {"scaling_factor": {"0": {"0": s, ...}}}} (per-TP-rank) or
+    a flat {"0": s, ...}; per-layer dicts {"k_scale": x, "v_scale": y} are
+    also accepted. Returns float32 [L, 2] (k_scale, v_scale)."""
+    import json
+
+    import numpy as np
+
+    with open(path) as f:
+        doc = json.load(f)
+    sf = doc.get("kv_cache", {}).get("scaling_factor", doc)
+    if sf and all(isinstance(v, dict) and all(k.isdigit() for k in v)
+                  for v in sf.values()):
+        sf = sf.get("0") or next(iter(sf.values()))  # TP-rank level
+    out = np.ones((num_layers, 2), np.float32)
+    for k, v in sf.items():
+        li = int(k)
+        if li >= num_layers:
+            continue
+        if isinstance(v, dict):
+            out[li, 0] = float(v.get("k_scale", 1.0))
+            out[li, 1] = float(v.get("v_scale", 1.0))
+        else:
+            out[li, :] = float(v)
+    return out
+
+
 def _delete_checkpoint_files(model_path: str) -> None:
     """--delete-ckpt-after-loading: reclaim disk once weights are resident
     (reference server_args.py delete_ckpt_after_loading, applied in
@@ -118,6 +147,18 @@ class ModelRunner:
         self.model.use_ep = bool(mesh is not None and server_args.ep_size > 1)
         self.model.ep_capacity_factor = server_args.ep_capacity_factor
         logger.info("attention backend: %s (platform %s)", backend, platform)
+
+        if server_args.quantization_param_path:
+            # Calibrated per-layer fp8-KV scales (reference --quantization-
+            # param-path, model_runner.py:681-688 load_kv_cache_scales).
+            scales = _load_kv_cache_scales(
+                server_args.quantization_param_path,
+                model_config.num_hidden_layers,
+            )
+            attention_backend.set_kv_scales(jnp.asarray(scales))
+            logger.info("fp8-KV scales loaded for %d layers", len(scales))
+        else:
+            attention_backend.set_kv_scales(None)  # don't leak across engines
 
         self._load_weights()
         self._init_memory_pool()

@@ -234,6 +234,13 @@ class ServerArgs:
     enable_cache_report: bool = False
     enable_metrics: bool = False
     show_time_cost: bool = False
+    # Streamed /generate chunks carry only NEW output token ids instead of
+    # the cumulative list (reference --stream-output,
+    # tokenizer_manager.py:952)
+    stream_output: bool = False
+    # Log level for HTTP access logs (reference --log-level-http; defaults
+    # to --log-level)
+    log_level_http: Optional[str] = None
     watchdog_timeout: float = 300.0
     enable_nan_detection: bool = False
     profiler_dir: Optional[str] = None

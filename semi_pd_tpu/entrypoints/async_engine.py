@@ -107,6 +107,14 @@ class AsyncEngine:
             return
         item = self.engine._to_output(req)
         item["finished"] = req.finished
+        if self.engine.server_args.stream_output and req.stream:
+            # reference tokenizer_manager.py:952: with --stream-output each
+            # chunk carries only the NEW token ids (text deltas already
+            # stream incrementally either way)
+            ids = item["output_ids"]
+            off = getattr(req, "_stream_offset", 0)
+            item["output_ids"] = ids[off:]
+            req._stream_offset = len(ids)
         self.loop.call_soon_threadsafe(q.put_nowait, item)
         if req.finished:
             with self._lock:

@@ -31,6 +31,9 @@ def main(argv=None):
         level=getattr(logging, args.log_level.upper(), logging.INFO),
         format="[%(asctime)s %(name)s] %(message)s",
     )
+    if args.log_level_http:
+        logging.getLogger("aiohttp.access").setLevel(
+            getattr(logging, args.log_level_http.upper(), logging.INFO))
     from semi_pd_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()

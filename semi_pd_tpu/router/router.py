@@ -212,6 +212,12 @@ def main(argv=None):
     p.add_argument("--policy", default="cache_aware",
                    choices=["cache_aware", "round_robin", "random",
                             "shortest_queue"])
+    # reference --load-balance-method (data_parallel_controller.py:483-489
+    # round_robin | shortest_queue); alias onto --policy
+    p.add_argument("--load-balance-method", dest="policy",
+                   default=argparse.SUPPRESS,
+                   choices=["cache_aware", "round_robin", "random",
+                            "shortest_queue"])
     p.add_argument("--cache-threshold", type=float, default=0.5)
     args = p.parse_args(argv)
     r = Router(args.worker_urls, args.policy, args.cache_threshold)

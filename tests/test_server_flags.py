@@ -324,3 +324,47 @@ def test_delete_ckpt_after_loading(tmp_path):
     out = eng.generate(input_ids=[[1, 2, 3]], sampling_params=SamplingParams(
         max_new_tokens=2, temperature=0.0, ignore_eos=True))
     assert len(out[0]["output_ids"]) == 2
+
+
+def test_stream_output_incremental_ids():
+    """--stream-output: streamed chunks carry only NEW token ids (reference
+    tokenizer_manager.py:952 last_output_offset slicing)."""
+    import asyncio
+
+    from semi_pd_tpu.entrypoints.async_engine import AsyncEngine
+
+    eng = _engine(stream_output=True, skip_tokenizer_init=True)
+    sp = SamplingParams(max_new_tokens=6, temperature=0.0, ignore_eos=True)
+
+    async def run():
+        ae = AsyncEngine(eng)
+        ae.start(asyncio.get_running_loop())
+        try:
+            chunks = []
+            async for item in ae.generate(input_ids=[1, 2, 3],
+                                          sampling_params=sp, stream=True):
+                chunks.append(item["output_ids"])
+            return chunks
+        finally:
+            ae.shutdown()
+
+    chunks = asyncio.run(run())
+    flat = [t for c in chunks for t in c]
+    assert len(flat) == 6  # no token id repeats across chunks
+    assert len(chunks) >= 2  # actually streamed in pieces
+    # cumulative mode for comparison
+    eng2 = _engine(skip_tokenizer_init=True)
+
+    async def run2():
+        ae = AsyncEngine(eng2)
+        ae.start(asyncio.get_running_loop())
+        try:
+            last = None
+            async for item in ae.generate(input_ids=[1, 2, 3],
+                                          sampling_params=sp, stream=True):
+                last = item["output_ids"]
+            return last
+        finally:
+            ae.shutdown()
+
+    assert asyncio.run(run2()) == flat

@@ -151,3 +151,129 @@ class OpenAIBackend:
             # positions >= n_prompt -> list indices >= n_prompt - 1
             per_choice.append(lps[n_prompt - 1:])
         return _rank_scores(per_choice, method)
+
+
+class _HttpJsonBackend:
+    """Shared raw-HTTP plumbing for the third-party chat backends below.
+    ``transport(url, payload, headers) -> dict`` is injectable so the
+    protocol logic is testable without egress (this build environment has
+    none; the reference backends import the vendor SDKs instead)."""
+
+    def __init__(self, transport=None, timeout: float = 120.0):
+        self.timeout = timeout
+        self._transport = transport or self._default_transport
+
+    def _default_transport(self, url: str, payload: Dict, headers: Dict) -> Dict:
+        req = _urlreq.Request(
+            url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json", **headers},
+        )
+        with _urlreq.urlopen(req, timeout=self.timeout) as r:
+            return json.loads(r.read())
+
+    @staticmethod
+    def _select_unsupported(*_a, **_k):
+        raise NotImplementedError(
+            "select() needs prompt logprobs, which chat-completion vendor "
+            "APIs do not expose (the reference Anthropic/LiteLLM/VertexAI "
+            "backends have the same limitation)")
+
+    select = _select_unsupported
+
+
+class AnthropicBackend(_HttpJsonBackend):
+    """Anthropic Messages API backend (reference lang/backend/anthropic.py,
+    which wraps the SDK; this speaks the REST protocol directly). DSL text
+    is sent as a single user message — the reference's fallback when no
+    structured messages exist (anthropic.py:36-37)."""
+
+    API_URL = "https://api.anthropic.com/v1/messages"
+
+    def __init__(self, model: str, api_key: str = "", max_tokens: int = 1024,
+                 transport=None, timeout: float = 120.0):
+        super().__init__(transport, timeout)
+        self.model = model
+        self.api_key = api_key
+        self.max_tokens = max_tokens
+
+    def generate(self, text: str, params: Dict) -> str:
+        payload = {
+            "model": self.model,
+            "max_tokens": params.get("max_new_tokens", self.max_tokens),
+            "messages": [{"role": "user", "content": text}],
+        }
+        for src, dst in (("temperature", "temperature"), ("top_p", "top_p"),
+                         ("stop", "stop_sequences")):
+            if src in params and params[src] is not None:
+                payload[dst] = params[src]
+        out = self._transport(self.API_URL, payload, {
+            "x-api-key": self.api_key, "anthropic-version": "2023-06-01",
+        })
+        return "".join(
+            b.get("text", "") for b in out.get("content", [])
+            if b.get("type") == "text"
+        )
+
+
+class LiteLLMBackend(_HttpJsonBackend):
+    """LiteLLM-proxy backend (reference lang/backend/litellm.py): any model
+    behind a LiteLLM gateway speaks OpenAI chat completions."""
+
+    def __init__(self, model: str, base_url: str, api_key: str = "",
+                 transport=None, timeout: float = 120.0):
+        super().__init__(transport, timeout)
+        self.model = model
+        self.base_url = base_url.rstrip("/")
+        self.api_key = api_key
+
+    def generate(self, text: str, params: Dict) -> str:
+        payload = {
+            "model": self.model,
+            "messages": [{"role": "user", "content": text}],
+        }
+        if "max_new_tokens" in params:
+            payload["max_tokens"] = params["max_new_tokens"]
+        for k in ("temperature", "top_p", "stop"):
+            if k in params and params[k] is not None:
+                payload[k] = params[k]
+        headers = {}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        out = self._transport(
+            self.base_url + "/v1/chat/completions", payload, headers)
+        return out["choices"][0]["message"]["content"]
+
+
+class VertexAIBackend(_HttpJsonBackend):
+    """Vertex AI generateContent backend (reference
+    lang/backend/vertexai.py, which wraps the google-cloud SDK)."""
+
+    def __init__(self, model: str, project: str, location: str = "us-central1",
+                 access_token: str = "", transport=None, timeout: float = 120.0):
+        super().__init__(transport, timeout)
+        self.model = model
+        self.url = (
+            f"https://{location}-aiplatform.googleapis.com/v1/projects/"
+            f"{project}/locations/{location}/publishers/google/models/"
+            f"{model}:generateContent"
+        )
+        self.access_token = access_token
+
+    def generate(self, text: str, params: Dict) -> str:
+        gen_cfg = {}
+        if "max_new_tokens" in params:
+            gen_cfg["maxOutputTokens"] = params["max_new_tokens"]
+        for src, dst in (("temperature", "temperature"), ("top_p", "topP"),
+                         ("stop", "stopSequences")):
+            if src in params and params[src] is not None:
+                gen_cfg[dst] = params[src]
+        payload = {
+            "contents": [{"role": "user", "parts": [{"text": text}]}],
+            "generationConfig": gen_cfg,
+        }
+        headers = {}
+        if self.access_token:
+            headers["Authorization"] = f"Bearer {self.access_token}"
+        out = self._transport(self.url, payload, headers)
+        parts = out["candidates"][0]["content"]["parts"]
+        return "".join(p.get("text", "") for p in parts)

@@ -202,3 +202,77 @@ def test_chat_stream_with_tools_emits_single_finish_chunk(live_server):
         content += c["delta"].get("content", "")
     assert finishes == ["length"]
     assert len(content) > 0  # text still streamed (no markup in output)
+
+
+def test_third_party_chat_backends_protocols():
+    """Anthropic/LiteLLM/VertexAI DSL backends (reference lang/backend/
+    {anthropic,litellm,vertexai}.py): protocol shape via injected transport
+    (no egress in this environment)."""
+    import pytest as _pytest
+
+    from semi_pd_tpu.lang.backends import (
+        AnthropicBackend,
+        LiteLLMBackend,
+        VertexAIBackend,
+    )
+
+    calls = []
+
+    def fake_anthropic(url, payload, headers):
+        calls.append((url, payload, headers))
+        return {"content": [{"type": "text", "text": "claude says hi"}]}
+
+    be = AnthropicBackend("claude-3-5-sonnet", api_key="k",
+                          transport=fake_anthropic)
+    out = be.generate("hello", {"max_new_tokens": 7, "temperature": 0.5,
+                                "stop": ["\n"]})
+    assert out == "claude says hi"
+    url, payload, headers = calls[-1]
+    assert url.endswith("/v1/messages")
+    assert payload["max_tokens"] == 7 and payload["stop_sequences"] == ["\n"]
+    assert payload["messages"] == [{"role": "user", "content": "hello"}]
+    assert headers["x-api-key"] == "k"
+    with _pytest.raises(NotImplementedError):
+        be.select("x", ["a", "b"], "token_length_normalized")
+
+    def fake_oai(url, payload, headers):
+        calls.append((url, payload, headers))
+        return {"choices": [{"message": {"content": "lite"}}]}
+
+    be2 = LiteLLMBackend("gpt-x", base_url="http://proxy:4000", api_key="t",
+                         transport=fake_oai)
+    assert be2.generate("q", {"max_new_tokens": 3}) == "lite"
+    url, payload, headers = calls[-1]
+    assert url == "http://proxy:4000/v1/chat/completions"
+    assert headers["Authorization"] == "Bearer t"
+
+    def fake_vertex(url, payload, headers):
+        calls.append((url, payload, headers))
+        return {"candidates": [{"content": {"parts": [{"text": "vx"}]}}]}
+
+    be3 = VertexAIBackend("gemini-pro", project="p1", access_token="tok",
+                          transport=fake_vertex)
+    assert be3.generate("q", {"max_new_tokens": 3, "top_p": 0.9}) == "vx"
+    url, payload, _ = calls[-1]
+    assert "projects/p1/locations/us-central1" in url
+    assert payload["generationConfig"]["topP"] == 0.9
+
+
+def test_dsl_runs_on_chat_backend():
+    """The eager interpreter drives a messages-style backend end-to-end."""
+    from semi_pd_tpu.lang.backends import AnthropicBackend
+    from semi_pd_tpu.lang.interpreter import function, gen
+
+    be = AnthropicBackend(
+        "claude-3-5-sonnet",
+        transport=lambda u, p, h: {
+            "content": [{"type": "text",
+                         "text": f"echo:{p['messages'][0]['content'][-6:]}"}]},
+    )
+
+    @function
+    def prog(s, topic):
+        s += "Tell me about " + topic + gen("answer", max_tokens=16)
+
+    st = prog.run("TPUs", backend=be)
+    assert st["answer"].startswith("echo:")

@@ -234,6 +234,10 @@ class ServerArgs:
     enable_cache_report: bool = False
     enable_metrics: bool = False
     show_time_cost: bool = False
+    # Allow /release_memory_occupation + /resume_memory_occupation to free
+    # and reallocate the KV pool's HBM between RL rollout phases (reference
+    # --enable-memory-saver + torch_memory_saver_adapter.py)
+    enable_memory_saver: bool = False
     # Streamed /generate chunks carry only NEW output token ids instead of
     # the cumulative list (reference --stream-output,
     # tokenizer_manager.py:952)

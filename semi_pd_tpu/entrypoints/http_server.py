@@ -49,6 +49,8 @@ def build_app(async_engine: AsyncEngine) -> web.Application:
         web.post("/close_session", close_session),
         web.post("/v1/embeddings", v1_embeddings),
         web.post("/flush_cache", flush_cache),
+        web.post("/release_memory_occupation", release_memory_occupation),
+        web.post("/resume_memory_occupation", resume_memory_occupation),
         web.post("/abort_request", abort_request),
         web.post("/update_weights_from_disk", update_weights_from_disk),
         web.post("/init_weights_update_group", init_weights_update_group),
@@ -257,6 +259,29 @@ async def abort_request(request: web.Request) -> web.Response:
     body = await _json_body(request)
     ae.abort(body.get("rid", ""))
     return web.json_response({"success": True})
+
+
+async def release_memory_occupation(request: web.Request) -> web.Response:
+    """Free the KV pool's HBM between RL rollout phases (reference
+    /release_memory_occupation, scheduler.py:1633-1648; gated on
+    --enable-memory-saver like the reference's torch_memory_saver)."""
+    ae: AsyncEngine = request.app["engine"]
+    if not ae.engine.server_args.enable_memory_saver:
+        return web.json_response(
+            {"success": False, "message": "requires --enable-memory-saver"},
+            status=400)
+    ok = await ae.run_job(ae.engine.release_memory_occupation)
+    return web.json_response({"success": ok})
+
+
+async def resume_memory_occupation(request: web.Request) -> web.Response:
+    ae: AsyncEngine = request.app["engine"]
+    if not ae.engine.server_args.enable_memory_saver:
+        return web.json_response(
+            {"success": False, "message": "requires --enable-memory-saver"},
+            status=400)
+    ok = await ae.run_job(ae.engine.resume_memory_occupation)
+    return web.json_response({"success": ok})
 
 
 async def update_weights_from_disk(request: web.Request) -> web.Response:

@@ -44,13 +44,14 @@ class VerlEngine:
 
     # ---------------------------------------------------- memory control
     def release_memory_occupation(self) -> None:
-        """Drop KV pages between rollout phases (reference
-        torch_memory_saver pause). Params stay resident — on TPU the KV pool
-        is the dominant allocation and frees when flushed."""
-        self._engine.flush_cache()
+        """Free the KV pool's HBM between rollout phases (reference
+        torch_memory_saver pause): the pool's device buffers are deleted and
+        reallocated on resume. Params stay resident."""
+        self._engine.release_memory_occupation()
         self._released = True
 
     def resume_memory_occupation(self) -> None:
+        self._engine.resume_memory_occupation()
         self._released = False
 
     # ------------------------------------------------------------- misc

@@ -565,6 +565,19 @@ class Engine:
         self.scheduler.check_memory()
         return True
 
+    def release_memory_occupation(self) -> bool:
+        """Free the KV pool's device memory between rollout phases
+        (reference /release_memory_occupation + torch_memory_saver,
+        scheduler.py:1633-1648). Only when idle (like flush_cache)."""
+        if not self.flush_cache():
+            return False
+        self.runner.release_kv_memory()
+        return True
+
+    def resume_memory_occupation(self) -> bool:
+        self.runner.resume_kv_memory()
+        return True
+
     def update_weights_from_disk(self, model_path: str) -> bool:
         from semi_pd_tpu.model_loader.loader import iterate_hf_weights
 

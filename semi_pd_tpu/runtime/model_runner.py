@@ -343,6 +343,7 @@ class ModelRunner:
             self.model.ds_heavy_token_num = args.ds_heavy_token_num
             self.model.ds_sparse_threshold = args.ds_sparse_decode_threshold
         self.kv_cache = KVCache(self.kv_spec, sharding=kv_sharding)
+        self._kv_sharding = kv_sharding  # kept for resume (memory saver)
         self.page_allocator = PageAllocator(
             num_pages, page_size, partitions=self.dp_attn
         )
@@ -353,6 +354,30 @@ class ModelRunner:
             num_pages, page_size, self.kv_spec.bytes_total() / 2**30,
             kv_dtype.__name__, self.max_running_requests,
         )
+
+    def release_kv_memory(self) -> None:
+        """Free the KV pool's HBM between rollout phases (reference
+        torch_memory_saver pause via /release_memory_occupation,
+        scheduler.py:1633-1648). The caller must have flushed all requests;
+        the pool array is deleted on device and recreated by resume."""
+        for buf in self.kv_cache.buffers:
+            buf.delete()
+        self.kv_cache.buffers = ()
+        if self.draft_kv is not None:
+            for buf in self.draft_kv.buffers:
+                buf.delete()
+            self.draft_kv.buffers = ()
+
+    def resume_kv_memory(self) -> None:
+        from semi_pd_tpu.mem.pool import KVCache
+
+        if getattr(self.kv_cache, "buffers", ()):
+            return  # not released
+        self.kv_cache = KVCache(self.kv_spec, sharding=self._kv_sharding)
+        if self.draft_kv is not None:
+            dspec = dataclasses.replace(
+                self.kv_spec, num_layers=1, chunked=False)
+            self.draft_kv = KVCache(dspec)
 
     def _profile_kv_tokens(self, kv_dtype) -> int:
         """Size the KV pool from free HBM (reference model_runner.py:951

@@ -368,3 +368,31 @@ def test_stream_output_incremental_ids():
             ae.shutdown()
 
     assert asyncio.run(run2()) == flat
+
+
+def test_memory_saver_release_resume():
+    """--enable-memory-saver: /release_memory_occupation frees the KV pool's
+    device buffers and resume reallocates them; generation works after a
+    release/resume cycle (reference torch_memory_saver + scheduler.py:1633)."""
+    eng = _engine(enable_memory_saver=True, skip_tokenizer_init=True)
+    sp = SamplingParams(max_new_tokens=4, temperature=0.0, ignore_eos=True)
+    before = eng.generate(input_ids=[[1, 2, 3]], sampling_params=sp)
+    assert eng.release_memory_occupation()
+    assert not eng.runner.kv_cache.buffers  # buffers actually dropped
+    assert eng.resume_memory_occupation()
+    after = eng.generate(input_ids=[[1, 2, 3]], sampling_params=sp)
+    assert before[0]["output_ids"] == after[0]["output_ids"]
+    eng.scheduler.check_memory()
+
+    # VerlEngine wrapper guards rollout while released
+    from semi_pd_tpu.entrypoints.verl_engine import VerlEngine
+
+    ve = VerlEngine.__new__(VerlEngine)
+    ve._engine = eng
+    ve._released = False
+    ve.release_memory_occupation()
+    with pytest.raises(AssertionError):
+        ve.generate(input_ids=[1, 2, 3], sampling_params=sp)
+    ve.resume_memory_occupation()
+    out = ve.generate(input_ids=[1, 2, 3], sampling_params=sp)
+    assert out["output_ids"] == before[0]["output_ids"]

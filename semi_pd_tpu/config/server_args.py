@@ -126,6 +126,9 @@ class ServerArgs:
     # and EP are not yet composed with it.
     enable_dp_attention: bool = False
     ep_size: int = 1  # expert parallel; folded onto the tp axis
+    # Reference --enable-ep-moe (boolean; implies experts sharded over the
+    # whole TP group). Alias: sets ep_size = tp_size when ep_size is unset.
+    enable_ep_moe: bool = False
     # Per-rank EP dispatch capacity = ceil(cf * T*K / ep_size) rows; routing
     # skew beyond it drops assignments (GShard-style). Raise toward ep_size
     # for exactness at the cost of redundant compute per rank.
@@ -284,6 +287,9 @@ class ServerArgs:
             # ring depth (N async steps per blocking readback).
             self.overlap_depth = max(1, int(self.num_continuous_decode_steps))
             self.adaptive_overlap_depth = False  # user pinned the depth
+
+        if self.enable_ep_moe and self.ep_size == 1:
+            self.ep_size = self.tp_size
 
         if self.dp_size > 1 and self.enable_semi_pd:
             # Unlike the reference (server_args.py:1163-1164 forbids multi-node

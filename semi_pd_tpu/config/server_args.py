@@ -176,6 +176,10 @@ class ServerArgs:
     # registry form — sampling/logit_processor.py)
     enable_custom_logit_processor: bool = False
     grammar_backend: Optional[str] = "outlines_like"
+    # Disable the on-disk compiled-DFA cache (~/.cache/semi_pd_tpu/grammar).
+    # Role of the reference's --disable-outlines-disk-cache: regex/schema ->
+    # DFA compilation for deep schemas costs seconds; caching spans restarts.
+    disable_outlines_disk_cache: bool = False
     # Override the bounded-whitespace regex inside JSON-schema grammars
     # (reference constrained_json_whitespace_pattern; default [ \n\t]{0,4})
     constrained_json_whitespace_pattern: Optional[str] = None

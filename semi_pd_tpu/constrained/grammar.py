@@ -117,12 +117,43 @@ class GrammarCompiler:
     base_grammar_backend.py)."""
 
     def __init__(self, tokenizer, eos_ids: List[int],
-                 json_whitespace_pattern: Optional[str] = None):
+                 json_whitespace_pattern: Optional[str] = None,
+                 disk_cache_dir: Optional[str] = None):
         self.eos_ids = eos_ids
         self._cache: Dict[Tuple[str, str], TokenDFA] = {}
         self.token_strs = _token_strings(tokenizer)
         self._vocab_trie = None  # built on first ebnf grammar, then shared
         self.json_whitespace_pattern = json_whitespace_pattern
+        # DFA disk cache (role of the reference's outlines disk cache,
+        # --disable-outlines-disk-cache): regex->DFA subset construction for
+        # a deep JSON schema can take seconds; cache keyed by pattern hash.
+        self.disk_cache_dir = disk_cache_dir
+
+    def _compile_regex(self, pattern: str) -> DFA:
+        if not self.disk_cache_dir:
+            return compile_regex(pattern)
+        import hashlib
+        import os
+        import pickle
+
+        key = hashlib.sha256(pattern.encode()).hexdigest()[:32]
+        path = os.path.join(self.disk_cache_dir, f"dfa_{key}.pkl")
+        try:
+            with open(path, "rb") as f:
+                t, a, al = pickle.load(f)
+            return DFA(t, a, al)
+        except (OSError, pickle.PickleError, ValueError, EOFError):
+            pass
+        dfa = compile_regex(pattern)
+        try:
+            os.makedirs(self.disk_cache_dir, exist_ok=True)
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                pickle.dump((dfa.transitions, dfa.accepts, dfa.alphabet), f)
+            os.replace(tmp, path)  # atomic vs concurrent servers
+        except OSError as e:
+            logger.warning("grammar disk cache write failed: %s", e)
+        return dfa
 
     def compile(self, kind: str, spec: str):
         key = (kind, spec)
@@ -158,7 +189,7 @@ class GrammarCompiler:
             return tpda
         else:
             raise ValueError(f"unknown grammar kind {kind}")
-        dfa = compile_regex(pattern)
+        dfa = self._compile_regex(pattern)
         tdfa = TokenDFA(dfa, self.token_strs, self.eos_ids)
         self._cache[key] = tdfa
         return tdfa

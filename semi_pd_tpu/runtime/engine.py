@@ -105,10 +105,18 @@ class Engine:
                 raise ValueError("grammar-constrained decoding needs a tokenizer")
             from semi_pd_tpu.constrained.grammar import GrammarCompiler
 
+            cache_dir = None
+            if not self.server_args.disable_outlines_disk_cache:
+                import os
+
+                cache_dir = os.path.join(
+                    os.path.expanduser("~"), ".cache", "semi_pd_tpu",
+                    "grammar")
             self._grammar_compiler = GrammarCompiler(
                 self.tokenizer, self._eos_ids,
                 json_whitespace_pattern=(
                     self.server_args.constrained_json_whitespace_pattern),
+                disk_cache_dir=cache_dir,
             )
         return self._grammar_compiler
 

@@ -150,3 +150,37 @@ def test_e2e_regex_constrained_generation():
     )
     parsed = json.loads(out2["text"].replace(" ", ""))
     assert parsed["a"] in (1, 2, 3)
+
+
+def test_grammar_disk_cache(tmp_path):
+    """Compiled-DFA disk cache (role of the reference's outlines disk cache,
+    --disable-outlines-disk-cache): a second compiler instance loads the
+    cached automaton and produces identical masks."""
+    from semi_pd_tpu.constrained.grammar import GrammarCompiler
+
+    class FakeTok:
+        vocab_size = 8
+        all_special_ids = [7]
+
+        def __len__(self):
+            return 8
+
+        def decode(self, ids):
+            table = {0: "a", 1: "b", 2: "ab", 3: "1", 4: "2", 5: "12", 6: "x"}
+            return "".join(table.get(i, "") for i in ids)
+
+    d = str(tmp_path / "gcache")
+    gc1 = GrammarCompiler(FakeTok(), eos_ids=[7], disk_cache_dir=d)
+    m1 = gc1.matcher("regex", r"ab1+2").vocab_mask()
+    import glob
+    assert glob.glob(d + "/dfa_*.pkl")
+    gc2 = GrammarCompiler(FakeTok(), eos_ids=[7], disk_cache_dir=d)
+    m2 = gc2.matcher("regex", r"ab1+2").vocab_mask()
+    assert (m1 == m2).all()
+    # corrupt cache entry falls back to a fresh compile
+    for p in glob.glob(d + "/dfa_*.pkl"):
+        with open(p, "wb") as f:
+            f.write(b"garbage")
+    gc3 = GrammarCompiler(FakeTok(), eos_ids=[7], disk_cache_dir=d)
+    m3 = gc3.matcher("regex", r"ab1+2").vocab_mask()
+    assert (m1 == m3).all()

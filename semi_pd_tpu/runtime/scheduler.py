@@ -773,6 +773,7 @@ class Scheduler:
             input_ids=np.asarray(hb.input_ids),
             positions=np.asarray(hb.q_pos),
             kv_lens=np.asarray(hb.kv_lens),
+            extend_lens=np.asarray(hb.extend_lens or []),
             tokens=np.asarray(toks),
             logprobs=np.asarray(lps),
         )

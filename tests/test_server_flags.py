@@ -396,3 +396,23 @@ def test_memory_saver_release_resume():
     ve.resume_memory_occupation()
     out = ve.generate(input_ids=[1, 2, 3], sampling_params=sp)
     assert out["output_ids"] == before[0]["output_ids"]
+
+
+def test_debug_replay_tool(tmp_path):
+    """utils/debug_replay re-scores a dumped extend step and the dumped
+    sampled-token logprobs agree (reference --debug-tensor-dump-input-file
+    replay role)."""
+    import glob
+
+    from semi_pd_tpu.utils.debug_replay import replay
+
+    dump = str(tmp_path / "dump")
+    eng = _engine(debug_tensor_dump_output_folder=dump,
+                  skip_tokenizer_init=True)
+    eng.generate(input_ids=[[5, 6, 7, 8]], sampling_params=SamplingParams(
+        max_new_tokens=2, temperature=0.0, ignore_eos=True))
+    f = sorted(glob.glob(dump + "/*extend*.npz"))[0]
+    out = replay(eng, f)
+    assert out["n"] == 1 and out["logprob_agree"] == 1
+    with pytest.raises(ValueError, match="decode dumps"):
+        replay(eng, sorted(glob.glob(dump + "/*decode*.npz"))[0])

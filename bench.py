@@ -273,7 +273,22 @@ def main():
         colo = d.get("colocated", {})
         vs = None
         if semi and colo:
-            if colo.get("goodput_rps", 0) > 0:
+            # Overload guard: the attachment can degrade AFTER calibration
+            # (observed: capacity 2 rps at calibration, then multi-second
+            # prefills mid-pass). When BOTH modes are drowned — goodput
+            # under 20% of the offered rate on each side — the goodput
+            # ratio compares truncation artifacts, not schedulers; fall
+            # back to the throughput ratio and say so.
+            offered = d.get("operating_point", {}).get("rate_rps", 0) or \
+                state.get("rate", 0) or 1e9
+            drowned = (semi.get("goodput_rps", 0) < 0.2 * offered
+                       and colo.get("goodput_rps", 0) < 0.2 * offered)
+            if drowned and colo.get("out_tok_s", 0) > 0:
+                vs = semi.get("out_tok_s", 0) / colo["out_tok_s"]
+                d["vs_baseline_basis"] = (
+                    "out_tok_s ratio (device degraded mid-run: both modes "
+                    "overloaded, goodput < 20% of offered rate)")
+            elif colo.get("goodput_rps", 0) > 0:
                 vs = semi["goodput_rps"] / colo["goodput_rps"]
             elif semi.get("goodput_rps", 0) > 0:
                 vs = 2.0
@@ -404,6 +419,7 @@ def main():
         # ~0.7 — the schedulers had nothing to disagree about), while still
         # nominally stable so the queue drains.
         rate = float(os.environ.get("BENCH_RATE", 0.0)) or 0.9 * cap_rps
+        state["rate"] = rate  # for the overload guard in partial_payload
         pass_budget = max(30.0, min(90.0, (remaining() - 20) / 2.2))
         # Arrivals must FIT the pass (round-2 postmortem: a 40-req floor at
         # 0.19 req/s spanned 210s of arrivals in a 30s pass — only the first

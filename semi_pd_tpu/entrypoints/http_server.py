@@ -60,6 +60,15 @@ def build_app(async_engine: AsyncEngine) -> web.Application:
         web.post("/v1/completions", v1_completions),
         web.post("/v1/chat/completions", v1_chat_completions),
         web.get("/v1/models", v1_models),
+        # deployment-platform + debug surface (reference http_server.py)
+        web.get("/ping", health),  # SageMaker liveness alias
+        web.post("/invocations", v1_chat_completions),  # SageMaker entry
+        web.post("/vertex_generate", vertex_generate),
+        web.post("/parse_function_call", parse_function_call),
+        web.post("/separate_reasoning", separate_reasoning),
+        web.post("/configure_logging", configure_logging),
+        web.post("/get_weights_by_name", get_weights_by_name),
+        web.post("/set_internal_state", set_internal_state),
     ])
     from semi_pd_tpu.entrypoints.openai_files import add_routes as add_file_routes
 
@@ -259,6 +268,129 @@ async def abort_request(request: web.Request) -> web.Response:
     body = await _json_body(request)
     ae.abort(body.get("rid", ""))
     return web.json_response({"success": True})
+
+
+async def vertex_generate(request: web.Request) -> web.Response:
+    """Vertex AI prediction-route adapter (reference http_server.py:571-593
+    — AIP_PREDICT_ROUTE): {"instances": [...], "parameters": {...}} ->
+    /generate semantics, wrapped as {"predictions": ...}."""
+    ae: AsyncEngine = request.app["engine"]
+    body = await _json_body(request)
+    instances = body.get("instances") or []
+    if not instances:
+        return web.json_response([])
+    params = body.get("parameters") or {}
+    outs = []
+    for inst in instances:
+        out = await ae.generate_full(
+            prompt=inst.get("text"),
+            input_ids=inst.get("input_ids"),
+            sampling_params=params.get("sampling_params") or params,
+            image_data=inst.get("image_data"),
+        )
+        outs.append(out)
+    return web.json_response({"predictions": outs})
+
+
+async def parse_function_call(request: web.Request) -> web.Response:
+    """Run the tool-call parser on raw text (reference
+    http_server.py:446-466 /parse_function_call)."""
+    from semi_pd_tpu.utils.function_call import parse_tool_calls
+
+    body = await _json_body(request)
+    try:
+        content, calls = parse_tool_calls(
+            body.get("text", ""), body.get("tool_call_parser"))
+    except ValueError as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+    return web.json_response({"normal_text": content, "calls": calls})
+
+
+async def separate_reasoning(request: web.Request) -> web.Response:
+    """Split reasoning from content in raw text (reference
+    http_server.py:469-486 /separate_reasoning)."""
+    from semi_pd_tpu.utils.reasoning_parser import ReasoningParser
+
+    body = await _json_body(request)
+    try:
+        parser = ReasoningParser(body.get("reasoning_parser", "deepseek-r1"))
+    except ValueError as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+    reasoning, content = parser.parse(body.get("text", ""))
+    return web.json_response(
+        {"reasoning_text": reasoning, "text": content})
+
+
+async def configure_logging(request: web.Request) -> web.Response:
+    """Adjust request-logging options at runtime (reference
+    tokenizer_manager.py:830-840 ConfigureLoggingReq)."""
+    ae: AsyncEngine = request.app["engine"]
+    body = await _json_body(request)
+    sa = ae.engine.server_args
+    if body.get("log_requests") is not None:
+        sa.log_requests = bool(body["log_requests"])
+    if body.get("log_requests_level") is not None:
+        sa.log_requests_level = int(body["log_requests_level"])
+    logger.info("configure_logging: %s", body)
+    return web.json_response({"success": True})
+
+
+async def get_weights_by_name(request: web.Request) -> web.Response:
+    """Return a parameter's (truncated) values by pytree path (reference
+    model_runner.py:895 get_weights_by_name — a unit-test endpoint)."""
+    import jax
+
+    ae: AsyncEngine = request.app["engine"]
+    body = await _json_body(request)
+    name = body.get("name", "")
+    truncate = int(body.get("truncate_size", 100))
+    flat = jax.tree_util.tree_flatten_with_path(ae.engine.runner.params)[0]
+
+    def key_str(path):
+        return ".".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+    for path, leaf in flat:
+        ks = key_str(path)
+        if ks == name or ks.endswith(name):
+            import numpy as np
+
+            vals = np.asarray(leaf).reshape(-1)[:truncate].tolist()
+            return web.json_response(
+                {"name": ks, "shape": list(leaf.shape),
+                 "dtype": str(leaf.dtype), "values": vals})
+    return web.json_response(
+        {"error": {"message": f"no parameter path matches {name!r}"}},
+        status=400)
+
+
+async def set_internal_state(request: web.Request) -> web.Response:
+    """Update the runtime-updatable server args (reference
+    scheduler.py:1536-1560: only the speculative acceptance thresholds)."""
+    ae: AsyncEngine = request.app["engine"]
+    body = await _json_body(request)
+    args = body.get("server_args") or {}
+    allowed = {"speculative_accept_threshold_single",
+               "speculative_accept_threshold_acc"}
+    bad = set(args) - allowed
+    if bad:
+        return web.json_response(
+            {"updated": False,
+             "message": f"updating {sorted(bad)} is not supported"},
+            status=400)
+
+    def apply():
+        ae.engine.runner.set_spec_thresholds(
+            single=args.get("speculative_accept_threshold_single"),
+            acc=args.get("speculative_accept_threshold_acc"))
+        sa = ae.engine.server_args
+        return {"speculative_accept_threshold_single":
+                sa.speculative_accept_threshold_single,
+                "speculative_accept_threshold_acc":
+                sa.speculative_accept_threshold_acc}
+
+    out = await ae.run_job(apply)
+    return web.json_response({"updated": True, "server_args": out})
 
 
 async def release_memory_occupation(request: web.Request) -> web.Response:

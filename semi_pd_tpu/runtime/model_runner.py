@@ -904,18 +904,9 @@ class ModelRunner:
             logger.info("FR-Spec hot vocab: %d of %d tokens", hot_np.size,
                         mc.vocab_size)
 
-        def _eagle(params, dparams, kv, dkv, fb, prev_hidden, gamma):
-            return eagle_round(
-                model, draft, params, dparams, kv, dkv, fb, prev_hidden,
-                gamma, refresh=refresh,
-                threshold_single=self.server_args.speculative_accept_threshold_single,
-                threshold_acc=self.server_args.speculative_accept_threshold_acc,
-                hot_ids=hot_ids,
-            )
-
-        self._eagle_jit = jax.jit(
-            _eagle, donate_argnums=(2, 3), static_argnums=(6,)
-        )
+        self._spec_hot_ids = hot_ids
+        self._spec_refresh = refresh
+        self._rebuild_eagle_jit()
 
         self.tree_template = None
         if self.server_args.speculative_eagle_topk > 1:
@@ -936,6 +927,37 @@ class ModelRunner:
             self._eagle_tree_jit = jax.jit(
                 _eagle_tree, donate_argnums=(2, 3), static_argnums=(6,)
             )
+
+    def _rebuild_eagle_jit(self) -> None:
+        """(Re)create the fused EAGLE round program. The acceptance
+        thresholds are trace-time constants, so the runtime-update path
+        (/set_internal_state, reference scheduler.py:1536-1560 — only these
+        two knobs are updatable) re-jits through here."""
+        from semi_pd_tpu.speculative.eagle import eagle_round
+
+        model, draft = self.model, self.draft_model
+        refresh, hot_ids = self._spec_refresh, self._spec_hot_ids
+
+        def _eagle(params, dparams, kv, dkv, fb, prev_hidden, gamma):
+            return eagle_round(
+                model, draft, params, dparams, kv, dkv, fb, prev_hidden,
+                gamma, refresh=refresh,
+                threshold_single=self.server_args.speculative_accept_threshold_single,
+                threshold_acc=self.server_args.speculative_accept_threshold_acc,
+                hot_ids=hot_ids,
+            )
+
+        self._eagle_jit = jax.jit(
+            _eagle, donate_argnums=(2, 3), static_argnums=(6,)
+        )
+
+    def set_spec_thresholds(self, single=None, acc=None) -> None:
+        if single is not None:
+            self.server_args.speculative_accept_threshold_single = float(single)
+        if acc is not None:
+            self.server_args.speculative_accept_threshold_acc = float(acc)
+        if self.draft_model is not None:
+            self._rebuild_eagle_jit()
 
     def eagle_step(self, fb: ForwardArrays, prev_hidden, gamma: int):
         """Fused EAGLE round. Returns device (accept_len, next_tok,

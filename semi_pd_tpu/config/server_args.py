@@ -26,6 +26,20 @@ from typing import List, Optional
 
 logger = logging.getLogger(__name__)
 
+# Reference flags that are CUDA machinery with no TPU meaning: accepted by
+# the CLI (so a reference launch command runs unchanged) and warned about.
+_IGNORED_REFERENCE_FLAGS = (
+    "--disable-cuda-graph", "--disable-cuda-graph-padding",
+    "--cuda-graph-max-bs", "--cuda-graph-bs",
+    "--enable-torch-compile", "--torch-compile-max-bs",
+    "--disable-custom-all-reduce", "--enable-nccl-nvls",
+    "--enable-p2p-check", "--base-gpu-id", "--gpu-id-step",
+    "--triton-attention-num-kv-splits", "--triton-attention-reduce-in-fp32",
+    "--enable-flashinfer-mla", "--flashinfer-mla-disable-ragged",
+    "--disable-mla", "--cpu-offload-gb", "--torchao-config",
+    "--download-dir", "--lora-backend", "--sampling-backend-legacy",
+)
+
 
 @dataclasses.dataclass
 class ServerArgs:
@@ -391,6 +405,16 @@ class ServerArgs:
         ):
             parser.add_argument(
                 flag, dest=dest, type=typ, default=argparse.SUPPRESS)
+        # CUDA-machinery flags from the reference accepted-but-inert so a
+        # reference launch command is drop-in: each has no TPU meaning (CUDA
+        # graphs -> bucketed jit, NCCL/custom-AR -> XLA ICI collectives,
+        # triton/flashinfer/marlin -> Pallas/XLA, torch.compile -> jit).
+        # A warning is logged when one is passed.
+        for flag in _IGNORED_REFERENCE_FLAGS:
+            parser.add_argument(
+                flag, nargs="?", const=True, default=None,
+                dest="_ignored__" + flag.strip("-").replace("-", "_"),
+                help=argparse.SUPPRESS)
 
     @classmethod
     def from_cli_args(cls, args: argparse.Namespace) -> "ServerArgs":
@@ -402,6 +426,12 @@ class ServerArgs:
             if f.name == "lora_paths" and isinstance(v, str):
                 v = v.split(",")
             kwargs[f.name] = v
+        for k, v in vars(args).items():
+            if k.startswith("_ignored__") and v is not None:
+                logger.warning(
+                    "--%s is CUDA-only machinery with no TPU equivalent; "
+                    "ignored (see ServerArgs docstring)",
+                    k[len("_ignored__"):].replace("_", "-"))
         return cls(**kwargs)
 
 

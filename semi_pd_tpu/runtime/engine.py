@@ -642,4 +642,9 @@ class Engine:
             "cached_prefix_tokens": s.n_cached_prefix_tokens,
             "kv_pages_free": self.runner.page_allocator.available_pages(),
             "kv_pages_total": self.runner.page_allocator.usable_pages,
+            # reference get_internal_state: avg accepted tokens per
+            # speculative round (scheduler.py:1522 internal_states)
+            "avg_spec_accept_length": (
+                round(1.0 + s.n_spec_accepted / s.n_spec_steps, 3)
+                if s.n_spec_steps else None),
         }

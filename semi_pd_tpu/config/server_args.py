@@ -250,6 +250,12 @@ class ServerArgs:
     # 2 = + full prompt/output text)
     log_requests: bool = False
     log_requests_level: int = 0
+    # Append finished requests (ids + text + finish reason) as JSONL into
+    # this folder, flushing every `threshold` requests (reference
+    # tokenizer_manager.py:1104 dump_requests; also settable at runtime via
+    # /configure_logging)
+    dump_requests_folder: str = ""
+    dump_requests_threshold: int = 1000
     decode_log_interval: float = 10.0  # seconds between decode-stats lines
     # Include cached_tokens (radix prefix hits) in OpenAI usage objects
     enable_cache_report: bool = False

@@ -331,6 +331,10 @@ async def configure_logging(request: web.Request) -> web.Response:
         sa.log_requests = bool(body["log_requests"])
     if body.get("log_requests_level") is not None:
         sa.log_requests_level = int(body["log_requests_level"])
+    if body.get("dump_requests_folder") is not None:
+        sa.dump_requests_folder = str(body["dump_requests_folder"])
+    if body.get("dump_requests_threshold") is not None:
+        sa.dump_requests_threshold = int(body["dump_requests_threshold"])
     logger.info("configure_logging: %s", body)
     return web.json_response({"success": True})
 

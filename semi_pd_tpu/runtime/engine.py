@@ -406,6 +406,8 @@ class Engine:
             trim_stop_str(req)
 
     def _to_output(self, req: Req) -> Dict[str, Any]:
+        if req.finished and getattr(self.server_args, "dump_requests_folder", ""):
+            self._dump_request(req)
         if self.server_args.log_requests and req.finished:
             msg = (f"done rid={req.rid} out={len(req.output_ids)} "
                    f"reason={req.finish_reason.value} "
@@ -425,6 +427,38 @@ class Engine:
                 "output_logprobs": req.output_logprobs if req.return_logprob else None,
             },
         }
+
+    def _dump_request(self, req: Req) -> None:
+        """Append finished requests as JSONL (reference
+        tokenizer_manager.py:1104 dump_requests + ConfigureLoggingReq
+        dump_requests_folder/threshold: records buffer and flush to a
+        pickle-per-batch; here one JSONL file per engine, flushed per
+        threshold batch)."""
+        import json as _json
+        import os
+
+        folder = self.server_args.dump_requests_folder
+        buf = self.__dict__.setdefault("_dump_buf", [])
+        buf.append({
+            "rid": req.rid,
+            "input_ids": list(req.input_ids[:req.origin_prompt_len]),
+            "output_ids": req.full_output_ids(),
+            "text": req.decoded_text,
+            "finish_reason": req.finish_reason.value,
+            "ts": time.time(),
+        })
+        threshold = int(getattr(self.server_args, "dump_requests_threshold",
+                                1) or 1)
+        if len(buf) >= threshold:
+            try:
+                os.makedirs(folder, exist_ok=True)
+                path = os.path.join(folder, f"requests_{os.getpid()}.jsonl")
+                with open(path, "a") as f:
+                    for row in buf:
+                        f.write(_json.dumps(row) + "\n")
+                buf.clear()
+            except OSError as e:
+                logger.warning("request dump failed: %s", e)
 
     def encode(self, prompt=None, input_ids=None):
         """Embedding extraction (reference engine.py encode / Pooler LAST +

@@ -416,3 +416,24 @@ def test_debug_replay_tool(tmp_path):
     assert out["n"] == 1 and out["logprob_agree"] == 1
     with pytest.raises(ValueError, match="decode dumps"):
         replay(eng, sorted(glob.glob(dump + "/*decode*.npz"))[0])
+
+
+def test_dump_requests(tmp_path):
+    """dump_requests_folder/threshold: finished requests append as JSONL
+    (reference tokenizer_manager.py:1104 dump_requests)."""
+    import glob
+    import json as _json
+
+    folder = str(tmp_path / "reqs")
+    eng = _engine(skip_tokenizer_init=True, dump_requests_folder=folder,
+                  dump_requests_threshold=2)
+    sp = SamplingParams(max_new_tokens=2, temperature=0.0, ignore_eos=True)
+    eng.generate(input_ids=[[1, 2, 3]], sampling_params=sp)
+    assert not glob.glob(folder + "/*.jsonl")  # below threshold: buffered
+    eng.generate(input_ids=[[4, 5]], sampling_params=sp)
+    files = glob.glob(folder + "/*.jsonl")
+    assert files
+    rows = [_json.loads(l) for l in open(files[0])]
+    assert len(rows) == 2
+    assert rows[0]["input_ids"] == [1, 2, 3] and len(rows[0]["output_ids"]) == 2
+    assert rows[0]["finish_reason"] == "length"

@@ -1284,6 +1284,9 @@ class Scheduler:
             or req.grammar is None
             or req.grammar.finished
             or req.finished
+            # a custom logit processor must see every emitted position; the
+            # grammar's forced chain would bypass its bias
+            or req.sampling_params.custom_logit_processor is not None
         ):
             return
         jf = req.grammar.jump_forward_tokens()

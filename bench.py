@@ -280,9 +280,10 @@ def main():
             # ratio compares truncation artifacts, not schedulers; fall
             # back to the throughput ratio and say so.
             offered = d.get("operating_point", {}).get("rate_rps", 0) or \
-                state.get("rate", 0) or 1e9
-            drowned = (semi.get("goodput_rps", 0) < 0.2 * offered
-                       and colo.get("goodput_rps", 0) < 0.2 * offered)
+                state.get("rate", 0)
+            drowned = bool(offered) and (
+                semi.get("goodput_rps", 0) < 0.2 * offered
+                and colo.get("goodput_rps", 0) < 0.2 * offered)
             if drowned and colo.get("out_tok_s", 0) > 0:
                 vs = semi.get("out_tok_s", 0) / colo["out_tok_s"]
                 d["vs_baseline_basis"] = (

@@ -417,8 +417,10 @@ class ServerArgs:
         # triton/flashinfer/marlin -> Pallas/XLA, torch.compile -> jit).
         # A warning is logged when one is passed.
         for flag in _IGNORED_REFERENCE_FLAGS:
+            # nargs="*": bools and list-valued reference flags
+            # (--cuda-graph-bs 1 2 4 8) both parse without aborting
             parser.add_argument(
-                flag, nargs="?", const=True, default=None,
+                flag, nargs="*", default=None,
                 dest="_ignored__" + flag.strip("-").replace("-", "_"),
                 help=argparse.SUPPRESS)
 

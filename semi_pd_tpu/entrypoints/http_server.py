@@ -278,7 +278,7 @@ async def vertex_generate(request: web.Request) -> web.Response:
     body = await _json_body(request)
     instances = body.get("instances") or []
     if not instances:
-        return web.json_response([])
+        return web.json_response({"predictions": []})
     params = body.get("parameters") or {}
     outs = []
     for inst in instances:
@@ -347,6 +347,9 @@ async def get_weights_by_name(request: web.Request) -> web.Response:
     ae: AsyncEngine = request.app["engine"]
     body = await _json_body(request)
     name = body.get("name", "")
+    if not name:
+        return web.json_response(
+            {"error": {"message": "name is required"}}, status=400)
     truncate = int(body.get("truncate_size", 100))
     flat = jax.tree_util.tree_flatten_with_path(ae.engine.runner.params)[0]
 
@@ -356,7 +359,9 @@ async def get_weights_by_name(request: web.Request) -> web.Response:
 
     for path, leaf in flat:
         ks = key_str(path)
-        if ks == name or ks.endswith(name):
+        # exact path, or a suffix on a component boundary ("embed.w" matches
+        # "layers.embed.w" but "w" alone never matches arbitrary tensors)
+        if ks == name or ks.endswith("." + name):
             import numpy as np
 
             vals = np.asarray(leaf).reshape(-1)[:truncate].tolist()

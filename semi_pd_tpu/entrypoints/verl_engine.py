@@ -47,7 +47,10 @@ class VerlEngine:
         """Free the KV pool's HBM between rollout phases (reference
         torch_memory_saver pause): the pool's device buffers are deleted and
         reallocated on resume. Params stay resident."""
-        self._engine.release_memory_occupation()
+        if not self._engine.release_memory_occupation():
+            raise RuntimeError(
+                "release_memory_occupation refused: engine still has "
+                "in-flight requests (drain rollouts first)")
         self._released = True
 
     def resume_memory_occupation(self) -> None:

@@ -434,10 +434,12 @@ class Engine:
         dump_requests_folder/threshold: records buffer and flush to a
         pickle-per-batch; here one JSONL file per engine, flushed per
         threshold batch)."""
-        import json as _json
-        import os
+        if "_dump_buf" not in self.__dict__:
+            import atexit
 
-        folder = self.server_args.dump_requests_folder
+            # losing up to threshold-1 tail requests on shutdown would make
+            # the audit log silently incomplete
+            atexit.register(self.flush_request_dump)
         buf = self.__dict__.setdefault("_dump_buf", [])
         buf.append({
             "rid": req.rid,
@@ -450,15 +452,27 @@ class Engine:
         threshold = int(getattr(self.server_args, "dump_requests_threshold",
                                 1) or 1)
         if len(buf) >= threshold:
-            try:
-                os.makedirs(folder, exist_ok=True)
-                path = os.path.join(folder, f"requests_{os.getpid()}.jsonl")
-                with open(path, "a") as f:
-                    for row in buf:
-                        f.write(_json.dumps(row) + "\n")
-                buf.clear()
-            except OSError as e:
-                logger.warning("request dump failed: %s", e)
+            self.flush_request_dump()
+
+    def flush_request_dump(self) -> None:
+        """Write any buffered request-dump rows (called at threshold and at
+        interpreter exit so the tail of the audit log is never lost)."""
+        import json as _json
+        import os
+
+        buf = self.__dict__.get("_dump_buf")
+        folder = self.server_args.dump_requests_folder
+        if not buf or not folder:
+            return
+        try:
+            os.makedirs(folder, exist_ok=True)
+            path = os.path.join(folder, f"requests_{os.getpid()}.jsonl")
+            with open(path, "a") as f:
+                for row in buf:
+                    f.write(_json.dumps(row) + "\n")
+            buf.clear()
+        except OSError as e:
+            logger.warning("request dump failed: %s", e)
 
     def encode(self, prompt=None, input_ids=None):
         """Embedding extraction (reference engine.py encode / Pooler LAST +

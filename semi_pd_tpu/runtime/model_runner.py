@@ -918,10 +918,13 @@ class ModelRunner:
                 self.server_args.speculative_num_draft_tokens,
             )
 
+            hot_head = self._slice_hot_head(hot_ids)
+
             def _eagle_tree(params, dparams, kv, dkv, fb, prev_hidden, tree):
                 return eagle_tree_round(
                     model, draft, params, dparams, kv, dkv, fb, prev_hidden,
                     tree, refresh=refresh, hot_ids=hot_ids,
+                    hot_head=hot_head,
                 )
 
             self._eagle_tree_jit = jax.jit(
@@ -937,6 +940,7 @@ class ModelRunner:
 
         model, draft = self.model, self.draft_model
         refresh, hot_ids = self._spec_refresh, self._spec_hot_ids
+        hot_head = self._slice_hot_head(hot_ids)
 
         def _eagle(params, dparams, kv, dkv, fb, prev_hidden, gamma):
             return eagle_round(
@@ -944,12 +948,26 @@ class ModelRunner:
                 gamma, refresh=refresh,
                 threshold_single=self.server_args.speculative_accept_threshold_single,
                 threshold_acc=self.server_args.speculative_accept_threshold_acc,
-                hot_ids=hot_ids,
+                hot_ids=hot_ids, hot_head=hot_head,
             )
 
         self._eagle_jit = jax.jit(
             _eagle, donate_argnums=(2, 3), static_argnums=(6,)
         )
+
+    def _slice_hot_head(self, hot_ids):
+        """Pre-slice the lm_head to the FR-Spec hot vocab ONCE (reference
+        eagle_worker.py:92-95 slices head.data at load) — gathering inside
+        the jitted round would re-read the full [H, V] head every round,
+        eroding the GEMM savings the map exists to provide."""
+        if hot_ids is None:
+            return None
+        from semi_pd_tpu.speculative.eagle import _hot_head
+
+        head = self.params.get("lm_head")
+        if head is None:
+            head = {"w": self.params["embed"]["w"].T}
+        return _hot_head(head, hot_ids)
 
     def set_spec_thresholds(self, single=None, acc=None) -> None:
         if single is not None:

@@ -590,7 +590,18 @@ class Scheduler:
                     r.output_ids, r.sampling_params.custom_params, V
                 )
                 if row is not None:
-                    bias[i] += row
+                    merged = bias[i] + row
+                    if np.isneginf(merged).all():
+                        # grammar x processor bans everything (e.g. a
+                        # thinking budget forcing a token the grammar
+                        # forbids): the grammar wins — an all--inf row
+                        # would NaN the softmax / emit token 0
+                        logger.warning(
+                            "custom logit processor %r bans every "
+                            "grammar-legal token for rid=%s; ignoring its "
+                            "bias this step", name, r.rid)
+                    else:
+                        bias[i] = merged
         return bias
 
     def _run_extend(self, admitted: List[Tuple[Req, int]]) -> List[Tuple[Req, int]]:

@@ -225,6 +225,7 @@ def eagle_round(
     threshold_single: float = 1.0,
     threshold_acc: float = 1.0,
     hot_ids=None,  # [Vh] i32 FR-Spec hot vocab (--speculative-token-map)
+    hot_head=None,  # pre-sliced hot lm_head (runner._slice_hot_head)
 ):
     """The fused EAGLE round. Returns
     (accept_len [B], next_tok [B], drafts [B, gamma], next_hidden [B, H],
@@ -246,7 +247,7 @@ def eagle_round(
 
     draft_head, hot_map = head, None
     if hot_ids is not None:
-        hh = _hot_head(head, hot_ids)
+        hh = hot_head if hot_head is not None else _hot_head(head, hot_ids)
         if hh is not None:
             draft_head, hot_map = hh, hot_ids
 
@@ -355,6 +356,7 @@ def eagle_tree_round(
     tree,  # TreeTemplate (static)
     refresh: bool = True,
     hot_ids=None,  # [Vh] i32 FR-Spec hot vocab (--speculative-token-map)
+    hot_head=None,  # pre-sliced hot lm_head (runner._slice_hot_head)
 ):
     """EAGLE top-k TREE round, fully fused in one dispatch (reference:
     eagle_worker.py:162-366 + build_eagle_tree.py, which run draft CUDA
@@ -387,7 +389,7 @@ def eagle_tree_round(
     head = params.get("lm_head") or {"w": embed_w.T}
     draft_head, hot_map = head, None
     if hot_ids is not None:
-        hh = _hot_head(head, hot_ids)
+        hh = hot_head if hot_head is not None else _hot_head(head, hot_ids)
         if hh is not None:
             draft_head, hot_map = hh, hot_ids
 

@@ -180,12 +180,20 @@ def apply_chat_template(
 ) -> List[int]:
     if tokenizer is None:
         raise ValueError("no tokenizer loaded")
-    # Normalize multimodal content lists to their text parts
+    # Normalize multimodal content lists: text parts concatenate; image
+    # parts become the template's image_token (named vision templates) so
+    # the image processor finds its placeholders in the prompt.
+    image_token = (NAMED_TEMPLATES.get(chat_template) or {}).get(
+        "image_token", "")
     norm = []
     for m in messages:
         c = m.get("content")
         if isinstance(c, list):
-            c = "".join(p.get("text", "") for p in c if p.get("type") == "text")
+            c = "".join(
+                p.get("text", "") if p.get("type") == "text"
+                else image_token if p.get("type") in ("image", "image_url")
+                else ""
+                for p in c)
         norm.append({**m, "content": c})
 
     if chat_template in NAMED_TEMPLATES:

@@ -19,8 +19,10 @@ import numpy as np
 
 
 def replay(engine, npz_path: str) -> dict:
+    import os
+
     z = np.load(npz_path, allow_pickle=False)
-    kind = "decode" if "decode" in npz_path else "extend"
+    kind = "decode" if "decode" in os.path.basename(npz_path) else "extend"
     if kind == "decode":
         raise ValueError(
             "decode dumps carry only the step's input token, not the KV "

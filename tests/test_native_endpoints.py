@@ -90,7 +90,7 @@ def test_vertex_generate(engine):
         assert len(j["predictions"]) == 2
         assert all(len(p["output_ids"]) == 2 for p in j["predictions"])
         r = await client.post("/vertex_generate", json={"instances": []})
-        assert (await r.json()) == []
+        assert (await r.json()) == {"predictions": []}
 
     _drive(engine, body)
 

@@ -155,3 +155,35 @@ def test_register_custom_class():
         ),
     )[0]["output_ids"]
     assert all(t % 2 == 0 for t in out), out
+
+
+def test_custom_processor_under_semi_pd_with_prefill():
+    """The float-bias path composes with semi-PD ticks: a ban stays enforced
+    on every decode step while a long chunked prefill streams alongside."""
+    import numpy as np_
+
+    from semi_pd_tpu.sampling.sampling_params import SamplingParams
+
+    eng = _make_engine(enable_custom_logit_processor=True,
+                       enable_semi_pd=True, chunked_prefill_size=16)
+    banned = list(range(0, 48))
+    sp_short = SamplingParams(max_new_tokens=8, temperature=0.0,
+                              ignore_eos=True,
+                              custom_logit_processor="disallow_tokens",
+                              custom_params={"token_ids": banned})
+    sp_long = SamplingParams(max_new_tokens=2, temperature=0.0,
+                             ignore_eos=True)
+    rng = np_.random.default_rng(2)
+    r_short = eng.make_request(input_ids=[5, 6, 7], sampling_params=sp_short)
+    r_long = eng.make_request(
+        input_ids=rng.integers(0, 90, size=60).tolist(),
+        sampling_params=sp_long)
+    eng.scheduler.add_request(r_short)
+    eng.scheduler.add_request(r_long)
+    for _ in range(600):
+        eng.scheduler.tick()
+        if r_short.finished and r_long.finished:
+            break
+    assert r_short.finished and r_long.finished
+    assert all(t not in banned for t in r_short.output_ids), r_short.output_ids
+    eng.scheduler.check_memory()

@@ -10,13 +10,30 @@ output throughput, request-rate sweep) in-process. Prints ONE JSON line:
 where value = output tokens/s under the semi-PD scheduler and vs_baseline =
 semi-PD goodput / colocated goodput at the same TTFT+ITL SLOs.
 
+Wedge hardening (round-3 postmortem: driver capture was 0.0 — "device wedged
+during engine build or first D2H" — while local captures hit 115 tok/s; the
+tunneled attachment wedges for minutes at a time, and a wedged JAX call
+cannot be cancelled in-process):
+
+  ORCHESTRATOR (this process, never touches the device) spawns the actual
+  benchmark as a WORKER subprocess and supervises it via a heartbeat/progress
+  snapshot file. If the worker wedges (no device progress for BENCH_WEDGE_S,
+  or it self-reports a wedge and exits), the orchestrator SIGKILLs it — a
+  fresh process gets a fresh tunnel session — and retries once with a
+  DEGRADED profile (quarter-size KV pool: less allocation pressure and less
+  first-contact exposure; fewer shape buckets: fewer compiles; no rate
+  sweep). Compiled programs persist in the on-disk XLA cache across attempts,
+  so a retry only re-pays execution. The best payload seen across attempts
+  (worker stdout, else the last snapshot) is emitted — a late wedge still
+  reports the phases that finished.
+
 Budget discipline (round-1 postmortem: rc=124, no number landed):
   - ONE ModelRunner is built and compiled; both modes swap Schedulers on it.
-  - The remote-TPU tunnel charges 57-214s (observed) for the FIRST
-    device->host transfer of the process; we pay and measure it up front,
-    then size every later phase from what actually remains.
-  - Every phase checks a wall-clock deadline (BENCH_DEADLINE_S); on deadline
-    or error the JSON line is still emitted with whatever stats exist.
+  - The remote-TPU tunnel charges 1-243s (observed) for the FIRST
+    device->host transfer of the process; the worker pays and measures it
+    up front (probe phase), then sizes every later phase from what remains.
+  - Every phase checks a wall-clock deadline; on deadline or error the JSON
+    line is still emitted with whatever stats exist.
   - The operating point is calibrated from a short saturated burst so each
     timed pass fits its slice of the budget.
 """
@@ -24,16 +41,11 @@ Budget discipline (round-1 postmortem: rc=124, no number landed):
 import dataclasses
 import json
 import os
+import subprocess
 import sys
+import tempfile
+import threading
 import time
-
-import numpy as np
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from semi_pd_tpu.utils.compile_cache import enable_compile_cache
-
-enable_compile_cache()
 
 T_START = time.monotonic()
 # 480s: room for the rate sweep when the attachment warms slowly (round-3
@@ -48,11 +60,234 @@ def remaining() -> float:
 
 def log(msg: str) -> None:
     print(f"[bench +{time.monotonic()-T_START:5.1f}s] {msg}", file=sys.stderr)
+    sys.stderr.flush()
+
+
+def emit(payload: dict) -> None:
+    print(json.dumps(payload))
+    sys.stdout.flush()
+
+
+def finish(code: int = 0) -> None:
+    """Exit without interpreter teardown: a wedged device leaves runtime
+    threads blocked in D2H and normal exit aborts (observed rc=134)."""
+    sys.stderr.flush()
+    os._exit(code)
+
+
+def _empty_payload(err=None, phase="init"):
+    return {
+        "metric": "semi-pd serving output throughput (1B-class bf16, 1 chip)",
+        "value": 0.0,
+        "unit": "tok/s",
+        "vs_baseline": 0.0,
+        "detail": {"phase_reached": phase, **({"error": err} if err else {})},
+    }
+
+
+# ======================================================================
+# Orchestrator: supervises worker subprocess attempts. NEVER imports jax.
+# ======================================================================
+
+def _payload_score(p) -> tuple:
+    """Rank payloads across attempts: a measured ratio beats throughput
+    alone beats nothing."""
+    if not p:
+        return (-1, -1.0, -1.0)
+    has_ratio = 1 if p.get("vs_baseline", 0) > 0 else 0
+    return (has_ratio, float(p.get("value", 0.0)),
+            float(p.get("vs_baseline", 0.0)))
+
+
+def _parse_last_json_line(text: str):
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def _run_attempt(name: str, extra_env: dict, deadline_s: float, snap: str):
+    """Spawn one worker attempt; supervise via the snapshot heartbeat.
+    Returns (payload_or_None, wedged: bool)."""
+    env = dict(os.environ)
+    env.update(extra_env)
+    env["BENCH_ROLE"] = "worker"
+    env["BENCH_DEADLINE_S"] = str(max(60.0, deadline_s))
+    env["BENCH_SNAPSHOT"] = snap
+    try:
+        os.remove(snap)
+    except OSError:
+        pass
+    wedge_s = float(os.environ.get("BENCH_WEDGE_S", "150"))
+    t0 = time.monotonic()
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        stdout=subprocess.PIPE, stderr=None, env=env, text=True,
+    )
+    out_lines: list = []
+
+    def _reader():
+        for line in proc.stdout:
+            out_lines.append(line)
+
+    rt = threading.Thread(target=_reader, daemon=True)
+    rt.start()
+    wedged = False
+    while True:
+        rc = proc.poll()
+        if rc is not None:
+            break
+        now = time.monotonic()
+        snap_d = _read_snapshot(snap)
+        phase = snap_d.get("phase", "init") if snap_d else "init"
+        beat_age = (now - t0) if not snap_d else now - t0 - snap_d.get(
+            "elapsed_beat", 0.0)
+        prog_age = (now - t0) if not snap_d else now - t0 - snap_d.get(
+            "elapsed_progress", 0.0)
+        # Kill rules (worker self-polices the probe phase — the tunnel's
+        # first D2H legitimately takes up to ~4 min, device-progress-free):
+        #   A. python frozen solid: heartbeat thread silent > 90s
+        #   B. no device progress for wedge_s outside the probe phase
+        #   C. worker far past its own deadline (its watchdog also died)
+        if beat_age > 90.0 and now - t0 > 90.0:
+            log(f"{name}: heartbeat silent {beat_age:.0f}s — killing worker")
+            wedged = True
+        elif phase not in ("init", "probe") and prog_age > wedge_s:
+            log(f"{name}: no device progress for {prog_age:.0f}s in phase "
+                f"{phase} — killing worker")
+            wedged = True
+        elif now - t0 > deadline_s + 30.0:
+            log(f"{name}: worker {now-t0:.0f}s past spawn (deadline "
+                f"{deadline_s:.0f}s) — killing")
+            wedged = True
+        if wedged:
+            proc.kill()
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pass
+            break
+        time.sleep(2.0)
+    rt.join(timeout=5)
+    payload = _parse_last_json_line("".join(out_lines))
+    if payload is None:
+        snap_d = _read_snapshot(snap)
+        if snap_d and snap_d.get("payload"):
+            payload = snap_d["payload"]
+            payload.setdefault("detail", {})["from_snapshot"] = True
+    rc = proc.returncode
+    # rc=3 is the worker's own wedge self-report (it emitted and exited so
+    # the orchestrator can retry sooner than the kill rules would).
+    wedged = wedged or rc == 3 or (
+        payload is not None and "wedge" in str(
+            payload.get("detail", {}).get("error", "")))
+    log(f"{name}: rc={rc} wedged={wedged} "
+        f"value={payload.get('value') if payload else None} "
+        f"vs={payload.get('vs_baseline') if payload else None}")
+    return payload, wedged
+
+
+def _read_snapshot(path: str):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def orchestrator_main():
+    snap = os.path.join(tempfile.gettempdir(), f"bench_snap_{os.getpid()}.json")
+    attempts = []
+
+    # Attempt 1: full profile, full remaining budget. The kill rules end a
+    # wedged attempt long before the deadline, leaving time for the retry.
+    p1, wedged1 = _run_attempt(
+        "attempt1", {}, deadline_s=remaining() - 15.0, snap=snap)
+    attempts.append({
+        "profile": "full", "wedged": wedged1,
+        "phase": (p1 or {}).get("detail", {}).get("phase_reached"),
+        "value": (p1 or {}).get("value"),
+        "vs_baseline": (p1 or {}).get("vs_baseline"),
+    })
+    best = p1
+
+    ok = p1 is not None and p1.get("value", 0) > 0 and p1.get(
+        "vs_baseline", 0) > 0
+    if not ok and remaining() > 100.0:
+        log(f"retrying with degraded profile ({remaining():.0f}s left)")
+        time.sleep(4.0)  # let the killed worker's attachment clear
+        degraded = {
+            "BENCH_DEGRADED": "1",
+            # quarter-size KV pool: less HBM allocation pressure (the full
+            # pool is ~12.6 GiB of the 16 GiB chip) and a shorter build
+            "BENCH_KV_TOKENS": os.environ.get("BENCH_KV_TOKENS_DEGRADED",
+                                              "128000"),
+            "BENCH_SKIP_SWEEP": "1",
+        }
+        p2, wedged2 = _run_attempt(
+            "attempt2", degraded, deadline_s=remaining() - 12.0, snap=snap)
+        attempts.append({
+            "profile": "degraded", "wedged": wedged2,
+            "phase": (p2 or {}).get("detail", {}).get("phase_reached"),
+            "value": (p2 or {}).get("value"),
+            "vs_baseline": (p2 or {}).get("vs_baseline"),
+        })
+        if _payload_score(p2) > _payload_score(best):
+            best = p2
+
+    if best is None:
+        best = _empty_payload(err="no attempt produced a payload")
+    if len(attempts) > 1 or attempts[0]["wedged"]:
+        best.setdefault("detail", {})["attempts"] = attempts
+    emit(best)
+    try:
+        os.remove(snap)
+    except OSError:
+        pass
+    finish(0)
+
+
+# ======================================================================
+# Worker: the actual benchmark (runs in a supervised subprocess).
+# ======================================================================
+
+# Written by the heartbeat thread; read by _touch_progress/set_phase.
+_WSTATE = {"phase": "init", "detail": {}, "t_progress": time.monotonic(),
+           "rate": 0.0}
+
+
+def _touch_progress() -> None:
+    _WSTATE["t_progress"] = time.monotonic()
+
+
+def _snapshot_writer(snap: str, payload_fn) -> None:
+    """Heartbeat thread: atomically write phase/progress/best-payload every
+    few seconds so the orchestrator can tell a slow tunnel from a wedge."""
+    while True:
+        try:
+            doc = {
+                "phase": _WSTATE["phase"],
+                "elapsed_beat": time.monotonic() - T_START,
+                "elapsed_progress": _WSTATE["t_progress"] - T_START,
+                "payload": payload_fn(),
+            }
+            tmp = snap + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(doc, f)
+            os.replace(tmp, snap)
+        except Exception:  # noqa: BLE001 — heartbeat must never die
+            pass
+        time.sleep(4.0)
 
 
 def make_server_args(semi_pd: bool):
     from semi_pd_tpu.config.server_args import ServerArgs
 
+    degraded = bool(os.environ.get("BENCH_DEGRADED"))
     return ServerArgs(
         model_path="",
         random_weights=True,
@@ -65,12 +300,15 @@ def make_server_args(semi_pd: bool):
         chunked_prefill_size=int(os.environ.get("BENCH_CHUNK", "4096")),
         enable_semi_pd=semi_pd,
         decode_slo_ms=float(os.environ.get("BENCH_SLO_MS", "50")),
-        max_running_requests=256,
+        max_running_requests=128 if degraded else 256,
         # Coarse buckets: each bucket is one compiled program AND one warmup
         # generation on a device whose steps can stall for tens of seconds
-        # (observed); fewer programs = less warmup exposure.
-        decode_bs_buckets=[8, 32, 128, 256],
-        prefill_token_buckets=[512, 2048, 4096],
+        # (observed); fewer programs = less warmup exposure. The degraded
+        # retry profile halves the bucket count again (fewer compiles on a
+        # possibly-sick attachment).
+        decode_bs_buckets=[8, 32] if degraded else [8, 32, 128, 256],
+        prefill_token_buckets=[512, 4096] if degraded
+        else [512, 2048, 4096],
     )
 
 
@@ -107,6 +345,8 @@ def run_serving_sim(eng, n_reqs, rate, prompt_len, out_len, seed=0,
     """Poisson open-loop arrivals driven through scheduler ticks; returns
     per-request TTFT and ITL samples plus aggregate throughput. Stops
     submitting (and drains) if budget_s is exceeded."""
+    import numpy as np
+
     from semi_pd_tpu.sampling.sampling_params import SamplingParams
 
     rng = np.random.default_rng(seed)
@@ -138,6 +378,8 @@ def run_serving_sim(eng, n_reqs, rate, prompt_len, out_len, seed=0,
                 submitted += 1
         produced = eng.scheduler.tick()
         tnow = time.monotonic() - t_start
+        if produced:
+            _touch_progress()
         for req, tok in produced:
             if tok >= 0:
                 token_times[req.rid].append(tnow)
@@ -190,6 +432,8 @@ def goodput(res, ttft_slo, itl_slo):
     longer gates: it averages stalls away (round-2 postmortem: colocated
     passed a 159ms mean-TPOT gate while freezing streams for ~190ms on
     every prefill)."""
+    import numpy as np
+
     from semi_pd_tpu.runtime.req import FinishReason
 
     ok = 0
@@ -206,10 +450,14 @@ def goodput(res, ttft_slo, itl_slo):
 
 
 def pct(a, q):
+    import numpy as np
+
     return float(np.percentile(a, q)) if len(a) else 0.0
 
 
 def _tpots(res):
+    import numpy as np
+
     out = []
     for r in res["reqs"]:
         ts = res["token_times"][r.rid]
@@ -236,19 +484,13 @@ def summarize(res, ttft_slo, itl_slo):
     }
 
 
-def emit(payload: dict) -> None:
-    print(json.dumps(payload))
-    sys.stdout.flush()
+def worker_main():
+    from semi_pd_tpu.utils.compile_cache import enable_compile_cache
 
+    enable_compile_cache()
 
-def finish(code: int = 0) -> None:
-    """Exit without interpreter teardown: a wedged device leaves runtime
-    threads blocked in D2H and normal exit aborts (observed rc=134)."""
-    sys.stderr.flush()
-    os._exit(code)
+    import numpy as np
 
-
-def main():
     # Long prompts: at 1B-class compute a prefill only stalls decode at
     # SLO scale when a chunk carries several thousand tokens.
     prompt_len = int(os.environ.get("BENCH_PROMPT", "3584"))
@@ -260,12 +502,20 @@ def main():
     ttft_env = os.environ.get("BENCH_TTFT_SLO")
     ttft_slo = float(ttft_env) if ttft_env else 1.0
     # ITL gate: fixed via env, else derived from the calibrated device speed
-    # (3x the saturated-burst median ITL) — the attachment's step time
-    # varies 13-60ms run to run, so a fixed gate is meaningless.
+    # — the attachment's step time varies 13-60ms run to run, so a fixed
+    # gate is meaningless.
     itl_env = os.environ.get("BENCH_ITL_SLO")
     itl_slo = float(itl_env) if itl_env else 0.25
 
-    state = {"phase": "init", "detail": {}}
+    state = _WSTATE
+    if os.environ.get("BENCH_DEGRADED"):
+        state["detail"]["profile"] = "degraded"
+    eng_box = {}
+
+    def set_phase(name: str) -> None:
+        state["phase"] = name
+        _touch_progress()
+        log(f"phase: {name}")
 
     def partial_payload(err=None):
         d = state["detail"]
@@ -304,48 +554,96 @@ def main():
                        **({"error": err} if err else {})},
         }
 
+    snap = os.environ.get("BENCH_SNAPSHOT")
+    if snap:
+        threading.Thread(
+            target=_snapshot_writer, args=(snap, partial_payload), daemon=True
+        ).start()
+
+    def wedge_exit(err: str) -> None:
+        """Emit the best-so-far payload, autopsy the scheduler if one
+        exists, and exit rc=3 so the orchestrator retries immediately."""
+        eng = eng_box.get("eng")
+        if eng is not None:
+            try:
+                log("wedge autopsy: "
+                    + json.dumps(eng.scheduler.dump_state()))
+            except Exception:  # noqa: BLE001
+                pass
+        emit(partial_payload(err=err))
+        finish(3)
+
     try:
-        # Pay the tunnel's session-establishment cost up front and MEASURE it
-        # (57-214s observed across runs on the axon attachment); every later
-        # phase budget adapts to whatever is actually left.
         import jax
         import jax.numpy as jnp
 
-        # The device can wedge for many minutes (observed: probes hanging
-        # >10min, engine build hanging at on-device weight init); run BOTH
-        # the build and the warmup D2H under a watchdog so the JSON line
-        # still lands before the driver's timeout instead of rc=124.
-        import threading
+        if os.environ.get("BENCH_FORCE_CPU"):
+            # Self-test hook: the ambient axon PJRT plugin wins platform
+            # selection even with JAX_PLATFORMS=cpu in the env; only the
+            # config update is authoritative (same workaround as
+            # tests/conftest.py).
+            jax.config.update("jax_platforms", "cpu")
 
-        state["phase"] = "build"
+        # Probe phase: pay the tunnel's session-establishment cost up front
+        # on a TRIVIAL op and MEASURE it (1-243s observed across runs on the
+        # axon attachment) — separating "tunnel slow" from "engine build
+        # wedged"; every later phase budget adapts to what actually remains.
+        set_phase("probe")
         t0 = time.monotonic()
-        box = {}
-        done = threading.Event()
+        probe_done = threading.Event()
 
-        def _build_and_warm():
-            box["eng"] = build_engine()
-            box["built_s"] = time.monotonic() - t0
+        def _probe():
+            if os.environ.get("BENCH_TEST_HANG") == "probe":
+                time.sleep(1e6)  # wedge simulation (orchestrator self-test)
             jax.device_get(jnp.zeros((8,), jnp.int32) + 1)
-            done.set()
+            probe_done.set()
 
-        threading.Thread(target=_build_and_warm, daemon=True).start()
-        while not done.wait(timeout=5.0):
-            if remaining() < 60:
-                state["detail"]["tunnel_warmup_s"] = None
-                emit(partial_payload(err="device wedged during engine build "
-                                         "or first D2H"))
-                finish(0)
-        eng = box["eng"]
-        t_tunnel = time.monotonic() - t0 - box["built_s"]
+        threading.Thread(target=_probe, daemon=True).start()
+        probe_budget = max(60.0, min(300.0, remaining() - 150.0))
+        while not probe_done.wait(timeout=5.0):
+            waited = time.monotonic() - t0
+            if waited > probe_budget:
+                wedge_exit(f"device wedged in first-D2H probe ({waited:.0f}s)")
+        t_tunnel = time.monotonic() - t0
         state["detail"]["tunnel_warmup_s"] = round(t_tunnel, 1)
-        log(f"engine built in {box['built_s']:.1f}s; tunnel first-D2H warmup "
-            f"{t_tunnel:.1f}s; {remaining():.0f}s left")
+        log(f"tunnel first-D2H warmup {t_tunnel:.1f}s; {remaining():.0f}s left")
+
+        # Build phase: engine construction (on-device weight init + KV pool
+        # allocation) under its own watchdog — the pool is multi-GiB and the
+        # allocation itself has wedged (round-3 driver capture).
+        set_phase("build")
+        t0 = time.monotonic()
+        built = threading.Event()
+
+        def _build():
+            if (os.environ.get("BENCH_TEST_HANG") == "build"
+                    and not os.environ.get("BENCH_DEGRADED")):
+                time.sleep(1e6)  # wedge simulation (orchestrator self-test)
+            eng_box["eng"] = build_engine()
+            # one D2H through the full stack proves the engine is usable
+            jax.device_get(jnp.zeros((8,), jnp.int32) + 1)
+            built.set()
+
+        threading.Thread(target=_build, daemon=True).start()
+        # Kept under the orchestrator's kill threshold (BENCH_WEDGE_S, 150s)
+        # so a wedged build self-reports (payload + autopsy) before the
+        # supervisor resorts to SIGKILL.
+        build_budget = max(60.0, min(140.0, remaining() - 100.0))
+        while not built.wait(timeout=5.0):
+            waited = time.monotonic() - t0
+            if waited > build_budget or remaining() < 45:
+                wedge_exit(f"device wedged during engine build ({waited:.0f}s)")
+        eng = eng_box["eng"]
+        state["detail"]["build_s"] = round(time.monotonic() - t0, 1)
+        _touch_progress()
+        log(f"engine built in {time.monotonic()-t0:.1f}s; "
+            f"{remaining():.0f}s left")
 
         # Compile coverage: the decode batch buckets and prefill token
         # buckets the sim can touch (a mid-measurement XLA compile showed up
         # as a 14s ITL outlier in round 1). All land in the persistent
         # on-disk cache, so reruns pay only execution (~0.1s each).
-        state["phase"] = "compile_warmup"
+        set_phase("compile_warmup")
         from semi_pd_tpu.sampling.sampling_params import SamplingParams
 
         sp_w = SamplingParams(max_new_tokens=3, temperature=0.0, ignore_eos=True)
@@ -354,12 +652,14 @@ def main():
         warmup_floor = 20 + 2 * 35 + 15
         eng.generate(input_ids=[list(range(100, 100 + prompt_len))] * 2,
                      sampling_params=sp_w)
+        _touch_progress()
         for nb in sorted({b for b in eng.scheduler.b_buckets if b <= 256}):
             if remaining() < warmup_floor:
                 log(f"warmup budget cut at bs bucket {nb}")
                 break
             eng.generate(input_ids=[[100 + i] * 8 for i in range(nb)],
                          sampling_params=sp_w)
+            _touch_progress()
         for tb in sorted({t for t in eng.scheduler.t_buckets
                           if t <= 2 * prompt_len + 512}):
             if remaining() < warmup_floor:
@@ -367,17 +667,19 @@ def main():
                 break
             eng.generate(input_ids=[list(range(100, 100 + max(8, tb - 4)))],
                          sampling_params=sp_w)
+            _touch_progress()
         log(f"compile warmup {time.monotonic()-t0:.1f}s; {remaining():.0f}s left")
 
         # Idle single-request first-token latency: the achievable TTFT floor
         # (one full prefill + one readback, nothing else running).
-        state["phase"] = "ttft_floor"
+        set_phase("ttft_floor")
         assert eng.flush_cache()
         sp_1 = SamplingParams(max_new_tokens=1, temperature=0.0, ignore_eos=True)
         t0 = time.monotonic()
         eng.generate(input_ids=[list(range(100, 100 + prompt_len))],
                      sampling_params=sp_1)
         t_pf = time.monotonic() - t0
+        _touch_progress()
         if not ttft_env:
             # Meetable when admission is prompt (a fresh request starts its
             # prefill within ~a few service quanta), failed when it queues
@@ -387,8 +689,8 @@ def main():
 
         # Calibrate service capacity with a short saturated burst (requests
         # all arrive at t=0), then pick an open-loop operating point at
-        # ~70% utilization so scheduler differences are visible.
-        state["phase"] = "calibrate"
+        # ~90% utilization so scheduler differences are visible.
+        set_phase("calibrate")
         assert eng.flush_cache()
         cal_budget = max(12.0, min(40.0, remaining() - 2 * 35 - 15))
         cal = run_serving_sim(eng, n_reqs=12, rate=1e9, prompt_len=prompt_len,
@@ -429,10 +731,16 @@ def main():
             min(200, max(8, rate * pass_budget * 0.8)))
         log(f"operating point: rate={rate:.2f} req/s n={n_reqs} "
             f"pass_budget={pass_budget:.0f}s")
+        state["detail"]["operating_point"] = {
+            "rate_rps": round(rate, 3), "n_reqs": n_reqs,
+            "prompt_len": prompt_len, "out_len": out_len,
+            "ttft_slo_s": ttft_slo, "itl_slo_s": itl_slo,
+            "tunnel_warmup_s": round(t_tunnel, 1),
+        }
 
         results = {}
         for mode, semi in (("colocated", False), ("semi_pd", True)):
-            state["phase"] = f"run_{mode}"
+            set_phase(f"run_{mode}")
             swap_scheduler(eng, semi)
             budgets = []
             if semi:  # record the controller's actual chunk budgets
@@ -460,31 +768,27 @@ def main():
         # Rate sweep (tiny version of the reference's --request-rate-extent)
         # with whatever budget is left.
         sweep = []
-        for mult in (1.3, 0.45):
-            need = 2 * (n_reqs / rate * 0.75 + 12)
-            if remaining() < need + 25:
-                break
-            state["phase"] = f"sweep_{mult}"
-            r2 = rate * mult
-            n2 = max(30, int(n_reqs * min(mult, 1.0)))
-            row = {"rate_rps": round(r2, 2)}
-            for mode, semi in (("colocated", False), ("semi_pd", True)):
-                swap_scheduler(eng, semi)
-                res = run_serving_sim(eng, n2, r2, prompt_len, out_len,
-                                      seed=7, budget_s=min(60.0, remaining() - 15))
-                row[mode] = summarize(res, ttft_slo, itl_slo)
-            sweep.append(row)
-            log(f"sweep x{mult}: {json.dumps(row)}")
+        if not os.environ.get("BENCH_SKIP_SWEEP"):
+            for mult in (1.3, 0.45):
+                need = 2 * (n_reqs / rate * 0.75 + 12)
+                if remaining() < need + 25:
+                    break
+                set_phase(f"sweep_{mult}")
+                r2 = rate * mult
+                n2 = max(30, int(n_reqs * min(mult, 1.0)))
+                row = {"rate_rps": round(r2, 2)}
+                for mode, semi in (("colocated", False), ("semi_pd", True)):
+                    swap_scheduler(eng, semi)
+                    res = run_serving_sim(
+                        eng, n2, r2, prompt_len, out_len,
+                        seed=7, budget_s=min(60.0, remaining() - 15))
+                    row[mode] = summarize(res, ttft_slo, itl_slo)
+                sweep.append(row)
+                log(f"sweep x{mult}: {json.dumps(row)}")
         if sweep:
             state["detail"]["rate_sweep"] = sweep
 
-        state["phase"] = "done"
-        state["detail"]["operating_point"] = {
-            "rate_rps": round(rate, 3), "n_reqs": n_reqs,
-            "prompt_len": prompt_len, "out_len": out_len,
-            "ttft_slo_s": ttft_slo, "itl_slo_s": itl_slo,
-            "tunnel_warmup_s": round(t_tunnel, 1),
-        }
+        set_phase("done")
         emit(partial_payload())
         finish(0)
     except Exception as e:  # noqa: BLE001 — always land a JSON line
@@ -493,6 +797,14 @@ def main():
         traceback.print_exc(file=sys.stderr)
         emit(partial_payload(err=f"{type(e).__name__}: {e}"))
         finish(0)
+
+
+def main():
+    if os.environ.get("BENCH_ROLE") == "worker":
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        worker_main()
+    else:
+        orchestrator_main()
 
 
 if __name__ == "__main__":

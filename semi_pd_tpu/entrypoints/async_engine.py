@@ -51,7 +51,7 @@ class AsyncEngine:
             if not self.engine.scheduler.has_work():
                 continue
             if time.monotonic() - self.last_step_time > timeout:
-                import faulthandler, sys
+                import faulthandler, json, sys
 
                 logger.error(
                     "watchdog: no scheduler progress for %.0fs "
@@ -61,6 +61,18 @@ class AsyncEngine:
                     len(self.engine.scheduler.running),
                     len(self.engine.scheduler.waiting),
                 )
+                # State autopsy (reference utils.py:1405 pyspy_dump_schedulers):
+                # ring contents, in-flight shapes, last-dispatch ages,
+                # allocator occupancy — readable even while the device is
+                # wedged (dump_state touches no device arrays).
+                try:
+                    print(
+                        "watchdog state dump: "
+                        + json.dumps(self.engine.scheduler.dump_state()),
+                        file=sys.stderr, flush=True,
+                    )
+                except Exception:  # noqa: BLE001
+                    logger.exception("watchdog state dump failed")
                 faulthandler.dump_traceback(file=sys.stderr)
                 self._fail_all()
                 self.last_step_time = time.monotonic()

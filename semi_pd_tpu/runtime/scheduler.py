@@ -71,6 +71,7 @@ class _RingEntry:
     admitted: Optional[List[Tuple[Req, int]]] = None  # extend only
     done_flags: Optional[List[bool]] = None  # extend only: prompt completed
     hidden: Optional[np.ndarray] = None  # EAGLE seed (sync path only)
+    t_dispatch: float = 0.0  # monotonic dispatch time (watchdog autopsy)
 
 
 class Scheduler:
@@ -190,6 +191,8 @@ class Scheduler:
         self.n_spec_accepted = 0
 
         # Stats
+        self._last_dispatch_t = None  # monotonic time of newest dispatch
+        self._last_flush_t = None  # monotonic time of newest readback
         self._last_stats_log = time.monotonic()
         self.n_finished = 0
         self.n_retracted = 0
@@ -700,13 +703,16 @@ class Scheduler:
     def _note_dispatch(self) -> None:
         """Start the flush-cycle clock at the first dispatch of a cycle so
         idle host time never pollutes the cost model."""
+        now = time.monotonic()
+        self._last_dispatch_t = now
         if self._cycle_t0 is None:
-            self._cycle_t0 = time.monotonic()
+            self._cycle_t0 = now
 
     def _push_entry(self, e: _RingEntry) -> List[Tuple[Req, int]]:
         """Append to the in-flight ring, flushing first if the ring is at
         depth. Returns tokens produced by the flush (possibly none)."""
         out = []
+        e.t_dispatch = time.monotonic()
         if len(self._ring) >= self._ring_target():
             out = self._flush_ring(hold_extends=True)
             self._note_dispatch()
@@ -746,6 +752,7 @@ class Scheduler:
             [e.tokens for e in entries], [e.logprobs for e in entries]
         )
         now = time.monotonic()
+        self._last_flush_t = now
         self._readback_cost = self._ewma(self._readback_cost, now - t_read0)
         if self._cycle_t0 is not None:
             # FULL cycle wall including the readback wait: async dispatch
@@ -887,6 +894,7 @@ class Scheduler:
             e = self._dispatch_decode()
             if e is not None:
                 self._note_dispatch()
+                e.t_dispatch = time.monotonic()
                 self._ring.append(e)
         return out
 
@@ -1025,6 +1033,7 @@ class Scheduler:
         if e is None:
             return []
         self._note_dispatch()
+        e.t_dispatch = time.monotonic()
         self._ring.append(e)
         return self._flush_ring()
 
@@ -1383,6 +1392,71 @@ class Scheduler:
             self._free_req_memory(req)
 
     # ================================================================ debug
+    def dump_state(self) -> dict:
+        """Watchdog/wedge autopsy (reference srt/utils.py:1405
+        pyspy_dump_schedulers dumps py-spy stacks of every scheduler process;
+        single-process TPU equivalent: the scheduler's own in-flight state).
+        Safe to call from any thread — reads only; no device access, so it
+        works even while the device is wedged mid-D2H."""
+        now = time.monotonic()
+
+        def _entry(e: _RingEntry) -> dict:
+            return {
+                "kind": e.kind,
+                "B": e.hb.B,
+                "T": int(getattr(e.hb, "T", 0) or 0),
+                "mode": str(e.hb.mode),
+                "rids": [r.rid for r in e.hb.reqs][:8],
+                "age_s": round(now - e.t_dispatch, 3) if e.t_dispatch else None,
+            }
+
+        alloc = self.runner.page_allocator
+        try:
+            avail = int(alloc.available_pages())
+        except Exception:  # noqa: BLE001 — partitioned allocator variants
+            avail = -1
+        return {
+            "t_monotonic": round(now, 3),
+            "running": len(self.running),
+            "waiting": len(self.waiting),
+            "running_rids": [r.rid for r in self.running][:8],
+            "ring": [_entry(e) for e in self._ring],
+            "held": [_entry(e) for e in self._held],
+            "overlap_depth": self.overlap_depth,
+            "decode_lag": self._decode_lag,
+            "last_dispatch_age_s": (
+                round(now - self._last_dispatch_t, 3)
+                if self._last_dispatch_t else None
+            ),
+            "last_flush_age_s": (
+                round(now - self._last_flush_t, 3)
+                if self._last_flush_t else None
+            ),
+            "cycle_open_s": (
+                round(now - self._cycle_t0, 3) if self._cycle_t0 else None
+            ),
+            "allocator": {
+                "usable_pages": int(alloc.usable_pages),
+                "available_pages": avail,
+                "req_slots_free": int(self.runner.req_pool.available_slots()),
+                "req_slots_total": int(self.runner.req_pool.max_reqs),
+            },
+            "cost_model": {
+                "prefill_cost_per_token_us": round(
+                    self._prefill_cost_per_token * 1e6, 2),
+                "prefill_overhead_ms": round(self._prefill_overhead * 1e3, 2),
+                "decode_ms": round(self._decode_cost * 1e3, 3),
+                "readback_ms": round(self._readback_cost * 1e3, 2),
+                "cycle_base_ms": round(self._cycle_base * 1e3, 2),
+            },
+            "counters": {
+                "finished": self.n_finished,
+                "retracted": self.n_retracted,
+                "decode_tokens": self.n_decode_tokens,
+                "prefill_tokens": self.n_prefill_tokens,
+            },
+        }
+
     def check_memory(self) -> None:
         """Idle-state leak check (reference scheduler.py:981-1030)."""
         assert not self.running and not self.waiting

@@ -202,42 +202,48 @@ def _read_snapshot(path: str):
 def orchestrator_main():
     snap = os.path.join(tempfile.gettempdir(), f"bench_snap_{os.getpid()}.json")
     attempts = []
+    best = None
 
-    # Attempt 1: full profile, full remaining budget. The kill rules end a
-    # wedged attempt long before the deadline, leaving time for the retry.
-    p1, wedged1 = _run_attempt(
-        "attempt1", {}, deadline_s=remaining() - 15.0, snap=snap)
-    attempts.append({
-        "profile": "full", "wedged": wedged1,
-        "phase": (p1 or {}).get("detail", {}).get("phase_reached"),
-        "value": (p1 or {}).get("value"),
-        "vs_baseline": (p1 or {}).get("vs_baseline"),
-    })
-    best = p1
-
-    ok = p1 is not None and p1.get("value", 0) > 0 and p1.get(
-        "vs_baseline", 0) > 0
-    if not ok and remaining() > 100.0:
-        log(f"retrying with degraded profile ({remaining():.0f}s left)")
-        time.sleep(4.0)  # let the killed worker's attachment clear
-        degraded = {
-            "BENCH_DEGRADED": "1",
-            # quarter-size KV pool: less HBM allocation pressure (the full
-            # pool is ~12.6 GiB of the 16 GiB chip) and a shorter build
-            "BENCH_KV_TOKENS": os.environ.get("BENCH_KV_TOKENS_DEGRADED",
-                                              "128000"),
-            "BENCH_SKIP_SWEEP": "1",
-        }
-        p2, wedged2 = _run_attempt(
-            "attempt2", degraded, deadline_s=remaining() - 12.0, snap=snap)
+    # Attempt loop. The attachment's observed failure mode ALTERNATES: an
+    # attach that wedges (>180s) is typically followed — after the wedged
+    # process is killed — by an attach that lands in 3-30s. So many short
+    # attempts with escalating probe budgets beat one long wait: kill fast,
+    # respawn, and only fall back to a long probe budget (the 243s legit
+    # slow-warmup case) once quick retries have failed.
+    probe_budgets = [90.0, 90.0, 150.0, 240.0]
+    profile = "full"
+    for i in range(4):
+        if i > 0 and remaining() < 130.0:
+            break
+        name = f"attempt{i+1}"
+        env = {"BENCH_PROBE_S": str(probe_budgets[min(i, 3)])}
+        if profile == "degraded":
+            env.update({
+                "BENCH_DEGRADED": "1",
+                # quarter-size KV pool: less HBM allocation pressure (the
+                # full pool is ~12.6 GiB of 16) and a shorter build
+                "BENCH_KV_TOKENS": os.environ.get(
+                    "BENCH_KV_TOKENS_DEGRADED", "128000"),
+                "BENCH_SKIP_SWEEP": "1",
+            })
+        p, wedged = _run_attempt(
+            name, env, deadline_s=remaining() - 12.0, snap=snap)
+        phase = (p or {}).get("detail", {}).get("phase_reached")
         attempts.append({
-            "profile": "degraded", "wedged": wedged2,
-            "phase": (p2 or {}).get("detail", {}).get("phase_reached"),
-            "value": (p2 or {}).get("value"),
-            "vs_baseline": (p2 or {}).get("vs_baseline"),
+            "profile": profile, "wedged": wedged, "phase": phase,
+            "value": (p or {}).get("value"),
+            "vs_baseline": (p or {}).get("vs_baseline"),
         })
-        if _payload_score(p2) > _payload_score(best):
-            best = p2
+        if _payload_score(p) > _payload_score(best):
+            best = p
+        if p is not None and p.get("value", 0) > 0 and p.get(
+                "vs_baseline", 0) > 0:
+            break
+        # a probe wedge says nothing about memory pressure — keep the full
+        # profile; a wedge during build/exec escalates to degraded
+        if wedged and phase not in (None, "init", "probe"):
+            profile = "degraded"
+        time.sleep(4.0)  # let the killed worker's attachment clear
 
     if best is None:
         best = _empty_payload(err="no attempt produced a payload")
@@ -367,8 +373,10 @@ def run_serving_sim(eng, n_reqs, rate, prompt_len, out_len, seed=0,
         if budget_s is not None and now > budget_s:
             if not truncated:
                 truncated = True  # stop admitting; drain what's in flight
-            elif now > budget_s + 30:
-                # hard stop: abort the un-served backlog
+            elif now > budget_s + 12:
+                # hard stop: abort the un-served backlog (12s, was 30 —
+                # round-4 capture: two drains at +30s each ate the semi-PD
+                # pass's entire slice on a degraded attachment)
                 for r in reqs[:submitted]:
                     if not r.finished:
                         eng.scheduler.abort_request(r.rid)
@@ -560,6 +568,30 @@ def worker_main():
             target=_snapshot_writer, args=(snap, partial_payload), daemon=True
         ).start()
 
+    # Deadline emitter: guarantee a SELF-emitted payload even if a
+    # measurement pass overruns its budget (round-4 capture: the semi-PD
+    # pass ran past the deadline on a degraded attachment and the
+    # orchestrator had to SIGKILL — losing everything after the snapshot).
+    emit_lock = threading.Lock()
+    emitted = threading.Event()
+
+    def emit_once(payload: dict, code: int) -> None:
+        with emit_lock:
+            if emitted.is_set():
+                return
+            emitted.set()
+            emit(payload)
+        finish(code)
+
+    def _deadline_emitter():
+        while remaining() > 10.0:
+            time.sleep(2.0)
+        if not emitted.is_set():
+            log("deadline emitter firing")
+            emit_once(partial_payload(err="worker deadline reached"), 0)
+
+    threading.Thread(target=_deadline_emitter, daemon=True).start()
+
     def wedge_exit(err: str) -> None:
         """Emit the best-so-far payload, autopsy the scheduler if one
         exists, and exit rc=3 so the orchestrator retries immediately."""
@@ -570,8 +602,7 @@ def worker_main():
                     + json.dumps(eng.scheduler.dump_state()))
             except Exception:  # noqa: BLE001
                 pass
-        emit(partial_payload(err=err))
-        finish(3)
+        emit_once(partial_payload(err=err), 3)
 
     try:
         import jax
@@ -599,7 +630,9 @@ def worker_main():
             probe_done.set()
 
         threading.Thread(target=_probe, daemon=True).start()
-        probe_budget = max(60.0, min(300.0, remaining() - 150.0))
+        probe_budget = float(os.environ.get("BENCH_PROBE_S", 0)) or max(
+            60.0, min(300.0, remaining() - 150.0))
+        probe_budget = min(probe_budget, max(45.0, remaining() - 130.0))
         while not probe_done.wait(timeout=5.0):
             waited = time.monotonic() - t0
             if waited > probe_budget:
@@ -650,22 +683,43 @@ def worker_main():
         t0 = time.monotonic()
         # Reserve for: calibration (>=20s) + 2 main passes (>=2*35s) + emit.
         warmup_floor = 20 + 2 * 35 + 15
+        # Hard cap: a degraded attachment executes each warmup generation in
+        # tens of seconds (round-4 capture: 273s of warmup ate the pass
+        # budget); the SLO gates already forgive one mid-run compile hiccup
+        # (compiles land in the on-disk cache), so bounded warmup beats
+        # complete warmup.
+        warmup_cap = 0.3 * DEADLINE
+
+        def warmup_ok(what) -> bool:
+            if remaining() < warmup_floor:
+                log(f"warmup budget cut at {what} (floor)")
+                return False
+            if time.monotonic() - t0 > warmup_cap:
+                log(f"warmup budget cut at {what} (cap {warmup_cap:.0f}s)")
+                return False
+            return True
+
         eng.generate(input_ids=[list(range(100, 100 + prompt_len))] * 2,
                      sampling_params=sp_w)
         _touch_progress()
-        for nb in sorted({b for b in eng.scheduler.b_buckets if b <= 256}):
-            if remaining() < warmup_floor:
-                log(f"warmup budget cut at bs bucket {nb}")
-                break
-            eng.generate(input_ids=[[100 + i] * 8 for i in range(nb)],
-                         sampling_params=sp_w)
-            _touch_progress()
+        # Token buckets first: every prefill chunk needs its bucket. Decode
+        # buckets above 32 go last — at the operating points a degraded
+        # device sustains, batch size rarely exceeds the low buckets.
         for tb in sorted({t for t in eng.scheduler.t_buckets
                           if t <= 2 * prompt_len + 512}):
-            if remaining() < warmup_floor:
-                log(f"warmup budget cut at token bucket {tb}")
+            if not warmup_ok(f"token bucket {tb}"):
                 break
             eng.generate(input_ids=[list(range(100, 100 + max(8, tb - 4)))],
+                         sampling_params=sp_w)
+            _touch_progress()
+        for nb in sorted({b for b in eng.scheduler.b_buckets if b <= 256}):
+            if nb > 32 and (time.monotonic() - t0 > 0.5 * warmup_cap
+                            or remaining() < 240):
+                log(f"skipping large decode bucket {nb} warmup")
+                continue
+            if not warmup_ok(f"bs bucket {nb}"):
+                break
+            eng.generate(input_ids=[[100 + i] * 8 for i in range(nb)],
                          sampling_params=sp_w)
             _touch_progress()
         log(f"compile warmup {time.monotonic()-t0:.1f}s; {remaining():.0f}s left")
@@ -723,7 +777,11 @@ def worker_main():
         # nominally stable so the queue drains.
         rate = float(os.environ.get("BENCH_RATE", 0.0)) or 0.9 * cap_rps
         state["rate"] = rate  # for the overload guard in partial_payload
-        pass_budget = max(30.0, min(90.0, (remaining() - 20) / 2.2))
+        # Each pass may overrun its budget by the +12s drain; budget both
+        # passes to FIT what remains (round-4 capture: a 30s floor
+        # overcommitted a 69s remainder and the second pass was killed
+        # mid-flight) — a short pass beats a lost one.
+        pass_budget = max(15.0, min(90.0, (remaining() - 50) / 2))
         # Arrivals must FIT the pass (round-2 postmortem: a 40-req floor at
         # 0.19 req/s spanned 210s of arrivals in a 30s pass — only the first
         # 8 were served and goodput compared truncation artifacts).
@@ -748,8 +806,9 @@ def worker_main():
                 eng.scheduler._prefill_chunk_budget = (
                     lambda o=orig_budget: (budgets.append(o()) or budgets[-1])
                 )
-            res = run_serving_sim(eng, n_reqs, rate, prompt_len, out_len,
-                                  seed=0, budget_s=pass_budget)
+            res = run_serving_sim(
+                eng, n_reqs, rate, prompt_len, out_len, seed=0,
+                budget_s=min(pass_budget, max(12.0, remaining() - 22.0)))
             results[mode] = res
             state["detail"][mode] = summarize(res, ttft_slo, itl_slo)
             s = eng.scheduler
@@ -789,14 +848,12 @@ def worker_main():
             state["detail"]["rate_sweep"] = sweep
 
         set_phase("done")
-        emit(partial_payload())
-        finish(0)
+        emit_once(partial_payload(), 0)
     except Exception as e:  # noqa: BLE001 — always land a JSON line
         import traceback
 
         traceback.print_exc(file=sys.stderr)
-        emit(partial_payload(err=f"{type(e).__name__}: {e}"))
-        finish(0)
+        emit_once(partial_payload(err=f"{type(e).__name__}: {e}"), 0)
 
 
 def main():

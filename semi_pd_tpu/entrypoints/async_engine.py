@@ -153,12 +153,14 @@ class AsyncEngine:
         stream: bool = False,
         rid: Optional[str] = None,
         return_logprob: bool = False,
+        top_logprobs_num: int = 0,
         image_data=None,
         lora_path: Optional[str] = None,
     ) -> AsyncIterator[Dict[str, Any]]:
         req = self.engine.make_request(
             prompt=prompt, input_ids=input_ids, sampling_params=sampling_params,
             rid=rid, stream=stream, return_logprob=return_logprob,
+            top_logprobs_num=top_logprobs_num,
             image_data=image_data, lora_path=lora_path,
         )
         q: asyncio.Queue = asyncio.Queue()

@@ -136,15 +136,25 @@ async def generate(request: web.Request) -> web.StreamResponse:
             lps = await ae.run_job(lambda: ae.engine.score(
                 prompt=body.get("text"), input_ids=body.get("input_ids"),
                 logprob_start_len=int(body.get("logprob_start_len", 0)),
+                top_logprobs_num=int(body.get("top_logprobs_num", 0)),
             ))
         except (ValueError, AssertionError) as e:
             return web.json_response({"error": {"message": str(e)}}, status=400)
         single = isinstance(body.get("text"), str) or (
             body.get("input_ids") and isinstance(body["input_ids"][0], int)
         )
-        mk = lambda l: {"text": "", "output_ids": [],
-                        "meta_info": {"input_token_logprobs": l,
-                                      "prompt_tokens": len(l)}}
+
+        def mk(l):
+            mi = {"input_token_logprobs": [(e[0], e[1]) for e in l],
+                  "prompt_tokens": len(l)}
+            if l and len(l[0]) == 3:
+                # (reference meta_info input_top_logprobs: per position, a
+                # list of (logprob, token_id))
+                mi["input_top_logprobs"] = [
+                    list(zip(e[2][0], e[2][1])) for e in l
+                ]
+            return {"text": "", "output_ids": [], "meta_info": mi}
+
         return web.json_response(mk(lps) if single else [mk(l) for l in lps])
     kwargs = dict(
         prompt=body.get("text"),
@@ -152,6 +162,7 @@ async def generate(request: web.Request) -> web.StreamResponse:
         sampling_params=body.get("sampling_params") or {},
         rid=body.get("rid"),
         return_logprob=bool(body.get("return_logprob", False)),
+        top_logprobs_num=int(body.get("top_logprobs_num", 0)),
         image_data=body.get("image_data"),
         lora_path=body.get("lora_path"),
     )
@@ -506,6 +517,62 @@ async def metrics(request: web.Request) -> web.Response:
 
 
 # ---------------------------------------------------------------- OpenAI
+def _piece(tok, tid: int) -> str:
+    """Single-token text for logprob displays (reference adapter.py
+    to_openai_style_logprobs decodes via convert_ids_to_tokens)."""
+    if hasattr(tok, "convert_ids_to_tokens"):
+        p = tok.convert_ids_to_tokens([int(tid)])[0]
+        if isinstance(p, str):
+            return p
+    return tok.decode([int(tid)]) if tok is not None else str(tid)
+
+
+def _completion_logprobs(tok, ids, lps, tops, text_offset0: int = 0):
+    """OpenAI completions `logprobs` object (reference adapter.py:702
+    v1_completions logprobs): tokens / token_logprobs / top_logprobs /
+    text_offset for the generated ids."""
+    pieces = [_piece(tok, t) for t in ids]
+    top_list = None
+    if tops:
+        top_list = [
+            {_piece(tok, tid): lp for lp, tid in zip(t[0], t[1])}
+            for t in tops
+        ]
+    offs, o = [], text_offset0
+    for p in pieces:
+        offs.append(o)
+        o += len(p)
+    return {
+        "tokens": pieces,
+        "token_logprobs": lps,
+        "top_logprobs": top_list,
+        "text_offset": offs,
+    }
+
+
+def _chat_logprobs(tok, ids, lps, tops):
+    """OpenAI chat `logprobs.content` array (reference adapter.py
+    v1_chat_completions logprobs=true + top_logprobs=N)."""
+    content = []
+    for i, tid in enumerate(ids):
+        piece = _piece(tok, tid)
+        entry = {
+            "token": piece,
+            "logprob": lps[i] if i < len(lps) else None,
+            "bytes": list(piece.encode("utf-8")),
+        }
+        if tops and i < len(tops):
+            entry["top_logprobs"] = [
+                {"token": _piece(tok, t), "logprob": lp,
+                 "bytes": list(_piece(tok, t).encode("utf-8"))}
+                for lp, t in zip(tops[i][0], tops[i][1])
+            ]
+        else:
+            entry["top_logprobs"] = []
+        content.append(entry)
+    return {"content": content}
+
+
 async def v1_models(request: web.Request) -> web.Response:
     ae: AsyncEngine = request.app["engine"]
     sa = ae.engine.server_args
@@ -542,14 +609,21 @@ async def v1_completions(request: web.Request) -> web.StreamResponse:
         # the OpenAI-protocol lang backend's `select`.
         try:
             lps = await ae.run_job(lambda: ae.engine.score(
-                prompt=prompt, input_ids=input_ids))
+                prompt=prompt, input_ids=input_ids,
+                top_logprobs_num=int(req.logprobs or 0)))
         except (ValueError, AssertionError) as e:
             return web.json_response({"error": {"message": str(e)}}, status=400)
         tok = ae.engine.tokenizer
-        ids = [tid for _, tid in lps]
+        ids = [e[1] for e in lps]
         pieces = (tok.convert_ids_to_tokens(ids)
                   if hasattr(tok, "convert_ids_to_tokens") else
                   [str(t) for t in ids])
+        top_list = None
+        if lps and len(lps[0]) == 3 and (req.logprobs or 0) > 0:
+            top_list = [
+                {_piece(tok, tid): lp for lp, tid in zip(e[2][0], e[2][1])}
+                for e in lps
+            ]
         n_prompt = len(lps) + 1  # position 0 has no logprob
         return web.json_response({
             "id": cid, "object": "text_completion", "created": now(),
@@ -560,8 +634,8 @@ async def v1_completions(request: web.Request) -> web.StreamResponse:
                 "finish_reason": "stop",
                 "logprobs": {
                     "tokens": pieces,
-                    "token_logprobs": [lp for lp, _ in lps],
-                    "top_logprobs": None,
+                    "token_logprobs": [e[0] for e in lps],
+                    "top_logprobs": top_list,
                     "text_offset": None,
                 },
             }],
@@ -597,7 +671,9 @@ async def v1_completions(request: web.Request) -> web.StreamResponse:
 
     try:
         out = await ae.generate_full(
-            prompt=prompt, input_ids=input_ids, sampling_params=sp
+            prompt=prompt, input_ids=input_ids, sampling_params=sp,
+            return_logprob=req.logprobs is not None,
+            top_logprobs_num=int(req.logprobs or 0),
         )
     except (ValueError, AssertionError) as e:
         return web.json_response({"error": {"message": str(e)}}, status=400)
@@ -607,13 +683,21 @@ async def v1_completions(request: web.Request) -> web.StreamResponse:
     text = out["text"]
     if req.echo and prompt is not None:
         text = prompt + text  # reference adapter echo: prepend the prompt
+    lp_obj = None
+    if req.logprobs is not None:
+        lp_obj = _completion_logprobs(
+            ae.engine.tokenizer, out["output_ids"],
+            mi.get("output_logprobs") or [],
+            mi.get("output_top_logprobs") or [],
+            text_offset0=len(prompt) if (req.echo and prompt) else 0,
+        )
     return web.json_response({
         "id": cid, "object": "text_completion", "created": now(), "model": req.model,
         "choices": [{
             "index": 0,
             "text": text,
             "finish_reason": mi.get("finish_reason"),
-            "logprobs": None,
+            "logprobs": lp_obj,
         }],
         "usage": _usage(mi, ae),
     })
@@ -745,7 +829,11 @@ async def v1_chat_completions(request: web.Request) -> web.StreamResponse:
         return resp
 
     try:
-        out = await ae.generate_full(input_ids=input_ids, sampling_params=sp)
+        out = await ae.generate_full(
+            input_ids=input_ids, sampling_params=sp,
+            return_logprob=bool(req.logprobs),
+            top_logprobs_num=int(req.top_logprobs or 0) if req.logprobs else 0,
+        )
     except (ValueError, AssertionError) as e:
         return web.json_response({"error": {"message": str(e)}}, status=400)
     if out is None or "error" in out:
@@ -773,12 +861,19 @@ async def v1_chat_completions(request: web.Request) -> web.StreamResponse:
             message["tool_calls"] = calls
             finish_reason = "tool_calls"
 
+    choice: Dict[str, Any] = {
+        "index": 0,
+        "message": message,
+        "finish_reason": finish_reason,
+    }
+    if req.logprobs:
+        choice["logprobs"] = _chat_logprobs(
+            ae.engine.tokenizer, out["output_ids"],
+            mi.get("output_logprobs") or [],
+            mi.get("output_top_logprobs") or [],
+        )
     return web.json_response({
         "id": cid, "object": "chat.completion", "created": now(), "model": req.model,
-        "choices": [{
-            "index": 0,
-            "message": message,
-            "finish_reason": finish_reason,
-        }],
+        "choices": [choice],
         "usage": _usage(mi, ae),
     })

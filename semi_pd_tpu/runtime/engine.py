@@ -143,6 +143,7 @@ class Engine:
         rid: Optional[str] = None,
         stream: bool = False,
         return_logprob: bool = False,
+        top_logprobs_num: int = 0,
         lora_path: Optional[str] = None,
         image_data=None,
     ) -> Req:
@@ -177,7 +178,11 @@ class Engine:
             sampling_params=sampling_params,
             eos_token_ids=self._eos_ids,
             stream=stream,
-            return_logprob=return_logprob,
+            # top-k logprobs imply per-token logprobs (reference io_struct:
+            # top_logprobs_num requires return_logprob); capped like the
+            # OpenAI API caps top_logprobs.
+            return_logprob=return_logprob or top_logprobs_num > 0,
+            top_logprobs_num=min(max(int(top_logprobs_num or 0), 0), 32),
         )
         if image_data is not None:
             self._attach_images(req, image_data)
@@ -328,6 +333,7 @@ class Engine:
         input_ids: Optional[Union[List[int], List[List[int]]]] = None,
         sampling_params: Optional[Union[SamplingParams, Dict]] = None,
         return_logprob: bool = False,
+        top_logprobs_num: int = 0,
         lora_path: Optional[Union[str, List[str]]] = None,
         image_data=None,
     ) -> Union[Dict, List[Dict]]:
@@ -361,6 +367,7 @@ class Engine:
                     input_ids=input_ids[i] if input_ids else None,
                     sampling_params=sampling_params,
                     return_logprob=return_logprob,
+                    top_logprobs_num=top_logprobs_num,
                     lora_path=lp,
                     image_data=img,
                 )
@@ -425,6 +432,12 @@ class Engine:
                 "finish_reason": req.finish_reason.value,
                 "cached_tokens": req.cached_tokens,
                 "output_logprobs": req.output_logprobs if req.return_logprob else None,
+                # per position: ([top-k logprobs], [top-k token ids])
+                # (reference meta_info output_top_logprobs,
+                # scheduler_output_processor_mixin.py stream_output)
+                "output_top_logprobs": (
+                    req.output_top_logprobs if req.top_logprobs_num else None
+                ),
             },
         }
 
@@ -517,12 +530,16 @@ class Engine:
                 sched._free_req_memory(r)
         return out[0] if single else out
 
-    def score(self, prompt=None, input_ids=None, logprob_start_len: int = 0):
+    def score(self, prompt=None, input_ids=None, logprob_start_len: int = 0,
+              top_logprobs_num: int = 0):
         """Teacher-forced input-token logprobs (reference: /generate with
         return_logprob + logprob_start_len + max_new_tokens=0, io_struct.py).
         Returns per request a list of (logprob, token_id) for input positions
         >= logprob_start_len (position 0 has no logprob; start is clamped to
-        1). Powers lang.select and the OpenAI echo+logprobs path."""
+        1). With top_logprobs_num > 0, entries are
+        (logprob, token_id, ([top-k logprobs], [top-k ids])) — the
+        reference's input_top_logprobs (logits_processor.py:194). Powers
+        lang.select and the OpenAI echo+logprobs path."""
         import numpy as _np
 
         from semi_pd_tpu.runtime.batch import build_extend_batch
@@ -566,21 +583,40 @@ class Engine:
                 n = r.prompt_len
                 targets[off : off + n - 1] = r.input_ids[1:]
                 off += n
-            lp = _np.asarray(
-                self.runner.score_step_host(hb, targets)
-            )
+            tv = ti = None
+            k = min(max(int(top_logprobs_num or 0), 0), 32)
+            if k > 0:
+                lp, tv, ti = self.runner.score_topk_host(hb, targets, k)
+                lp, tv, ti = _np.asarray(lp), _np.asarray(tv), _np.asarray(ti)
+            else:
+                lp = _np.asarray(
+                    self.runner.score_step_host(hb, targets)
+                )
             out = []
             off = 0
             for r in reqs:
                 n = r.prompt_len
                 start = max(1, logprob_start_len)
                 # logprob of token at position i sits at row off+i-1
-                out.append(
-                    [
-                        (float(lp[off + i - 1]), int(r.input_ids[i]))
-                        for i in range(start, n)
-                    ]
-                )
+                if k > 0:
+                    out.append(
+                        [
+                            (
+                                float(lp[off + i - 1]),
+                                int(r.input_ids[i]),
+                                (tv[off + i - 1].tolist(),
+                                 ti[off + i - 1].tolist()),
+                            )
+                            for i in range(start, n)
+                        ]
+                    )
+                else:
+                    out.append(
+                        [
+                            (float(lp[off + i - 1]), int(r.input_ids[i]))
+                            for i in range(start, n)
+                        ]
+                    )
                 off += n
                 sched._free_req_memory(r)
         return out[0] if single else out

@@ -71,6 +71,17 @@ class MirroredRunner:
         self._chan.broadcast(("hid", hb.wire(), vocab_mask))
         return self._r.step_with_hidden_host(hb, vocab_mask)
 
+    def step_topk_host(self, hb, k, vocab_mask=None, penalties=None):
+        self._chan.broadcast(("stepk", hb.wire(), k, vocab_mask, penalties))
+        return self._r.step_topk_host(hb, k, vocab_mask, penalties)
+
+    def score_topk_host(self, hb, targets, k):
+        import numpy as np
+
+        targets_np = np.asarray(targets)
+        self._chan.broadcast(("scorek", hb.wire(), targets_np, k))
+        return self._r.score_topk_host(hb, targets_np, k)
+
     def read_results(self, toks, lps):
         self._chan.broadcast(("read", len(toks)))
         return self._r.read_results(toks, lps)
@@ -155,6 +166,13 @@ def follower_main(server_args, model_config=None) -> None:
             runner.encode_step_host(HostBatch.from_wire(msg[1]))
         elif kind == "score":
             runner.score_step_host(HostBatch.from_wire(msg[1]), msg[2])
+        elif kind == "stepk":
+            # sync path on node 0 (np.asarray blocks there); followers just
+            # replay the dispatch — the KV/RNG update is the side effect
+            _, wire, k, mask, pen = msg
+            runner.step_topk_host(HostBatch.from_wire(wire), k, mask, pen)
+        elif kind == "scorek":
+            runner.score_topk_host(HostBatch.from_wire(msg[1]), msg[2], msg[3])
         elif kind == "read":
             n = msg[1]
             entries, ring = ring[:n], ring[n:]

@@ -753,6 +753,74 @@ class ModelRunner:
     def step_with_hidden_host(self, hb, vocab_mask=None):
         return self.step_with_hidden(hb.to_device(self.rng_key), vocab_mask)
 
+    def step_topk_host(self, hb, k: int, vocab_mask=None, penalties=None):
+        """Step variant additionally returning the top-k logprob values+ids
+        of each request's next-token distribution (reference
+        logits_processor.py:194 output_top_logprobs_val/idx). Dispatched by
+        the scheduler only for batches containing a request with
+        top_logprobs_num > 0 — the hot path never carries the [B, k] extras.
+        Returns device (tokens [B], logprobs [B], tk_vals [B, k] f32,
+        tk_ids [B, k] i32)."""
+        if not hasattr(self, "_step_topk_jit"):
+            model = self.model
+
+            def _stepk(params, kv, fb, vocab_mask, penalties, k):
+                logits, kv = model.forward(params, fb, kv)
+                new_key, sample_key = jax.random.split(fb.rng_key)
+                next_tokens = sampling_ops.sample(
+                    logits, fb.sampling, sample_key, vocab_mask, penalties
+                )
+                logprobs = sampling_ops.compute_logprobs(logits, next_tokens)
+                tv, ti = sampling_ops.top_logprobs(logits, k)
+                return next_tokens, logprobs, tv, ti, new_key, kv
+
+            self._step_topk_jit = jax.jit(
+                _stepk, donate_argnums=(1,), static_argnums=(5,)
+            )
+        fb = hb.to_device(self.rng_key)
+        extras = [vocab_mask, penalties]
+        if self._replicated is not None:
+            fb = jax.device_put(fb, self._replicated)
+            extras = jax.device_put(extras, self._replicated)
+        tok, lp, tv, ti, new_key, kv = self._step_topk_jit(
+            self.params, self.kv_cache.arrays, fb, extras[0], extras[1], k
+        )
+        self.kv_cache.update(kv)
+        self.rng_key = new_key
+        from semi_pd_tpu.runtime.forward_batch import ForwardMode
+
+        if hb.mode == ForwardMode.DECODE:
+            self._chain_tokens = tok
+        return tok, lp, tv, ti
+
+    def score_topk_host(self, hb, targets, k: int):
+        """Teacher-forced input logprobs WITH per-position top-k (reference
+        input_top_logprobs, logits_processor.py:194): returns
+        (tok_lp [T], tk_vals [T, k], tk_ids [T, k])."""
+        if not hasattr(self, "_score_topk_jit"):
+            model = self.model
+
+            def _scorek(params, kv, fb, targets, k):
+                logits, kv = model.forward(params, fb, kv, all_logits=True)
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                tok_lp = jnp.take_along_axis(lp, targets[:, None], axis=1)[:, 0]
+                tv, ti = jax.lax.top_k(lp, k)
+                return tok_lp, tv, ti.astype(jnp.int32), kv
+
+            self._score_topk_jit = jax.jit(
+                _scorek, donate_argnums=(1,), static_argnums=(4,)
+            )
+        fb = hb.to_device(self.rng_key)
+        targets = jnp.asarray(targets, jnp.int32)
+        if self._replicated is not None:
+            fb = jax.device_put(fb, self._replicated)
+            targets = jax.device_put(targets, self._replicated)
+        tok_lp, tv, ti, kv = self._score_topk_jit(
+            self.params, self.kv_cache.arrays, fb, targets, k
+        )
+        self.kv_cache.update(kv)
+        return tok_lp, tv, ti
+
     def encode_step_host(self, hb):
         return self.encode_step(hb.to_device(self.rng_key))
 

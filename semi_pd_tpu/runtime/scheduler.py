@@ -72,6 +72,8 @@ class _RingEntry:
     done_flags: Optional[List[bool]] = None  # extend only: prompt completed
     hidden: Optional[np.ndarray] = None  # EAGLE seed (sync path only)
     t_dispatch: float = 0.0  # monotonic dispatch time (watchdog autopsy)
+    tk_vals: Optional[np.ndarray] = None  # [B, k] top-k logprobs (sync only)
+    tk_ids: Optional[np.ndarray] = None  # [B, k] top-k token ids
 
 
 class Scheduler:
@@ -622,18 +624,29 @@ class Scheduler:
         reqs_only = [r for r, _ in admitted]
         mask = self._vocab_mask(reqs_only, hb.B)
         pen = self._penalty_arrays(reqs_only, hb.B)
+        topk = max((r.top_logprobs_num for r in reqs_only), default=0)
         out = []
         hidden = None
+        tkv = tki = None
         sync = True
-        if self.spec_algo == "EAGLE" and pen is None:
+        if self.spec_algo == "EAGLE" and pen is None and topk == 0:
             out += self._flush_ring()
             tokens, logprobs, hidden = self.runner.step_with_hidden_host(
                 hb, mask
             )
             hidden = np.asarray(hidden)
-        elif mask is None and pen is None and hb.packable():
+        elif mask is None and pen is None and topk == 0 and hb.packable():
             tokens, logprobs = self._step_packed(hb)
             sync = False
+        elif topk > 0:
+            # top-k logprob extraction rides a dedicated step variant
+            # (reference logits_processor.py:194); sync like the grammar
+            # path — the [B, k] extras stay off the hot readback.
+            out += self._flush_ring()
+            tokens, logprobs, tkv, tki = self.runner.step_topk_host(
+                hb, topk, mask, pen
+            )
+            tkv, tki = np.asarray(tkv), np.asarray(tki)
         else:
             out += self._flush_ring()  # keep token stream order
             tokens, logprobs = self.runner.step_host(hb, mask, pen)
@@ -653,7 +666,7 @@ class Scheduler:
         entry = _RingEntry(
             kind="extend", hb=hb, tokens=tokens, logprobs=logprobs,
             epochs=[r.epoch for r in reqs_only], admitted=list(admitted),
-            done_flags=done_flags, hidden=hidden,
+            done_flags=done_flags, hidden=hidden, tk_vals=tkv, tk_ids=tki,
         )
         if sync:
             if self.args.debug_tensor_dump_output_folder:
@@ -687,6 +700,11 @@ class Scheduler:
                 req.grammar.accept_token(tok)
             if req.return_logprob:
                 req.output_logprobs.append(float(logprobs[i]))
+                if req.top_logprobs_num and e.tk_vals is not None:
+                    n = req.top_logprobs_num
+                    req.output_top_logprobs.append(
+                        (e.tk_vals[i][:n].tolist(), e.tk_ids[i][:n].tolist())
+                    )
             if req.first_token_time is None:
                 req.first_token_time = time.monotonic()
             req.is_retracted = False
@@ -878,6 +896,18 @@ class Scheduler:
         newest in-flight decode, dispatch the NEXT step chained to its
         on-device tokens (up to overlap_depth in flight); otherwise flush,
         then dispatch fresh from host state."""
+        topk = max((r.top_logprobs_num for r in self.running), default=0)
+        if topk > 0:
+            # top-k logprob batches run synchronously on a dedicated step
+            # variant (like the grammar path): the [B, k] extras never ride
+            # the chained/fused-readback hot loop. Takes precedence over
+            # speculative decoding — per-draft-position top-k is not
+            # extracted (reference spec+logprobs support is likewise
+            # limited, semi_pd_decode_scheduler.py:354).
+            out = self._flush_ring()
+            if self.running:
+                out += self._decode_topk(topk)
+            return out
         if self.spec_gamma > 0:
             out = self._flush_ring()
             if self.running:
@@ -1024,6 +1054,38 @@ class Scheduler:
                 still.append(req)
         self.running = still
         return out
+
+    def _decode_topk(self, k: int) -> List[Tuple[Req, int]]:
+        """Synchronous decode step with device-side top-k logprob extraction
+        (reference logits_processor.py:194). Called with the ring flushed;
+        results are processed immediately (the topk arrays would not survive
+        the fused readback, which carries tokens+logprobs only)."""
+        if not self._prepare_decode_pages(lag=0):
+            return []
+        hb = build_decode_batch(
+            self.running,
+            self.runner.req_pool.page_table,
+            self.page_size,
+            self.b_buckets,
+            self.p_buckets,
+        )
+        mask = self._vocab_mask(self.running, hb.B)
+        pen = self._penalty_arrays(self.running, hb.B)
+        tokens, logprobs, tkv, tki = self.runner.step_topk_host(
+            hb, k, mask, pen
+        )
+        self._note_dispatch()
+        e = _RingEntry(
+            kind="decode", hb=hb, tokens=tokens, logprobs=logprobs,
+            epochs=[r.epoch for r in hb.reqs],
+            tk_vals=np.asarray(tkv), tk_ids=np.asarray(tki),
+        )
+        # Sync step: its wall time is not a flush cycle — keep it out of the
+        # cost EWMAs that drive the semi-PD chunk budget.
+        self._cycle_t0 = None
+        return self._process_decode_entry(
+            e, np.asarray(tokens), np.asarray(logprobs)
+        )
 
     def _fallback_plain_decode(self) -> List[Tuple[Req, int]]:
         """Synchronous plain decode step (spec-decode fallback paths): the
@@ -1183,6 +1245,11 @@ class Scheduler:
                 req.grammar.accept_token(tok)
             if req.return_logprob:
                 req.output_logprobs.append(float(logprobs[i]))
+                if req.top_logprobs_num and e.tk_vals is not None:
+                    n = req.top_logprobs_num
+                    req.output_top_logprobs.append(
+                        (e.tk_vals[i][:n].tolist(), e.tk_ids[i][:n].tolist())
+                    )
             req.check_finished()
             out.append((req, tok))
             if req.finished:

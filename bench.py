@@ -199,10 +199,44 @@ def _read_snapshot(path: str):
         return None
 
 
+def _stray_jax_processes() -> list:
+    """Other live python processes that imported jax. The axon tunnel has a
+    limited client pool: stray holders (e.g. an orphaned test server) make
+    every NEW process's first D2H hang indefinitely — observed as a 40-min
+    'device wedge' that cleared the moment two leftovers were killed. Listed
+    in the payload for autopsy; NOT killed (a pattern can match processes
+    that are not ours)."""
+    out = []
+    me = {os.getpid(), os.getppid()}
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) in me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+                if "python" not in cmd or "bench.py" in cmd:
+                    continue
+                with open(f"/proc/{pid}/maps") as f:
+                    if "jax" not in f.read():
+                        continue
+                out.append({"pid": int(pid), "cmd": cmd.strip()[:160]})
+            except OSError:
+                continue
+    except OSError:
+        pass
+    return out
+
+
 def orchestrator_main():
     snap = os.path.join(tempfile.gettempdir(), f"bench_snap_{os.getpid()}.json")
     attempts = []
     best = None
+    strays = _stray_jax_processes()
+    if strays:
+        log(f"WARNING: {len(strays)} other jax-holding python processes — "
+            f"these can wedge the tunnel for this benchmark: "
+            f"{json.dumps(strays)}")
 
     # Attempt loop. The attachment's observed failure mode ALTERNATES: an
     # attach that wedges (>180s) is typically followed — after the wedged
@@ -249,6 +283,8 @@ def orchestrator_main():
         best = _empty_payload(err="no attempt produced a payload")
     if len(attempts) > 1 or attempts[0]["wedged"]:
         best.setdefault("detail", {})["attempts"] = attempts
+    if strays and best.get("value", 0) <= 0:
+        best.setdefault("detail", {})["stray_jax_processes"] = strays
     emit(best)
     try:
         os.remove(snap)

@@ -120,6 +120,9 @@ class ServerArgs:
     disable_radix_cache: bool = False
     enable_hierarchical_cache: bool = False  # host-RAM KV tier (mem/hicache.py)
     hicache_max_bytes: int = 8 << 30
+    # write_through | write_through_selective (reference server_args.py
+    # hicache_write_policy; selective only writes prefixes with shown reuse)
+    hicache_write_policy: str = "write_through"
     retract_decode_steps: int = 20  # new tokens to reserve headroom for on retract
 
     # Semi-PD (phase-disaggregated computation, unified storage)

@@ -653,6 +653,11 @@ class Engine:
         self.scheduler.drain()
         if self.scheduler.has_work():
             return False
+        if self.scheduler.hicache_ctl is not None:
+            # in-flight write-through gathers reference pages about to be
+            # evicted; settle them first (dispatch order makes them safe,
+            # but drain keeps the host tier deterministic for callers)
+            self.scheduler.hicache_ctl.drain()
         self.scheduler.tree_cache.evict(10**9)
         self.scheduler.check_memory()
         return True

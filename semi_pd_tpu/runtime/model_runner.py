@@ -1141,9 +1141,13 @@ class ModelRunner:
         )
 
     # -------------------------------------------------- hierarchical cache
-    def download_pages(self, page_ids: np.ndarray) -> list:
-        """Read whole KV pages to host numpy (write-through to the host
-        tier). Returns one [L, ncomp, page_size, H, D] array per page."""
+    def download_pages_async(self, page_ids: np.ndarray):
+        """DISPATCH a gather of whole KV pages; returns the device array
+        without blocking. Dispatch order against the donated-buffer step
+        programs guarantees the read sees the pages' current contents even
+        if a later step (or page reuse) overwrites them — so the caller may
+        free the pages immediately and hand the array to the async
+        controller for the blocking device_get."""
         if not hasattr(self, "_dl_jit"):
             P = self.kv_spec.page_size
 
@@ -1157,16 +1161,25 @@ class ModelRunner:
                 return pool[:, :, slots]  # [L, nc, n*P, H, D]
 
             self._dl_jit = jax.jit(_dl)
-        data = np.asarray(
-            self._dl_jit(self.kv_cache.arrays, jnp.asarray(page_ids, jnp.int32))
+        return self._dl_jit(
+            self.kv_cache.arrays, jnp.asarray(page_ids, jnp.int32)
         )
+
+    def split_pages(self, data: np.ndarray, n: int) -> list:
+        """Split a downloaded gather into per-page host buffers
+        ([L, ncomp, page_size, H, D] each)."""
         P = self.kv_spec.page_size
-        n = len(page_ids)
         if self.kv_spec.chunked:  # [L, n*P, CT, 128] -> per page [L, P, CT, 128]
             data = data.reshape(data.shape[0], n, P, *data.shape[2:])
             return [np.ascontiguousarray(data[:, i]) for i in range(n)]
         data = data.reshape(data.shape[0], data.shape[1], n, P, *data.shape[3:])
         return [np.ascontiguousarray(data[:, :, i]) for i in range(n)]
+
+    def download_pages(self, page_ids: np.ndarray) -> list:
+        """Blocking read of whole KV pages to host numpy (tests / sync
+        callers). Returns one [L, ncomp, page_size, H, D] array per page."""
+        data = np.asarray(self.download_pages_async(page_ids))
+        return self.split_pages(data, len(page_ids))
 
     def upload_pages(self, page_ids: np.ndarray, bufs: list) -> None:
         """Write host page buffers into freshly allocated device pages."""

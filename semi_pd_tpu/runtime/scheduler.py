@@ -99,13 +99,18 @@ class Scheduler:
             except RuntimeError:
                 self.tree_cache = RadixCache(self.page_size, alloc.free)
 
-        # Hierarchical (host) KV tier
+        # Hierarchical (host) KV tier + async write controller
         self.host_cache = None
+        self.hicache_ctl = None
         if server_args.enable_hierarchical_cache and not server_args.disable_radix_cache:
-            from semi_pd_tpu.mem.hicache import HostKVStore
+            from semi_pd_tpu.mem.hicache import HiCacheController, HostKVStore
 
             self.host_cache = HostKVStore(
                 self.page_size, server_args.hicache_max_bytes
+            )
+            self.hicache_ctl = HiCacheController(
+                self.host_cache, runner.split_pages,
+                policy=server_args.hicache_write_policy,
             )
 
         # Bucket tables
@@ -1429,13 +1434,18 @@ class Scheduler:
             n_full = kv_tokens // self.page_size
             tokens = req.all_token_ids()[: n_full * self.page_size]
             pages = np.asarray(req.pages[:n_full], dtype=np.int32)
-            if self.host_cache is not None and n_full > 0:
-                # write-through to the host tier (whole cached prefix)
+            if (self.host_cache is not None and n_full > 0
+                    and self.hicache_ctl.should_write(req)):
+                # Async write-through (reference cache_controller.py write
+                # queue): the page gather is DISPATCHED here — dispatch
+                # order vs the donated-buffer steps makes the read safe
+                # against page reuse — and the blocking device_get happens
+                # on the controller thread, off the decode cadence.
                 try:
-                    bufs = self.runner.download_pages(pages)
-                    self.host_cache.insert(tokens, bufs)
+                    fut = self.runner.download_pages_async(pages)
+                    self.hicache_ctl.enqueue_write(tokens, fut, n_full)
                 except Exception:  # noqa: BLE001
-                    logger.exception("host-tier write-through failed")
+                    logger.exception("host-tier write-through dispatch failed")
             dup, node = self.tree_cache.insert(tokens, pages)
             # pages[:n_prefix] were always the tree's; pages[n_prefix:dup] are
             # ours but identical content was inserted meanwhile — free ours.

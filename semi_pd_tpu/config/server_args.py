@@ -63,7 +63,7 @@ class ServerArgs:
     # Calibrated per-layer fp8-KV scale JSON (reference
     # --quantization-param-path; vLLM kv_cache_scales schema). Stored KV is
     # divided by the scale (using the fp8 range) and reads rescale exactly
-    # by linearity — see layers/attention.py _KV_SCALES.
+    # by linearity — see ForwardArrays.kv_scales (layers/attention.py).
     quantization_param_path: Optional[str] = None
     quantization: Optional[str] = None  # fp8 | int8 | awq_int4 | blockwise_fp8
     random_weights: bool = False  # skip checkpoint load; random-init (tests/bench)

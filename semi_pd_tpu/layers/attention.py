@@ -33,19 +33,6 @@ _BACKEND = "reference"
 # compile-time constant (the tree SHAPE is static, only tokens are data).
 _SPEC_TREE = None
 
-# Per-layer fp8-KV scaling factors [L, 2] f32 (k_scale, v_scale), or None.
-# Loaded from --quantization-param-path (reference model_runner.py:681-688 +
-# models' load_kv_cache_scales). Applied OUTSIDE the kernels by linearity:
-# store k/k_s and v/v_s (so calibrated scales use the fp8 range), read with
-# q*k_s (logits exact: (q*k_s)·(k/k_s) = q·k) and out*v_s.
-_KV_SCALES = None
-
-
-def set_kv_scales(scales) -> None:
-    global _KV_SCALES
-    _KV_SCALES = scales
-
-
 class spec_tree_context:
     def __init__(self, anc_bits):
         self.anc = tuple(anc_bits) if anc_bits is not None else None
@@ -86,10 +73,15 @@ def paged_attention(
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (attn_out [T, Hq, D], kv_cache'). kv_block tunes the KV
     slots streamed per grid step (DMA granularity / pipeline depth)."""
+    # Per-layer fp8-KV scaling factors (fb.kv_scales, loaded from
+    # --quantization-param-path; reference model_runner.py:681-688 + models'
+    # load_kv_cache_scales). Applied OUTSIDE the kernels by linearity: store
+    # k/k_s and v/v_s (so calibrated scales use the fp8 range), read with
+    # q*k_s (logits exact: (q*k_s)·(k/k_s) = q·k) and out*v_s.
     v_s = None
-    if _KV_SCALES is not None:
-        k_s = _KV_SCALES[layer_idx, 0].astype(jnp.float32)
-        v_s = _KV_SCALES[layer_idx, 1].astype(jnp.float32)
+    if fb.kv_scales is not None:
+        k_s = fb.kv_scales[layer_idx, 0].astype(jnp.float32)
+        v_s = fb.kv_scales[layer_idx, 1].astype(jnp.float32)
         k_new = (k_new.astype(jnp.float32) / k_s).astype(k_new.dtype)
         v_new = (v_new.astype(jnp.float32) / v_s).astype(v_new.dtype)
         q = (q.astype(jnp.float32) * k_s).astype(q.dtype)

@@ -70,6 +70,12 @@ class ForwardArrays(NamedTuple):
     cross_states: Optional[jax.Array] = None  # [B, Nv, H] f32
     cross_len: Optional[jax.Array] = None  # [B] i32 (0 = no image)
     cross_from: Optional[jax.Array] = None  # [B] i32
+    # Per-layer fp8-KV scaling factors [L, 2] f32 (k_scale, v_scale) from
+    # --quantization-param-path, or None. Carried on the batch (stamped by
+    # the owning ModelRunner inside its step programs) rather than a module
+    # global so two runners in one process can't cross-contaminate each
+    # other's traces (reference model_runner.py:681-688).
+    kv_scales: Optional[jax.Array] = None  # [L, 2] f32
 
 
 def build_attn_meta(q_lens_np: np.ndarray, kv_lens_np: np.ndarray, T: int) -> AttnMeta:

@@ -148,17 +148,31 @@ class ModelRunner:
         self.model.ep_capacity_factor = server_args.ep_capacity_factor
         logger.info("attention backend: %s (platform %s)", backend, platform)
 
+        self.kv_scales = None
         if server_args.quantization_param_path:
             # Calibrated per-layer fp8-KV scales (reference --quantization-
             # param-path, model_runner.py:681-688 load_kv_cache_scales).
+            # Stored on the runner and stamped into every step program's
+            # ForwardArrays (not a module global: a second runner in the
+            # same process must not contaminate this one's traces). Only the
+            # MHA/GQA paged_attention path applies them — reject the flag
+            # outright where it would be silently ignored.
+            if model_config.use_mla:
+                raise ValueError(
+                    "--quantization-param-path is not supported for MLA "
+                    "models: the latent pool holds K and V in one buffer, "
+                    "so separate k_scale/v_scale calibration does not apply")
+            if server_args.enable_double_sparsity:
+                raise ValueError(
+                    "--quantization-param-path is not supported together "
+                    "with --enable-double-sparsity (the sparse-channel "
+                    "attention path does not apply KV scales)")
             scales = _load_kv_cache_scales(
                 server_args.quantization_param_path,
                 model_config.num_hidden_layers,
             )
-            attention_backend.set_kv_scales(jnp.asarray(scales))
+            self.kv_scales = jnp.asarray(scales)
             logger.info("fp8-KV scales loaded for %d layers", len(scales))
-        else:
-            attention_backend.set_kv_scales(None)  # don't leak across engines
 
         self._load_weights()
         self._init_memory_pool()
@@ -403,13 +417,22 @@ class ModelRunner:
         return 32768
 
     # ------------------------------------------------------------- step fn
+    def _stamp_kv_scales(self, fb: ForwardArrays) -> ForwardArrays:
+        """Attach this runner's fp8-KV scales to the batch (inside the traced
+        step fns, so the scales ride each program as this runner's own
+        constant — never another runner's)."""
+        if self.kv_scales is None:
+            return fb
+        return fb._replace(kv_scales=self.kv_scales)
+
     def _build_step_fns(self):
         model = self.model
+        stamp = self._stamp_kv_scales
 
         nan_check = self.server_args.enable_nan_detection
 
         def _step(params, kv, fb: ForwardArrays, vocab_mask=None, penalties=None):
-            logits, kv = model.forward(params, fb, kv)
+            logits, kv = model.forward(params, stamp(fb), kv)
             if nan_check:
                 # reference model_runner.py:157 enable_nan_detection
                 logits = jax.lax.cond(
@@ -507,7 +530,7 @@ class ModelRunner:
         def _spec_step(params, kv, fb: ForwardArrays, drafts, draft_lens, gamma):
             from semi_pd_tpu.runtime.speculative import verify_and_accept
 
-            logits, kv = model.forward(params, fb, kv)  # logits_idx covers all rows
+            logits, kv = model.forward(params, stamp(fb), kv)  # logits_idx covers all rows
             new_key, sub = jax.random.split(fb.rng_key)
             accept_len, next_tok = verify_and_accept(
                 logits, drafts, draft_lens, fb.sampling, sub, gamma,
@@ -763,9 +786,10 @@ class ModelRunner:
         tk_ids [B, k] i32)."""
         if not hasattr(self, "_step_topk_jit"):
             model = self.model
+            stamp = self._stamp_kv_scales
 
             def _stepk(params, kv, fb, vocab_mask, penalties, k):
-                logits, kv = model.forward(params, fb, kv)
+                logits, kv = model.forward(params, stamp(fb), kv)
                 new_key, sample_key = jax.random.split(fb.rng_key)
                 next_tokens = sampling_ops.sample(
                     logits, fb.sampling, sample_key, vocab_mask, penalties
@@ -799,9 +823,10 @@ class ModelRunner:
         (tok_lp [T], tk_vals [T, k], tk_ids [T, k])."""
         if not hasattr(self, "_score_topk_jit"):
             model = self.model
+            stamp = self._stamp_kv_scales
 
             def _scorek(params, kv, fb, targets, k):
-                logits, kv = model.forward(params, fb, kv, all_logits=True)
+                logits, kv = model.forward(params, stamp(fb), kv, all_logits=True)
                 lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
                 tok_lp = jnp.take_along_axis(lp, targets[:, None], axis=1)[:, 0]
                 tv, ti = jax.lax.top_k(lp, k)
@@ -891,9 +916,10 @@ class ModelRunner:
         token (or padding) are discarded host-side."""
         if not hasattr(self, "_score_jit"):
             model = self.model
+            stamp = self._stamp_kv_scales
 
             def _score(params, kv, fb, targets):
-                logits, kv = model.forward(params, fb, kv, all_logits=True)
+                logits, kv = model.forward(params, stamp(fb), kv, all_logits=True)
                 lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
                 tok_lp = jnp.take_along_axis(lp, targets[:, None], axis=1)[:, 0]
                 return tok_lp, kv
@@ -913,9 +939,10 @@ class ModelRunner:
         (reference: /encode path, Pooler LAST)."""
         if not hasattr(self, "_encode_jit"):
             model = self.model
+            stamp = self._stamp_kv_scales
 
             def _encode(params, kv, fb):
-                emb, kv = model.forward_embedding(params, fb, kv)
+                emb, kv = model.forward_embedding(params, stamp(fb), kv)
                 return emb, kv
 
             self._encode_jit = jax.jit(_encode, donate_argnums=(1,))
@@ -990,7 +1017,8 @@ class ModelRunner:
 
             def _eagle_tree(params, dparams, kv, dkv, fb, prev_hidden, tree):
                 return eagle_tree_round(
-                    model, draft, params, dparams, kv, dkv, fb, prev_hidden,
+                    model, draft, params, dparams, kv, dkv,
+                    self._stamp_kv_scales(fb), prev_hidden,
                     tree, refresh=refresh, hot_ids=hot_ids,
                     hot_head=hot_head,
                 )
@@ -1012,7 +1040,8 @@ class ModelRunner:
 
         def _eagle(params, dparams, kv, dkv, fb, prev_hidden, gamma):
             return eagle_round(
-                model, draft, params, dparams, kv, dkv, fb, prev_hidden,
+                model, draft, params, dparams, kv, dkv,
+                self._stamp_kv_scales(fb), prev_hidden,
                 gamma, refresh=refresh,
                 threshold_single=self.server_args.speculative_accept_threshold_single,
                 threshold_acc=self.server_args.speculative_accept_threshold_acc,
@@ -1088,10 +1117,11 @@ class ModelRunner:
         """Like step() but also returns the last-token hidden states [B, H]
         (seeds the EAGLE draft after prefill)."""
         model = self.model
+        stamp = self._stamp_kv_scales
         if not hasattr(self, "_step_hidden_jit"):
             def _steph(params, kv, fb, vocab_mask=None):
                 logits, kv, hidden = model.forward(
-                    params, fb, kv, return_hidden=True
+                    params, stamp(fb), kv, return_hidden=True
                 )
                 new_key, sample_key = jax.random.split(fb.rng_key)
                 next_tokens = sampling_ops.sample(

@@ -1,8 +1,9 @@
 """--quantization-param-path: calibrated per-layer fp8-KV scaling factors
 (reference model_runner.py:681-688 + models' load_kv_cache_scales; vLLM
 kv_cache_scales.json schema). The scales are applied outside the kernels by
-linearity (layers/attention.py _KV_SCALES), so with a lossless KV dtype the
-outputs must be bit-identical for ANY scales."""
+linearity (layers/attention.py paged_attention), so with a lossless KV dtype the
+outputs must be bit-identical for ANY scales. Scales live on the
+owning runner (ForwardArrays.kv_scales), never in process-global state."""
 
 import json
 
@@ -85,6 +86,61 @@ def test_scales_help_fp8_small_range(tmp_path):
     # fp8 paths must still produce a finite, plausible logprob trace
     assert np.isfinite(err_plain) and np.isfinite(err_scaled)
     assert err_scaled <= err_plain * 4 + 1e-3
-    from semi_pd_tpu.layers import attention as ab
 
-    ab.set_kv_scales(None)
+
+def test_scales_do_not_leak_across_engines(tmp_path):
+    """Two runners in one process must not contaminate each other's traces:
+    engine A loads scales, engine B (no scales) is created afterwards, then A
+    compiles a NEW bucket (bigger batch). A's new trace must still scale; B
+    must match the unscaled baseline. (Regression: a module-global scale
+    table made whichever runner initialized last win for every later jit.)"""
+    p = tmp_path / "scales.json"
+    p.write_text(json.dumps(
+        {"kv_cache": {"scaling_factor": {"0": 0.5, "1": 2.0}}}))
+
+    def mk(sp_path=None, seed=3):
+        return Engine(server_args=ServerArgs(
+            model_path="", random_weights=True, page_size=4,
+            max_total_tokens=512, seed=seed,
+            quantization_param_path=sp_path), model_config=_mc())
+
+    sp = SamplingParams(max_new_tokens=8, temperature=0.0, ignore_eos=True)
+    rng = np.random.default_rng(0)
+    prompts4 = [rng.integers(0, 64, size=10).tolist() for _ in range(4)]
+
+    base = mk()  # unscaled reference for both shapes
+    base_b1 = base.generate(input_ids=prompts4[:1], sampling_params=sp)
+    base_b4 = base.generate(input_ids=prompts4, sampling_params=sp)
+
+    a = mk(str(p))
+    a_b1 = a.generate(input_ids=prompts4[:1], sampling_params=sp)
+    b = mk()  # would have cleared the old global
+    # A compiles a NEW bucket after B exists; scales must still apply (with
+    # float32 KV, scaled == unscaled exactly, so compare tokens to baseline)
+    a_b4 = a.generate(input_ids=prompts4, sampling_params=sp)
+    b_b4 = b.generate(input_ids=prompts4, sampling_params=sp)
+    assert [o["output_ids"] for o in a_b1] == [o["output_ids"] for o in base_b1]
+    assert [o["output_ids"] for o in a_b4] == [o["output_ids"] for o in base_b4]
+    assert [o["output_ids"] for o in b_b4] == [o["output_ids"] for o in base_b4]
+    assert a.runner.kv_scales is not None and b.runner.kv_scales is None
+
+
+def test_scales_rejected_for_mla(tmp_path):
+    """--quantization-param-path must fail fast where it would be silently
+    ignored (MLA latent pool holds K and V in one buffer)."""
+    p = tmp_path / "scales.json"
+    p.write_text(json.dumps(
+        {"kv_cache": {"scaling_factor": {"0": 0.5}}}))
+    mc = ModelConfig(
+        architecture="DeepseekV2ForCausalLM", vocab_size=64, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=1, head_dim=16, max_position_embeddings=256,
+        context_length=256, dtype="float32", use_mla=True,
+        kv_lora_rank=16, qk_rope_head_dim=16, qk_nope_head_dim=16,
+        v_head_dim=16,
+    )
+    with pytest.raises(ValueError, match="MLA"):
+        Engine(server_args=ServerArgs(
+            model_path="", random_weights=True, page_size=4,
+            max_total_tokens=512, quantization_param_path=str(p)),
+            model_config=mc)

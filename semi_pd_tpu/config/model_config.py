@@ -303,6 +303,7 @@ class ModelConfig:
         quantization: Optional[str] = None,
         json_override_args: Optional[str] = None,
         revision: Optional[str] = None,
+        download_dir: Optional[str] = None,
     ) -> "ModelConfig":
         if model_path.endswith(".gguf"):
             # Single-file GGUF checkpoint: synthesize the HF config from the
@@ -317,7 +318,7 @@ class ModelConfig:
             try:
                 hf_config = AutoConfig.from_pretrained(
                     model_path, trust_remote_code=trust_remote_code,
-                    revision=revision,
+                    revision=revision, cache_dir=download_dir,
                 )
             except ValueError:
                 # Remote-code model types (internlm2, baichuan, exaone,

@@ -37,7 +37,7 @@ _IGNORED_REFERENCE_FLAGS = (
     "--triton-attention-num-kv-splits", "--triton-attention-reduce-in-fp32",
     "--enable-flashinfer-mla", "--flashinfer-mla-disable-ragged",
     "--disable-mla", "--cpu-offload-gb", "--torchao-config",
-    "--download-dir", "--lora-backend", "--sampling-backend-legacy",
+    "--lora-backend", "--sampling-backend-legacy",
 )
 
 
@@ -45,6 +45,10 @@ _IGNORED_REFERENCE_FLAGS = (
 class ServerArgs:
     # Model and tokenizer
     model_path: str = ""
+    # HF hub cache directory for config/tokenizer/processor resolution
+    # (reference --download-dir; changes WHERE checkpoints are resolved, so
+    # it must not be silently ignored)
+    download_dir: Optional[str] = None
     tokenizer_path: Optional[str] = None
     tokenizer_mode: str = "auto"  # auto (fast when available) | slow
     skip_tokenizer_init: bool = False  # token-id API only (trainer loops)

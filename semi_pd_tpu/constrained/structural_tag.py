@@ -31,7 +31,8 @@ already has —
 - completing a continuation returns to the free-mode root ("greedy exit":
   if a schema could itself contain the ``end`` literal inside a string
   value, the shortest completion wins — the one ambiguity a PDA could
-  track that a DFA composition cannot; documented, not silent).
+  track that a DFA composition cannot; detected at compile time with a
+  loud warning, see ``_check_greedy_exit_ambiguity``).
 
 The class exposes the ``regex_dfa.DFA`` stepping interface
 (``step``/``step_str``/``accepts`` with ``in``) so ``grammar.TokenDFA``
@@ -139,12 +140,43 @@ class StructuralTagDFA:
                 continue
             self._cont[nid] = compile_regex("(?:" + "|".join(alts) + ")"
                                             if len(alts) > 1 else alts[0])
+        for s in structures:
+            self._check_greedy_exit_ambiguity(s)
         # States: interned (kind, a, b) tuples. 0 = free root.
         self._states: List[Tuple[str, int, int]] = []
         self._ids: Dict[Tuple[str, int, int], int] = {}
         self._step_memo: Dict[Tuple[int, str], int] = {}
         self._intern(("f", 0, 0))
         self.accepts = _Accepts(self)
+
+    def _check_greedy_exit_ambiguity(self, s: dict) -> None:
+        """Greedy exit takes the SHORTEST accepting completion. If the
+        literal ``end`` string is matchable *inside* the schema body (e.g. a
+        free-form string value can contain "</tool>"), the automaton leaves
+        the structure at the first occurrence — diverging from xgrammar's
+        PDA semantics. Detect that at compile time (DFA reachability: some
+        live schema state survives stepping every char of ``end``) and warn
+        loudly instead of relying on a docstring note."""
+        schema = s.get("schema")
+        if schema is None:
+            return
+        end = s["end"]
+        body = compile_regex("(?:" + schema_to_regex(schema) + ")")
+        # Reachable = all states of the compiled DFA (compile_regex only
+        # materializes reachable states); a state is ambiguity-evidence if
+        # stepping the full end literal from it stays alive or accepts.
+        for st in range(body.num_states):
+            if body.step_str(st, end) >= 0:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "structural_tag: end literal %r is matchable inside the "
+                    "schema body of structure %r; greedy exit will close the "
+                    "structure at the FIRST occurrence of %r, diverging from "
+                    "xgrammar PDA semantics. Constrain the schema's string "
+                    "values (e.g. pattern excluding %r) to avoid this.",
+                    end, s.get("begin"), end, end)
+                return
 
     def _intern(self, key: Tuple[str, int, int]) -> int:
         sid = self._ids.get(key)

@@ -269,9 +269,18 @@ def _usage(mi: Dict[str, Any], ae: "AsyncEngine") -> Dict[str, Any]:
 
 
 async def flush_cache(request: web.Request) -> web.Response:
+    """Reference /flush_cache: only possible when no requests are running.
+    A refusal is reported as 409 with a message — a 200 {"success": false}
+    is too easy to misread as a successful flush."""
     ae: AsyncEngine = request.app["engine"]
     ok = ae.engine.flush_cache()
-    return web.json_response({"success": ok})
+    if not ok:
+        return web.json_response(
+            {"success": False,
+             "message": "cache not flushed: requests are still running "
+                        "or queued; retry when the server is idle"},
+            status=409)
+    return web.json_response({"success": True})
 
 
 async def abort_request(request: web.Request) -> web.Response:
@@ -291,16 +300,19 @@ async def vertex_generate(request: web.Request) -> web.Response:
     if not instances:
         return web.json_response({"predictions": []})
     params = body.get("parameters") or {}
-    outs = []
-    for inst in instances:
-        out = await ae.generate_full(
+    # Reference spreads `parameters` as GenerateReqInput kwargs; only the
+    # explicit sampling_params member is sampling config — treating the
+    # whole object as sampling params would silently drop unknown keys.
+    sp = params.get("sampling_params") or {}
+    outs = await asyncio.gather(*(
+        ae.generate_full(
             prompt=inst.get("text"),
             input_ids=inst.get("input_ids"),
-            sampling_params=params.get("sampling_params") or params,
+            sampling_params=sp,
             image_data=inst.get("image_data"),
         )
-        outs.append(out)
-    return web.json_response({"predictions": outs})
+        for inst in instances))
+    return web.json_response({"predictions": list(outs)})
 
 
 async def parse_function_call(request: web.Request) -> web.Response:
@@ -362,23 +374,32 @@ async def get_weights_by_name(request: web.Request) -> web.Response:
         return web.json_response(
             {"error": {"message": "name is required"}}, status=400)
     truncate = int(body.get("truncate_size", 100))
-    flat = jax.tree_util.tree_flatten_with_path(ae.engine.runner.params)[0]
 
     def key_str(path):
         return ".".join(
             str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
-    for path, leaf in flat:
-        ks = key_str(path)
-        # exact path, or a suffix on a component boundary ("embed.w" matches
-        # "layers.embed.w" but "w" alone never matches arbitrary tensors)
-        if ks == name or ks.endswith("." + name):
-            import numpy as np
+    def walk():
+        # On the tick thread (run_job): the parameter pytree may be swapped
+        # by update_weights_from_disk / release-resume running there.
+        import numpy as np
 
-            vals = np.asarray(leaf).reshape(-1)[:truncate].tolist()
-            return web.json_response(
-                {"name": ks, "shape": list(leaf.shape),
-                 "dtype": str(leaf.dtype), "values": vals})
+        flat = jax.tree_util.tree_flatten_with_path(
+            ae.engine.runner.params)[0]
+        for path, leaf in flat:
+            ks = key_str(path)
+            # exact path, or a suffix on a component boundary ("embed.w"
+            # matches "layers.embed.w" but "w" alone never matches
+            # arbitrary tensors)
+            if ks == name or ks.endswith("." + name):
+                vals = np.asarray(leaf).reshape(-1)[:truncate].tolist()
+                return {"name": ks, "shape": list(leaf.shape),
+                        "dtype": str(leaf.dtype), "values": vals}
+        return None
+
+    found = await ae.run_job(walk)
+    if found is not None:
+        return web.json_response(found)
     return web.json_response(
         {"error": {"message": f"no parameter path matches {name!r}"}},
         status=400)
@@ -423,7 +444,12 @@ async def release_memory_occupation(request: web.Request) -> web.Response:
             {"success": False, "message": "requires --enable-memory-saver"},
             status=400)
     ok = await ae.run_job(ae.engine.release_memory_occupation)
-    return web.json_response({"success": ok})
+    if not ok:
+        return web.json_response(
+            {"success": False,
+             "message": "memory not released: requests are still running or queued"},
+            status=409)
+    return web.json_response({"success": True})
 
 
 async def resume_memory_occupation(request: web.Request) -> web.Response:
@@ -433,7 +459,12 @@ async def resume_memory_occupation(request: web.Request) -> web.Response:
             {"success": False, "message": "requires --enable-memory-saver"},
             status=400)
     ok = await ae.run_job(ae.engine.resume_memory_occupation)
-    return web.json_response({"success": ok})
+    if not ok:
+        return web.json_response(
+            {"success": False,
+             "message": "memory not resumed: requests are still running or queued"},
+            status=409)
+    return web.json_response({"success": True})
 
 
 async def update_weights_from_disk(request: web.Request) -> web.Response:

@@ -53,6 +53,7 @@ class Engine:
                     trust_remote_code=server_args.trust_remote_code,
                     use_fast=server_args.tokenizer_mode != "slow",
                     revision=server_args.revision,
+                    cache_dir=server_args.download_dir,
                 )
             except Exception as e:  # random-weights bench without a tokenizer
                 # Single-file GGUF checkpoints carry a ggml vocab, not an HF
@@ -279,6 +280,7 @@ class Engine:
             self._image_processor = AutoImageProcessor.from_pretrained(
                 self.server_args.model_path,
                 trust_remote_code=self.server_args.trust_remote_code,
+                cache_dir=self.server_args.download_dir,
             )
         out = self._image_processor(images=item, return_tensors="np")
         return out["pixel_values"][0].astype(np.float32)

@@ -115,6 +115,7 @@ class ModelRunner:
                 quantization=server_args.quantization,
                 json_override_args=server_args.json_model_override_args,
                 revision=server_args.revision,
+                download_dir=server_args.download_dir,
             )
         if server_args.is_embedding:
             # Reference tokenizer_manager.py:176 passes --is-embedding into

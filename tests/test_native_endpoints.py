@@ -83,7 +83,9 @@ def test_vertex_generate(engine):
     async def body(client):
         r = await client.post("/vertex_generate", json={
             "instances": [{"text": "ab"}, {"text": "cd"}],
-            "parameters": {"max_new_tokens": 2, "temperature": 0.0},
+            "parameters": {
+                "sampling_params": {"max_new_tokens": 2, "temperature": 0.0},
+            },
         })
         assert r.status == 200
         j = await r.json()

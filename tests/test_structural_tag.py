@@ -194,3 +194,33 @@ def test_e2e_engine_structural_tag():
     )["text"].replace(" ", "")
     assert out.startswith(trigger + "[3]"), (trigger, out)
     eng.scheduler.check_memory()
+
+
+def test_greedy_exit_ambiguity_warning(caplog):
+    """A schema whose string values can contain the end literal must warn at
+    compile time (greedy exit diverges from xgrammar PDA semantics there);
+    a schema that cannot contain it must not."""
+    import logging
+
+    ambiguous = _spec(
+        [{"begin": "<t>",
+          "schema": {"type": "object",
+                     "properties": {"s": {"type": "string"}},
+                     "required": ["s"]},
+          "end": "</t>"}],
+        ["<t>"],
+    )
+    with caplog.at_level(logging.WARNING,
+                         logger="semi_pd_tpu.constrained.structural_tag"):
+        StructuralTagDFA(ambiguous)
+    assert any("matchable inside" in r.getMessage() for r in caplog.records)
+
+    caplog.clear()
+    safe = _spec(
+        [{"begin": "<t>", "schema": {"enum": [1, 2]}, "end": "</t>"}],
+        ["<t>"],
+    )
+    with caplog.at_level(logging.WARNING,
+                         logger="semi_pd_tpu.constrained.structural_tag"):
+        StructuralTagDFA(safe)
+    assert not caplog.records

@@ -156,13 +156,26 @@ class AsyncEngine:
         top_logprobs_num: int = 0,
         image_data=None,
         lora_path: Optional[str] = None,
+        session_params: Optional[dict] = None,
     ) -> AsyncIterator[Dict[str, Any]]:
-        req = self.engine.make_request(
-            prompt=prompt, input_ids=input_ids, sampling_params=sampling_params,
-            rid=rid, stream=stream, return_logprob=return_logprob,
-            top_logprobs_num=top_logprobs_num,
-            image_data=image_data, lora_path=lora_path,
-        )
+        if session_params:
+            # branch-from-turn sessions (reference Session.create_req);
+            # built on the tick thread: the session tree is also mutated
+            # there and the prompt must snapshot a consistent turn history
+            req = await self.run_job(lambda: self.engine.make_session_request(
+                session_params, prompt=prompt, input_ids=input_ids,
+                sampling_params=sampling_params, rid=rid, stream=stream,
+                return_logprob=return_logprob,
+                top_logprobs_num=top_logprobs_num, lora_path=lora_path,
+            ))
+        else:
+            req = self.engine.make_request(
+                prompt=prompt, input_ids=input_ids,
+                sampling_params=sampling_params,
+                rid=rid, stream=stream, return_logprob=return_logprob,
+                top_logprobs_num=top_logprobs_num,
+                image_data=image_data, lora_path=lora_path,
+            )
         q: asyncio.Queue = asyncio.Queue()
         with self._lock:
             self._queues[req.rid] = q

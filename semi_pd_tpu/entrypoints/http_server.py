@@ -165,6 +165,7 @@ async def generate(request: web.Request) -> web.StreamResponse:
         top_logprobs_num=int(body.get("top_logprobs_num", 0)),
         image_data=body.get("image_data"),
         lora_path=body.get("lora_path"),
+        session_params=body.get("session_params"),
     )
     try:
         if body.get("stream"):
@@ -215,7 +216,12 @@ async def encode(request: web.Request) -> web.Response:
 async def open_session(request: web.Request) -> web.Response:
     ae: AsyncEngine = request.app["engine"]
     body = await _json_body(request)
-    sid = ae.engine.open_session(body.get("capacity_of_str_len", -1))
+    try:
+        sid = ae.engine.open_session(
+            body.get("capacity_of_str_len", -1),
+            session_id=body.get("session_id"))
+    except ValueError as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
     return web.json_response({"session_id": sid})
 
 

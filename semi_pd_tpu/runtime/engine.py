@@ -624,30 +624,94 @@ class Engine:
         return out[0] if single else out
 
     # ---------------------------------------------------------- sessions
-    def open_session(self, capacity_of_str_len: int = -1) -> str:
+    def open_session(self, capacity_of_str_len: int = -1,
+                     session_id: Optional[str] = None) -> str:
         """Multi-turn sessions (reference: srt/managers/session_controller.py
-        + /open_session). Session KV reuse falls out of the radix cache —
-        follow-up turns re-match the shared prefix pages."""
-        sid = uuid.uuid4().hex
+        + /open_session). Turns form a TREE — any turn can be branched from
+        (session_params.rid), optionally truncated (offset) or replaced
+        (replace aborts the turn's descendants). Session KV reuse falls out
+        of the radix cache — divergent branches share the common prefix
+        pages automatically."""
+        sid = session_id or uuid.uuid4().hex
         if not hasattr(self, "_sessions"):
             self._sessions = {}
-        self._sessions[sid] = []
+        if sid in self._sessions:
+            raise ValueError(f"session {sid} already exists")
+        self._sessions[sid] = {"turns": {}, "last": None}
         return sid
 
     def close_session(self, sid: str) -> bool:
         return hasattr(self, "_sessions") and self._sessions.pop(sid, None) is not None
 
-    def session_generate(self, sid: str, prompt=None, input_ids=None,
-                         sampling_params=None):
-        hist = self._sessions.get(sid)
-        if hist is None:
+    def _session_drop_descendants(self, sess: dict, rid: str) -> None:
+        """replace=True semantics (reference SessionReqNode.clear_childs):
+        abort and forget every turn below ``rid``."""
+        doomed = [c for c, t in sess["turns"].items() if t["parent"] == rid]
+        while doomed:
+            c = doomed.pop()
+            doomed.extend(
+                g for g, t in sess["turns"].items() if t["parent"] == c)
+            node = sess["turns"].pop(c)
+            if not node["req"].finished:
+                self.scheduler.abort_request(c)
+            if sess["last"] == c:
+                sess["last"] = rid
+
+    def make_session_request(self, session_params: dict, prompt=None,
+                             input_ids=None, **req_kwargs):
+        """Create (but don't submit) a request whose prompt continues a
+        session turn (reference Session.create_req). session_params:
+        ``{"id": sid, "rid": parent turn (default: last), "offset": truncate
+        the inherited history there, "replace": drop the parent's existing
+        descendants}``. Returns the Req; its turn node is registered so
+        later requests can branch from it by rid."""
+        sid = session_params.get("id") or session_params.get("session_id")
+        sess = getattr(self, "_sessions", {}).get(sid)
+        if sess is None:
             raise ValueError(f"unknown session {sid}")
+        parent_rid = session_params.get("rid") or sess["last"]
+        base: List[int] = []
+        if parent_rid is not None:
+            node = sess["turns"].get(parent_rid)
+            if node is None:
+                raise ValueError(
+                    f"session {sid} has no turn {parent_rid!r} to branch from")
+            if not node["req"].finished:
+                raise ValueError(
+                    f"turn {parent_rid!r} has not finished; cannot branch")
+            base = node["prefix"] + list(node["req"].output_ids)
+            offset = session_params.get("offset")
+            if offset:
+                base = base[:offset]
+            if session_params.get("replace"):
+                self._session_drop_descendants(sess, parent_rid)
         if input_ids is None:
+            if prompt is None:
+                raise ValueError("session generate needs prompt or input_ids")
             input_ids = self.tokenizer.encode(prompt)
-        full = hist + list(input_ids)
-        out = self.generate(input_ids=full, sampling_params=sampling_params)
-        self._sessions[sid] = full + out["output_ids"]
-        return out
+            bos = getattr(self.tokenizer, "bos_token_id", None)
+            # trim bos on appends (reference Session.create_req)
+            if base and bos is not None and input_ids[:1] == [bos]:
+                input_ids = input_ids[1:]
+        full = base + list(input_ids)
+        req = self.make_request(input_ids=full, **req_kwargs)
+        sess["turns"][req.rid] = {
+            "parent": parent_rid, "prefix": full, "req": req}
+        sess["last"] = req.rid
+        return req
+
+    def session_generate(self, sid: str, prompt=None, input_ids=None,
+                         sampling_params=None, rid: Optional[str] = None,
+                         offset: Optional[int] = None, replace: bool = False):
+        req = self.make_session_request(
+            {"id": sid, "rid": rid, "offset": offset, "replace": replace},
+            prompt=prompt, input_ids=input_ids,
+            sampling_params=sampling_params,
+        )
+        with self._lock:
+            self.scheduler.add_request(req)
+            self._run_until_done([req])
+        return self._to_output(req)
 
     # ---------------------------------------------------------- maintenance
     def flush_cache(self) -> bool:

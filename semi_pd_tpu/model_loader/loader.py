@@ -255,7 +255,17 @@ def update_params(
 
     def get_leaf(dotted: str) -> np.ndarray:
         if dotted not in pulled:
-            pulled[dotted] = np.array(_get_path(params, dotted))
+            leaf = _get_path(params, dotted)
+            if getattr(leaf, "is_fully_addressable", True):
+                pulled[dotted] = np.array(leaf)
+            else:
+                # multi-host mesh: the global value spans processes; every
+                # process runs the same update with the same tensors
+                # (runtime/mirror.py), so this collective gather lines up
+                from jax.experimental import multihost_utils
+
+                pulled[dotted] = np.array(
+                    multihost_utils.process_allgather(leaf, tiled=True))
         return pulled[dotted]
 
     _apply_weights(model, compiled, weights, get_leaf)

@@ -11,10 +11,12 @@ followers replay it. Device state (KV pool, RNG key, chained decode
 tokens) stays process-local and evolves identically by SPMD symmetry —
 no device array ever crosses the wire.
 
-v1 scope (validated in ServerArgs): the core serving loop — packed steps,
+Scope (validated in ServerArgs): the core serving loop — packed steps,
 DP-attention packed steps, grammar/penalty masked steps, chained overlap
-decode, fused readback. Speculative decoding, hierarchical cache, LoRA,
-multimodal splice, and online weight updates are single-host for now.
+decode, fused readback — and online weight updates (disk/tensor/
+distributed all funnel through the mirrored ``update_weights``).
+Speculative decoding, hierarchical cache, LoRA, and multimodal splice are
+single-host for now.
 """
 
 from __future__ import annotations
@@ -100,8 +102,24 @@ class MirroredRunner:
     # -- guarded: dispatching these on node 0 alone would desync or hang the
     # SPMD world (collectives / diverging replicas). ServerArgs validation
     # blocks most at startup; these are the runtime backstops.
-    def update_weights(self, *a, **k):
-        raise NotImplementedError("online weight updates are single-host for now")
+    def update_weights(self, weights_iter, partial: bool = False):
+        """Mirrored online weight update (reference model_runner.py:733-878:
+        weight updates run uniformly on every TP worker). Tensors are HOST
+        numpy values by the time they reach the runner, so they ride the
+        same channel as every other host input: each tensor streams to the
+        followers as it is consumed locally, then a commit message applies
+        the update there with identical (name, value) pairs — SPMD symmetry
+        shards each one the same way on every process."""
+        import numpy as np
+
+        tensors = [(n, np.asarray(v)) for n, v in weights_iter]
+        for n, arr in tensors:
+            self._chan.broadcast(("wupb", n, arr))
+        # commit BEFORE the local update: followers apply concurrently, so
+        # the cross-process gathers partial updates need (pulling a
+        # globally-sharded leaf to host) line up instead of deadlocking
+        self._chan.broadcast(("wupe", partial))
+        return self._r.update_weights(tensors, partial=partial)
 
     def encode_images(self, *a, **k):
         raise NotImplementedError("multimodal serving is single-host for now")
@@ -141,6 +159,7 @@ def follower_main(server_args, model_config=None) -> None:
     logger.info("follower %d ready", server_args.node_rank)
 
     ring: List[Tuple[Any, Any]] = []
+    pending_weights: List[Tuple[str, Any]] = []
     while True:
         msg = chan.recv()
         kind = msg[0]
@@ -178,6 +197,11 @@ def follower_main(server_args, model_config=None) -> None:
             entries, ring = ring[:n], ring[n:]
             runner.read_results(
                 [t for t, _ in entries], [l for _, l in entries])
+        elif kind == "wupb":
+            pending_weights.append((msg[1], msg[2]))
+        elif kind == "wupe":
+            runner.update_weights(pending_weights, partial=msg[1])
+            pending_weights = []
         elif kind == "stop":
             logger.info("follower %d stopping", server_args.node_rank)
             return

@@ -73,10 +73,17 @@ sp_pen = SamplingParams(max_new_tokens=8, temperature=0.0, ignore_eos=True,
                         repetition_penalty=1.3)
 out_pen = eng.generate(input_ids=prompts[0], sampling_params=sp_pen)
 emb = eng.encode(input_ids=prompts[0])  # mirrors the "enc" message
+# online weight update (mirrored "wupb"/"wupe"): every process must apply
+# the same tensors or the SPMD world desyncs and later outputs diverge
+w_rng = np.random.default_rng(11)
+new_embed = (w_rng.standard_normal((64, 32)) * 0.05).astype(np.float32)
+eng.update_weights_from_tensor([("model.embed_tokens.weight", new_embed)])
+out_upd = eng.generate(input_ids=prompts[1], sampling_params=sp)
 eng.runner.close()
 print("RESULT " + json.dumps(
     [o["output_ids"] for o in outs] + [out_pen["output_ids"]]
-    + [[round(float(x), 5) for x in emb[:8]]]))
+    + [[round(float(x), 5) for x in emb[:8]]]
+    + [out_upd["output_ids"]]))
 """
 
 _RANK1 = _COMMON + """
@@ -135,6 +142,11 @@ def test_two_process_multihost_matches_single_process(tmp_path):
         input_ids=prompts[0], sampling_params=sp_pen)["output_ids"])
     emb = eng.encode(input_ids=prompts[0])
     want.append([round(float(x), 5) for x in emb[:8]])
+    w_rng = np.random.default_rng(11)
+    new_embed = (w_rng.standard_normal((64, 32)) * 0.05).astype(np.float32)
+    eng.update_weights_from_tensor([("model.embed_tokens.weight", new_embed)])
+    want.append(eng.generate(
+        input_ids=prompts[1], sampling_params=sp)["output_ids"])
     assert got == want
 
 

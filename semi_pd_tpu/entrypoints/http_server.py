@@ -45,6 +45,8 @@ def build_app(async_engine: AsyncEngine) -> web.Application:
         web.post("/generate", generate),
         web.post("/encode", encode),
         web.post("/classify", classify),
+        web.post("/load_lora_adapter", load_lora_adapter),
+        web.post("/unload_lora_adapter", unload_lora_adapter),
         web.post("/open_session", open_session),
         web.post("/close_session", close_session),
         web.post("/v1/embeddings", v1_embeddings),
@@ -211,6 +213,39 @@ async def encode(request: web.Request) -> web.Response:
         return web.json_response({"embedding": emb})
     except (ValueError, AssertionError) as e:
         return web.json_response({"error": {"message": str(e)}}, status=400)
+
+
+async def load_lora_adapter(request: web.Request) -> web.Response:
+    """Dynamic adapter load (reference /load_lora_adapter). Runs on the
+    tick thread: the stacked adapter pytree swap must not race a step."""
+    ae: AsyncEngine = request.app["engine"]
+    body = await _json_body(request)
+    name = body.get("lora_name") or body.get("name")
+    path = body.get("lora_path") or body.get("path")
+    if not name or not path:
+        return web.json_response(
+            {"error": {"message": "lora_name and lora_path are required"}},
+            status=400)
+    try:
+        idx = await ae.run_job(
+            lambda: ae.engine.register_lora_adapter(name, path=path))
+    except (ValueError, OSError) as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+    return web.json_response({"success": True, "adapter_index": idx})
+
+
+async def unload_lora_adapter(request: web.Request) -> web.Response:
+    ae: AsyncEngine = request.app["engine"]
+    body = await _json_body(request)
+    name = body.get("lora_name") or body.get("name")
+    if not name:
+        return web.json_response(
+            {"error": {"message": "lora_name is required"}}, status=400)
+    try:
+        await ae.run_job(lambda: ae.engine.unload_lora_adapter(name))
+    except ValueError as e:
+        return web.json_response({"error": {"message": str(e)}}, status=400)
+    return web.json_response({"success": True})
 
 
 async def open_session(request: web.Request) -> web.Response:

@@ -45,8 +45,12 @@ class LoRAManager:
         """Register an adapter from a peft checkpoint dir or an in-memory
         state dict (torch-layout names: base_model.model.model.layers.N.
         self_attn.q_proj.lora_A.weight etc.)."""
-        if len(self.names) >= self.max_adapters + 1:
+        slot = next((i for i, n in enumerate(self.names)
+                     if n is None), None)  # reuse tombstoned slots first
+        if slot is None and len(self.names) >= self.max_adapters + 1:
             raise ValueError("adapter slots exhausted")
+        if name in self.names:
+            raise ValueError(f"LoRA adapter {name!r} already loaded")
         if path is not None:
             with open(os.path.join(path, "adapter_config.json")) as f:
                 cfg = json.load(f)
@@ -69,12 +73,37 @@ class LoRAManager:
                 state_dict = {k: v.float().numpy() for k, v in sd.items()}
         assert state_dict is not None and rank is not None
         alpha = alpha if alpha is not None else rank
-        self.names.append(name)
-        self._raw.append(dict(state_dict))
-        self._scaling.append(alpha / rank)
-        self.max_rank = max(self.max_rank, rank)
+        if slot is None:
+            self.names.append(name)
+            self._raw.append(dict(state_dict))
+            self._scaling.append(alpha / rank)
+            slot = len(self.names) - 1
+        else:
+            self.names[slot] = name
+            self._raw[slot] = dict(state_dict)
+            self._scaling[slot] = alpha / rank
+        self._ranks = getattr(self, "_ranks", {})
+        self._ranks[slot] = rank
+        self.max_rank = max([1] + list(self._ranks.values()))
         self._stack()
-        return len(self.names) - 1
+        return slot
+
+    def unload_adapter(self, name: str) -> int:
+        """Dynamic unload (reference lora_manager.py load/swap lifecycle):
+        the slot is tombstoned — other adapters keep their indices so
+        in-flight requests stay valid — and is reused by the next load. The
+        stacked pytree is rebuilt without the adapter's weights."""
+        idx = self.adapter_index(name)
+        if idx == 0:
+            raise ValueError(f"unknown LoRA adapter {name!r}")
+        self.names[idx] = None
+        self._raw[idx] = {}
+        self._scaling[idx] = 0.0
+        self._ranks = getattr(self, "_ranks", {})
+        self._ranks.pop(idx, None)
+        self.max_rank = max([1] + list(self._ranks.values()))
+        self._stack()
+        return idx
 
     def adapter_index(self, name: Optional[str]) -> int:
         if not name:
@@ -116,6 +145,8 @@ class LoRAManager:
         dn_b = zeros(L, Na, r, H)
 
         for ai in range(1, Na):
+            if self.names[ai] is None:  # tombstoned slot: stays zero
+                continue
             sd, sc = self._raw[ai], self._scaling[ai]
             for l in range(L):
                 # fused qkv: separate sub-ranks per projection

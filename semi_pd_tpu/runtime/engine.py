@@ -100,6 +100,26 @@ class Engine:
         self.runner.params["layers"]["lora"] = self.lora_manager.lora_params
         return idx
 
+    def unload_lora_adapter(self, name: str) -> bool:
+        """Dynamic unload (reference LoRAManager lifecycle). Refused while
+        any queued/running request still targets the adapter — its slot
+        would read zeros mid-generation."""
+        if self.lora_manager is None:
+            raise ValueError(f"unknown LoRA adapter {name!r}")
+        idx = self.lora_manager.adapter_index(name)
+        in_use = [
+            r.rid
+            for r in list(self.scheduler.running) + list(self.scheduler.waiting)
+            if getattr(r, "lora_id", 0) == idx
+        ]
+        if in_use:
+            raise ValueError(
+                f"LoRA adapter {name!r} is in use by {len(in_use)} "
+                f"request(s); retry when they finish")
+        self.lora_manager.unload_adapter(name)
+        self.runner.params["layers"]["lora"] = self.lora_manager.lora_params
+        return True
+
     def _get_grammar_compiler(self):
         if self._grammar_compiler is None:
             if self.tokenizer is None:

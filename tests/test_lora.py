@@ -120,3 +120,47 @@ def test_mixed_adapter_batch():
     for s, m in zip(solo, mixed):
         assert s["output_ids"] == m["output_ids"]
     eng.scheduler.check_memory()
+
+
+def test_lora_lifecycle_unload_reload():
+    """Dynamic adapter lifecycle (reference lora_manager.py load/swap):
+    unload tombstones the slot (other adapters keep indices), reload reuses
+    it, and an unloaded name is rejected. Unload of an in-use adapter is
+    refused."""
+    eng = _mk_engine()
+    rng = np.random.default_rng(5)
+    sd_a, sd_b = _synthetic_adapter(rng), _synthetic_adapter(rng, scale=0.3)
+    eng.register_lora_adapter("a", state_dict=sd_a, rank=R)
+    eng.register_lora_adapter("b", state_dict=sd_b, rank=R)
+    idx_b = eng.lora_manager.adapter_index("b")
+
+    prompt = rng.integers(0, 64, size=10).tolist()
+    sp = SamplingParams(max_new_tokens=5, temperature=0.0, ignore_eos=True)
+    out_b = eng.generate(input_ids=prompt, sampling_params=sp, lora_path="b")
+
+    # unload "a": "b" keeps its index and exact outputs
+    assert eng.unload_lora_adapter("a")
+    assert eng.lora_manager.adapter_index("b") == idx_b
+    out_b2 = eng.generate(input_ids=prompt, sampling_params=sp, lora_path="b")
+    assert out_b2["output_ids"] == out_b["output_ids"]
+    with pytest.raises(ValueError, match="unknown"):
+        eng.generate(input_ids=prompt, sampling_params=sp, lora_path="a")
+
+    # reload into the freed slot; double-load of a live name is rejected
+    idx_c = eng.register_lora_adapter("c", state_dict=sd_a, rank=R)
+    assert idx_c == eng.lora_manager.adapter_index("c")
+    with pytest.raises(ValueError, match="already"):
+        eng.register_lora_adapter("c", state_dict=sd_a, rank=R)
+    out_c = eng.generate(input_ids=prompt, sampling_params=sp, lora_path="c")
+    # "c" carries adapter-a's weights: same deltas as the original "a" stack
+    assert out_c["output_ids"] != out_b["output_ids"]
+
+    # in-use refusal: queue a request on "c" but don't run it
+    req = eng.make_request(input_ids=prompt, sampling_params=sp,
+                           lora_path="c")
+    eng.scheduler.add_request(req)
+    with pytest.raises(ValueError, match="in use"):
+        eng.unload_lora_adapter("c")
+    eng._run_until_done([req])
+    assert eng.unload_lora_adapter("c")
+    eng.scheduler.check_memory()

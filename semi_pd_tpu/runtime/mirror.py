@@ -84,9 +84,9 @@ class MirroredRunner:
         self._chan.broadcast(("scorek", hb.wire(), targets_np, k))
         return self._r.score_topk_host(hb, targets_np, k)
 
-    def read_results(self, toks, lps):
-        self._chan.broadcast(("read", len(toks)))
-        return self._r.read_results(toks, lps)
+    def read_results(self, toks, lps, want_logprobs: bool = True):
+        self._chan.broadcast(("read", len(toks), want_logprobs))
+        return self._r.read_results(toks, lps, want_logprobs)
 
     def encode_step_host(self, hb):
         self._chan.broadcast(("enc", hb.wire()))
@@ -194,9 +194,10 @@ def follower_main(server_args, model_config=None) -> None:
             runner.score_topk_host(HostBatch.from_wire(msg[1]), msg[2], msg[3])
         elif kind == "read":
             n = msg[1]
+            want = msg[2] if len(msg) > 2 else True
             entries, ring = ring[:n], ring[n:]
             runner.read_results(
-                [t for t, _ in entries], [l for _, l in entries])
+                [t for t, _ in entries], [l for _, l in entries], want)
         elif kind == "wupb":
             pending_weights.append((msg[1], msg[2]))
         elif kind == "wupe":

@@ -853,15 +853,34 @@ class ModelRunner:
     def score_step_host(self, hb, targets):
         return self.score_step(hb.to_device(self.rng_key), targets)
 
-    def read_results(self, toks, lps):
+    def read_results(self, toks, lps, want_logprobs: bool = True):
         """Fused device->host readback of N steps' (tokens, logprobs): one
         concatenated transfer instead of 2N. D2H transfers carry a ~27ms
         fixed latency on tunneled TPU attachments (measured round 2) — this
         plus the scheduler's in-flight ring amortizes it across
-        overlap_depth steps. Returns (list of np token vecs, list of np
-        logprob vecs)."""
+        overlap_depth steps. When no request in the cycle asked for
+        logprobs the payload drops to tokens only, packed u16 when the
+        vocab fits (4x fewer bytes; reference overlap design keeps the
+        copy-out minimal, tp_worker_overlap_thread.py:142-238). Returns
+        (list of np token vecs, list of np logprob vecs | Nones)."""
         lens = tuple(int(t.shape[0]) for t in toks)
-        fn = self._read_jits.get(lens)
+        if not want_logprobs:
+            u16 = self.model_config.vocab_size <= 0xFFFF
+            fn = self._read_jits.get((lens, "tok"))
+            if fn is None:
+                def _packt(ts):
+                    ti = jnp.concatenate([t.astype(jnp.int32) for t in ts])
+                    return ti.astype(jnp.uint16) if u16 else ti
+
+                fn = jax.jit(_packt)
+                self._read_jits[(lens, "tok")] = fn
+            ti = np.asarray(jax.device_get(fn(list(toks)))).astype(np.int32)
+            out_t, o = [], 0
+            for L in lens:
+                out_t.append(ti[o : o + L])
+                o += L
+            return out_t, [None] * len(lens)
+        fn = self._read_jits.get((lens, "full"))
         if fn is None:
             def _pack(ts, ls):
                 ti = jnp.concatenate([t.astype(jnp.int32) for t in ts])
@@ -872,7 +891,7 @@ class ModelRunner:
                 return jnp.concatenate([ti, li])
 
             fn = jax.jit(_pack)
-            self._read_jits[lens] = fn
+            self._read_jits[(lens, "full")] = fn
         flat = np.asarray(jax.device_get(fn(list(toks), list(lps))))
         n = sum(lens)
         ti, li = flat[:n], flat[n:].view(np.float32)

@@ -703,7 +703,7 @@ class Scheduler:
                 req.spec_hidden = e.hidden[i]
             if req.grammar is not None:
                 req.grammar.accept_token(tok)
-            if req.return_logprob:
+            if req.return_logprob and logprobs is not None:
                 req.output_logprobs.append(float(logprobs[i]))
                 if req.top_logprobs_num and e.tk_vals is not None:
                     n = req.top_logprobs_num
@@ -771,8 +771,14 @@ class Scheduler:
         self._last_decode = None
         self._decode_lag = 0
         t_read0 = time.monotonic()
+        # Slim the payload: logprob values cross the wire only when some
+        # request in the cycle wants them (or step dumping needs them)
+        want_lps = bool(self.args.debug_tensor_dump_output_folder) or any(
+            r.return_logprob for e in entries for r in e.hb.reqs
+        )
         toks_np, lps_np = self.runner.read_results(
-            [e.tokens for e in entries], [e.logprobs for e in entries]
+            [e.tokens for e in entries], [e.logprobs for e in entries],
+            want_logprobs=want_lps,
         )
         now = time.monotonic()
         self._last_flush_t = now
@@ -1248,7 +1254,7 @@ class Scheduler:
             self.n_decode_tokens += 1
             if req.grammar is not None:
                 req.grammar.accept_token(tok)
-            if req.return_logprob:
+            if req.return_logprob and logprobs is not None:
                 req.output_logprobs.append(float(logprobs[i]))
                 if req.top_logprobs_num and e.tk_vals is not None:
                     n = req.top_logprobs_num

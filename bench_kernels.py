@@ -43,7 +43,8 @@ HQ, HKV, D = 32, 8, 64  # 1B-class flagship (llama-3.2-1B shapes)
 SCALE = D ** -0.5
 
 
-def make_case(B, kv_len, q_lens, seed=0, chunked=False, shuffled=False):
+def make_case(B, kv_len, q_lens, seed=0, chunked=False, shuffled=False,
+              page=None):
     """One shared KV pool + batch metadata for both backends. chunked=True
     uses the production pool layout for sub-lane head dims ([L, S, CT, 128],
     K chunks then V chunks per slot — what the runner picks for D=64).
@@ -51,9 +52,10 @@ def make_case(B, kv_len, q_lens, seed=0, chunked=False, shuffled=False):
     default contiguous runs take the coalesced single-DMA path, matching
     the min-heap allocator's steady state)."""
     rng = np.random.default_rng(seed)
-    pages_per_req = -(-kv_len // PAGE)
+    page = page or PAGE
+    pages_per_req = -(-kv_len // page)
     num_pages = 1 + B * pages_per_req
-    S = num_pages * PAGE
+    S = num_pages * page
     if chunked:
         CT = 2 * HKV * D // 128
         kv_cache = jnp.asarray(
@@ -104,8 +106,10 @@ CHAIN = 16
 
 
 def run_case(name, B, kv_len, q_lens, iters=5, chunked=False, kv_block=None,
-             shuffled=False):
-    c = make_case(B, kv_len, q_lens, chunked=chunked, shuffled=shuffled)
+             shuffled=False, page=None):
+    page = page or PAGE
+    c = make_case(B, kv_len, q_lens, chunked=chunked, shuffled=shuffled,
+                  page=page)
 
     # The chain carries BOTH q and the kv pool: each iteration writes this
     # step's K/V into the pool slots before reading (exactly the serving
@@ -125,7 +129,7 @@ def run_case(name, B, kv_len, q_lens, iters=5, chunked=False, kv_block=None,
     for b, n in enumerate(q_lens):
         for j in range(n):
             p = kv_len - n + j
-            out_slots.append(pt_np[b][p // PAGE] * PAGE + p % PAGE)
+            out_slots.append(pt_np[b][p // page] * page + p % page)
     out_slots = jnp.asarray(np.asarray(out_slots, np.int32))
 
     from types import SimpleNamespace
@@ -140,13 +144,13 @@ def run_case(name, B, kv_len, q_lens, iters=5, chunked=False, kv_block=None,
                 fb = SimpleNamespace(
                     page_table=pt, kv_lens=kv_lens, attn_meta=meta,
                     q_req_idx=q_req_idx, q_pos=q_pos, mask_pos=None,
-                    win_base=None, out_slots=slots,
+                    win_base=None, out_slots=slots, kv_scales=None,
                 )
 
                 def body(carry, _):
                     q, kv, k_new, v_new = carry
                     out, kv = paged_attention(
-                        q, k_new, v_new, kv, 0, fb, page_size=PAGE,
+                        q, k_new, v_new, kv, 0, fb, page_size=page,
                         scale=SCALE, kv_block=kv_block,
                     )
                     q = q0 + 1e-3 * out.astype(q0.dtype)
@@ -295,6 +299,18 @@ def main():
     # the floor the coalesced path lifts from.
     rows.append(run_case("decode_b16_kv8192_chunked_shuffled", 16, 8192,
                          [1] * 16, chunked=True, shuffled=True))
+    # page_size escape hatch (VERDICT r3 #2): fewer/larger DMA issues per
+    # KV block. Contiguous tables already coalesce page runs into one DMA
+    # per block, so the shuffled (fragmented) rows are where page size can
+    # move the issue count; the contiguous rows check for regressions.
+    for ps in (32, 64):
+        rows.append(run_case(f"decode_b16_kv8192_chunked_p{ps}", 16, 8192,
+                             [1] * 16, chunked=True, page=ps))
+        rows.append(run_case(
+            f"decode_b16_kv8192_chunked_shuffled_p{ps}", 16, 8192,
+            [1] * 16, chunked=True, shuffled=True, page=ps))
+        rows.append(run_case(f"decode_b64_kv1024_chunked_p{ps}", 64, 1024,
+                             [1] * 64, chunked=True, page=ps))
     # Cross-request streaming decode kernel (RPA_DECODE_STREAM): kv blocks
     # of the whole batch form one NBUF-deep DMA pipeline. Env is read at
     # trace time; each run_case builds fresh jits, so scoping it here works.

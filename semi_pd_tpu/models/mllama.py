@@ -349,10 +349,11 @@ class MllamaForConditionalGeneration(LlamaForCausalLM):
         raise KeyError(tag)
 
     # ----------------------------------------------------------- vision
-    def encode_images(self, params, image) -> np.ndarray:
-        """image: dict from the HF processor ({pixel_values [.., tiles, C,
-        H, W], aspect_ratio_ids, ...}) or raw [C, H, W] (single tile).
-        Returns projected cross states [n_tiles*P, text_hidden]."""
+    def preprocess_image(self, image):
+        """Host half of encode_images: normalize to padded tile pixels +
+        static (ratio_id, n_tiles). Split from the device half so the
+        runner can jit the tower with a replicated output sharding
+        (multi-host lockstep, runtime/mirror.py)."""
         mt = self.tower.max_tiles
         if isinstance(image, dict):
             px = np.asarray(image["pixel_values"], np.float32)
@@ -366,11 +367,23 @@ class MllamaForConditionalGeneration(LlamaForCausalLM):
             px = np.concatenate(
                 [px, np.zeros((mt - px.shape[0],) + px.shape[1:], np.float32)]
             )
-        feats = self.tower.forward(
-            params["vision"], jnp.asarray(px), ratio_id, n_tiles
-        )
-        states = feats.astype(self.dtype) @ params["proj"]["w"] + params["proj"]["b"]
-        return np.asarray(states, np.float32)
+        return px, ratio_id, n_tiles
+
+    def encode_tiles(self, params, px, ratio_id: int, n_tiles: int):
+        """Device half: padded tiles -> projected cross states
+        [n_tiles*P, text_hidden]. Pure traced math (jittable)."""
+        feats = self.tower.forward(params["vision"], px, ratio_id, n_tiles)
+        return (feats.astype(self.dtype) @ params["proj"]["w"]
+                + params["proj"]["b"])
+
+    def encode_images(self, params, image) -> np.ndarray:
+        """image: dict from the HF processor ({pixel_values [.., tiles, C,
+        H, W], aspect_ratio_ids, ...}) or raw [C, H, W] (single tile).
+        Returns projected cross states [n_tiles*P, text_hidden]."""
+        px, ratio_id, n_tiles = self.preprocess_image(image)
+        return np.asarray(
+            self.encode_tiles(params, jnp.asarray(px), ratio_id, n_tiles),
+            np.float32)
 
     # ----------------------------------------------------------- forward
     def _cross_layer(self, lp, h, fb):

@@ -316,7 +316,7 @@ class Engine:
             # on the request and batched into ForwardArrays.cross_states
             if len(imgs) != 1:
                 raise ValueError("mllama serving supports one image per request")
-            req.cross_states = model.encode_images(self.runner.params, imgs[0])
+            req.cross_states = self.runner.encode_images_cross(imgs[0])
             tok_id = model.image_token_index
             req.cross_from = next(
                 (i for i, t in enumerate(req.input_ids) if t == tok_id), 0
@@ -328,9 +328,8 @@ class Engine:
             for i in imgs:
                 patches, grid = self._qwen_vl_patches(i)
                 grids.append(grid)
-                feats.append(np.asarray(model.encode_images(
-                    self.runner.params, patches, grid
-                )))
+                feats.append(np.asarray(
+                    self.runner.encode_images_patches(patches, grid)))
             flat = np.concatenate(feats, axis=0)
             req.mrope_pos, req.mrope_delta = model.get_mrope_positions(
                 req.input_ids, grids

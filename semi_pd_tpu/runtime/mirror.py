@@ -15,8 +15,10 @@ Scope (validated in ServerArgs): the core serving loop — packed steps,
 DP-attention packed steps, grammar/penalty masked steps, chained overlap
 decode, fused readback — and online weight updates (disk/tensor/
 distributed all funnel through the mirrored ``update_weights``).
-Speculative decoding, hierarchical cache, LoRA, and multimodal splice are
-single-host for now.
+Multimodal vision encodes are mirrored too (pixel inputs broadcast, the
+vision jit replayed in lockstep with a replicated output sharding).
+Speculative decoding, hierarchical cache, and LoRA are single-host for
+now.
 """
 
 from __future__ import annotations
@@ -121,8 +123,23 @@ class MirroredRunner:
         self._chan.broadcast(("wupe", partial))
         return self._r.update_weights(tensors, partial=partial)
 
-    def encode_images(self, *a, **k):
-        raise NotImplementedError("multimodal serving is single-host for now")
+    def encode_images(self, pixel_values):
+        import numpy as np
+
+        px = np.asarray(pixel_values)
+        self._chan.broadcast(("img", px))
+        return self._r.encode_images(px)
+
+    def encode_images_cross(self, image):
+        self._chan.broadcast(("imgx", image))
+        return self._r.encode_images_cross(image)
+
+    def encode_images_patches(self, patches, grid):
+        import numpy as np
+
+        patches = np.asarray(patches)
+        self._chan.broadcast(("imgp", patches, tuple(grid)))
+        return self._r.encode_images_patches(patches, grid)
 
     def eagle_step(self, *a, **k):
         raise NotImplementedError("speculative decoding is single-host for now")
@@ -198,6 +215,12 @@ def follower_main(server_args, model_config=None) -> None:
             entries, ring = ring[:n], ring[n:]
             runner.read_results(
                 [t for t, _ in entries], [l for _, l in entries], want)
+        elif kind == "img":
+            runner.encode_images(msg[1])
+        elif kind == "imgx":
+            runner.encode_images_cross(msg[1])
+        elif kind == "imgp":
+            runner.encode_images_patches(msg[1], msg[2])
         elif kind == "wupb":
             pending_weights.append((msg[1], msg[2]))
         elif kind == "wupe":

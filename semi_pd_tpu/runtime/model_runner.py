@@ -1177,6 +1177,14 @@ class ModelRunner:
         return accept_len, next_tok
 
     # ------------------------------------------------------------- vision
+    def _host_np(self, a) -> np.ndarray:
+        """Device -> host for REPLICATED outputs. On a multi-process mesh a
+        replicated array is not fully addressable; every process holds the
+        full value in each local shard, so read shard 0."""
+        if getattr(a, "is_fully_addressable", True):
+            return np.asarray(a)
+        return np.asarray(a.addressable_shards[0].data)
+
     def encode_images(self, pixel_values: np.ndarray) -> np.ndarray:
         """Multimodal: [N, 3, H, W] -> projected patch embeddings (np)."""
         if not hasattr(self, "_img_jit"):
@@ -1185,10 +1193,46 @@ class ModelRunner:
             def _enc(params, px):
                 return model.encode_images(params, px)
 
-            self._img_jit = jax.jit(_enc)
-        return np.asarray(
+            self._img_jit = jax.jit(_enc, out_shardings=self._replicated)
+        return self._host_np(
             self._img_jit(self.params, jnp.asarray(pixel_values, jnp.float32))
         )
+
+    def encode_images_cross(self, image) -> np.ndarray:
+        """mllama cross-attention vision states for ONE image (models/
+        mllama.py encode_tiles), jitted so multi-host followers can replay
+        it in lockstep."""
+        px, ratio_id, n_tiles = self.model.preprocess_image(image)
+        if not hasattr(self, "_imgx_jits"):
+            self._imgx_jits = {}
+        key = (ratio_id, n_tiles, px.shape)
+        fn = self._imgx_jits.get(key)
+        if fn is None:
+            model = self.model
+
+            def _enc(params, px):
+                return model.encode_tiles(params, px, ratio_id, n_tiles)
+
+            fn = jax.jit(_enc, out_shardings=self._replicated)
+            self._imgx_jits[key] = fn
+        return self._host_np(fn(self.params, jnp.asarray(px))).astype(
+            np.float32)
+
+    def encode_images_patches(self, patches, grid) -> np.ndarray:
+        """qwen2-vl variable-resolution patches -> merged embeddings; grid
+        (t, h, w) is a trace-time constant."""
+        if not hasattr(self, "_imgp_jits"):
+            self._imgp_jits = {}
+        fn = self._imgp_jits.get(tuple(grid))
+        if fn is None:
+            model = self.model
+
+            def _enc(params, px):
+                return model.encode_images(params, px, tuple(grid))
+
+            fn = jax.jit(_enc, out_shardings=self._replicated)
+            self._imgp_jits[tuple(grid)] = fn
+        return self._host_np(fn(self.params, jnp.asarray(patches)))
 
     # -------------------------------------------------- hierarchical cache
     def download_pages_async(self, page_ids: np.ndarray):

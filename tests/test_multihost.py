@@ -221,3 +221,109 @@ def test_two_process_dp_attention_matches_single_process():
     want = [o["output_ids"] for o in eng.generate(
         input_ids=prompts, sampling_params=sp)]
     assert got == want
+
+
+_VLM_SETUP = """
+from transformers import CLIPVisionConfig, LlamaConfig, LlavaConfig
+
+def make_vlm_cfg():
+    vision = CLIPVisionConfig(
+        hidden_size=48, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, image_size=32, patch_size=16,
+        projection_dim=32)
+    text = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256, tie_word_embeddings=False)
+    cfg = LlavaConfig(
+        vision_config=vision, text_config=text, image_token_index=100,
+        vision_feature_layer=-2, vision_feature_select_strategy="default")
+    cfg.architectures = ["LlavaForConditionalGeneration"]
+    mc = ModelConfig.from_hf_config(cfg, dtype="float32")
+    mc.architecture = "LlavaForConditionalGeneration"
+    mc.is_multimodal = True
+    mc.hf_config = cfg
+    return mc
+"""
+
+_RANK0_VLM = _COMMON + _VLM_SETUP + """
+args = make_args(0)
+init_multihost(args)
+from semi_pd_tpu.parallel.mesh import create_mesh
+from semi_pd_tpu.runtime.engine import Engine
+from semi_pd_tpu.sampling.sampling_params import SamplingParams
+
+mesh = create_mesh(tp_size=4)
+eng = Engine(server_args=args, model_config=make_vlm_cfg(), mesh=mesh)
+rng = np.random.default_rng(9)
+img = rng.normal(size=(3, 32, 32)).astype(np.float32)
+prompt = [5, 6, 100, 7, 8, 9]
+sp = SamplingParams(max_new_tokens=8, temperature=0.0, ignore_eos=True)
+out = eng.generate(input_ids=prompt, sampling_params=sp, image_data=img)
+eng.runner.close()
+print("RESULT " + json.dumps(out["output_ids"]))
+"""
+
+_RANK1_VLM = _COMMON + _VLM_SETUP + """
+from semi_pd_tpu.runtime.mirror import follower_main
+args = make_args(1)
+follower_main(args, model_config=make_vlm_cfg())
+print("FOLLOWER DONE")
+"""
+
+
+def test_two_process_multimodal_matches_single_process():
+    """Multimodal over two processes (the img mirror branch): the vision
+    encode runs in lockstep on every process and the spliced embeddings
+    ride the host batch."""
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "XLA_FLAGS", "JAX_PLATFORMS",
+                     "JAX_NUM_CPU_DEVICES")
+    }
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    r0 = subprocess.Popen(
+        [sys.executable, "-c", _RANK0_VLM.replace(str(PORT), str(PORT + 4))],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+    r1 = subprocess.Popen(
+        [sys.executable, "-c", _RANK1_VLM.replace(str(PORT), str(PORT + 4))],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+    out0, err0 = r0.communicate(timeout=420)
+    out1, err1 = r1.communicate(timeout=120)
+    assert r0.returncode == 0, f"rank0 failed:\n{err0[-3000:]}"
+    assert r1.returncode == 0, f"rank1 failed:\n{err1[-3000:]}"
+    got = json.loads(
+        [l for l in out0.splitlines() if l.startswith("RESULT ")][0][7:])
+
+    from semi_pd_tpu.parallel.mesh import create_mesh
+    from transformers import CLIPVisionConfig, LlamaConfig, LlavaConfig
+
+    vision = CLIPVisionConfig(
+        hidden_size=48, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, image_size=32, patch_size=16,
+        projection_dim=32)
+    text = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256, tie_word_embeddings=False)
+    hf_cfg = LlavaConfig(
+        vision_config=vision, text_config=text, image_token_index=100,
+        vision_feature_layer=-2, vision_feature_select_strategy="default")
+    hf_cfg.architectures = ["LlavaForConditionalGeneration"]
+    mc = ModelConfig.from_hf_config(hf_cfg, dtype="float32")
+    mc.architecture = "LlavaForConditionalGeneration"
+    mc.is_multimodal = True
+    mc.hf_config = hf_cfg
+    eng = Engine(server_args=ServerArgs(
+        model_path="", random_weights=True, page_size=4,
+        max_total_tokens=1024, dtype="float32", seed=7, tp_size=4,
+    ), model_config=mc, mesh=create_mesh(tp_size=4))
+    rng = np.random.default_rng(9)
+    img = rng.normal(size=(3, 32, 32)).astype(np.float32)
+    out = eng.generate(
+        input_ids=[5, 6, 100, 7, 8, 9],
+        sampling_params=SamplingParams(max_new_tokens=8, temperature=0.0,
+                                       ignore_eos=True),
+        image_data=img)
+    assert got == out["output_ids"]

@@ -355,7 +355,6 @@ class ServerArgs:
             # v1 multi-host mirrors the core serving loop only
             # (runtime/mirror.py docstring)
             for flag, name in (
-                (self.speculative_algorithm, "speculative decoding"),
                 (self.enable_hierarchical_cache, "hierarchical cache"),
                 (self.lora_paths, "LoRA"),
             ):

@@ -16,9 +16,10 @@ DP-attention packed steps, grammar/penalty masked steps, chained overlap
 decode, fused readback — and online weight updates (disk/tensor/
 distributed all funnel through the mirrored ``update_weights``).
 Multimodal vision encodes are mirrored too (pixel inputs broadcast, the
-vision jit replayed in lockstep with a replicated output sharding).
-Speculative decoding, hierarchical cache, and LoRA are single-host for
-now.
+vision jit replayed in lockstep with a replicated output sharding), and
+so are the fused speculative rounds (EAGLE chain/tree, NGRAM verify) —
+host batches + drafts/hidden seeds are host values already.
+Hierarchical cache and LoRA are single-host for now.
 """
 
 from __future__ import annotations
@@ -141,14 +142,26 @@ class MirroredRunner:
         self._chan.broadcast(("imgp", patches, tuple(grid)))
         return self._r.encode_images_patches(patches, grid)
 
-    def eagle_step(self, *a, **k):
-        raise NotImplementedError("speculative decoding is single-host for now")
+    def eagle_step_host(self, hb, prev_hidden, gamma):
+        import numpy as np
 
-    def eagle_tree_step(self, *a, **k):
-        raise NotImplementedError("speculative decoding is single-host for now")
+        ph = np.asarray(prev_hidden)
+        self._chan.broadcast(("eag", hb.wire(), ph, gamma))
+        return self._r.eagle_step_host(hb, ph, gamma)
 
-    def spec_step(self, *a, **k):
-        raise NotImplementedError("speculative decoding is single-host for now")
+    def eagle_tree_step_host(self, hb, prev_hidden):
+        import numpy as np
+
+        ph = np.asarray(prev_hidden)
+        self._chan.broadcast(("eagt", hb.wire(), ph))
+        return self._r.eagle_tree_step_host(hb, ph)
+
+    def spec_step_host(self, hb, drafts, draft_lens, gamma):
+        import numpy as np
+
+        d, dl = np.asarray(drafts), np.asarray(draft_lens)
+        self._chan.broadcast(("spec", hb.wire(), d, dl, gamma))
+        return self._r.spec_step_host(hb, d, dl, gamma)
 
     def close(self):
         try:
@@ -215,6 +228,13 @@ def follower_main(server_args, model_config=None) -> None:
             entries, ring = ring[:n], ring[n:]
             runner.read_results(
                 [t for t, _ in entries], [l for _, l in entries], want)
+        elif kind == "eag":
+            runner.eagle_step_host(HostBatch.from_wire(msg[1]), msg[2], msg[3])
+        elif kind == "eagt":
+            runner.eagle_tree_step_host(HostBatch.from_wire(msg[1]), msg[2])
+        elif kind == "spec":
+            runner.spec_step_host(
+                HostBatch.from_wire(msg[1]), msg[2], msg[3], msg[4])
         elif kind == "img":
             runner.encode_images(msg[1])
         elif kind == "imgx":

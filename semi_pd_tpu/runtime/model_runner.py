@@ -777,6 +777,18 @@ class ModelRunner:
     def step_with_hidden_host(self, hb, vocab_mask=None):
         return self.step_with_hidden(hb.to_device(self.rng_key), vocab_mask)
 
+    # Host-batch speculative dispatches: all args are host values so the
+    # multi-host mirror can forward them verbatim (like step_host).
+    def eagle_step_host(self, hb, prev_hidden, gamma: int):
+        return self.eagle_step(hb.to_device(self.rng_key), prev_hidden, gamma)
+
+    def eagle_tree_step_host(self, hb, prev_hidden):
+        return self.eagle_tree_step(hb.to_device(self.rng_key), prev_hidden)
+
+    def spec_step_host(self, hb, drafts, draft_lens, gamma: int):
+        return self.spec_step(
+            hb.to_device(self.rng_key), drafts, draft_lens, gamma)
+
     def step_topk_host(self, hb, k: int, vocab_mask=None, penalties=None):
         """Step variant additionally returning the top-k logprob values+ids
         of each request's next-token distribution (reference

@@ -976,8 +976,8 @@ class Scheduler:
         prev_hidden = np.zeros((hb.B, H), np.float32)
         for i, r in enumerate(hb.reqs):
             prev_hidden[i] = r.spec_hidden
-        accept_len, next_tok, drafts, next_hidden = self.runner.eagle_step(
-            hb.to_device(self.runner.rng_key), prev_hidden, g
+        accept_len, next_tok, drafts, next_hidden = (
+            self.runner.eagle_step_host(hb, prev_hidden, g)
         )
         accept_len = np.asarray(accept_len)
         next_tok = np.asarray(next_tok)
@@ -1034,9 +1034,7 @@ class Scheduler:
         for i, r in enumerate(hb.reqs):
             prev_hidden[i] = r.spec_hidden
         accept_len, next_tok, path_tokens, next_hidden = (
-            self.runner.eagle_tree_step(
-                hb.to_device(self.runner.rng_key), prev_hidden
-            )
+            self.runner.eagle_tree_step_host(hb, prev_hidden)
         )
         accept_len = np.asarray(accept_len)
         next_tok = np.asarray(next_tok)
@@ -1145,8 +1143,8 @@ class Scheduler:
             self.runner.req_pool.page_table, self.page_size,
             self.b_buckets, self.p_buckets,
         )
-        accept_len, next_tok = self.runner.spec_step(
-            hb.to_device(self.runner.rng_key), drafts_np, draft_lens, g
+        accept_len, next_tok = self.runner.spec_step_host(
+            hb, drafts_np, draft_lens, g
         )
         accept_len = np.asarray(accept_len)
         next_tok = np.asarray(next_tok)

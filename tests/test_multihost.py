@@ -327,3 +327,80 @@ def test_two_process_multimodal_matches_single_process():
                                        ignore_eos=True),
         image_data=img)
     assert got == out["output_ids"]
+
+
+_RANK0_SPEC = _COMMON + """
+args = make_args(0)
+args.speculative_algorithm = "EAGLE"
+args.speculative_num_draft_tokens = 3
+args.__post_init__()
+init_multihost(args)
+from semi_pd_tpu.parallel.mesh import create_mesh
+from semi_pd_tpu.runtime.engine import Engine
+from semi_pd_tpu.sampling.sampling_params import SamplingParams
+
+mesh = create_mesh(tp_size=4)
+eng = Engine(server_args=args, model_config=make_cfg(), mesh=mesh)
+rng = np.random.default_rng(13)
+prompts = [rng.integers(0, 64, size=n).tolist() for n in (10, 7)]
+sp = SamplingParams(max_new_tokens=10, temperature=0.0, ignore_eos=True)
+outs = eng.generate(input_ids=prompts, sampling_params=sp)
+eng.runner.close()
+print("RESULT " + json.dumps(
+    [[o["output_ids"] for o in outs], eng.scheduler.n_spec_steps]))
+"""
+
+_RANK1_SPEC = _COMMON + """
+from semi_pd_tpu.runtime.mirror import follower_main
+args = make_args(1)
+args.speculative_algorithm = "EAGLE"
+args.speculative_num_draft_tokens = 3
+args.__post_init__()
+follower_main(args, model_config=make_cfg())
+print("FOLLOWER DONE")
+"""
+
+
+def test_two_process_eagle_matches_single_process():
+    """EAGLE speculative decoding over two processes (the eag/hid mirror
+    branches): fused draft+verify rounds replay in lockstep."""
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "XLA_FLAGS", "JAX_PLATFORMS",
+                     "JAX_NUM_CPU_DEVICES")
+    }
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    r0 = subprocess.Popen(
+        [sys.executable, "-c", _RANK0_SPEC.replace(str(PORT), str(PORT + 6))],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+    r1 = subprocess.Popen(
+        [sys.executable, "-c", _RANK1_SPEC.replace(str(PORT), str(PORT + 6))],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+    out0, err0 = r0.communicate(timeout=420)
+    out1, err1 = r1.communicate(timeout=120)
+    assert r0.returncode == 0, f"rank0 failed:\n{err0[-3000:]}"
+    assert r1.returncode == 0, f"rank1 failed:\n{err1[-3000:]}"
+    got_ids, got_spec_steps = json.loads(
+        [l for l in out0.splitlines() if l.startswith("RESULT ")][0][7:])
+    assert got_spec_steps > 0  # speculation actually ran on the mesh
+
+    from semi_pd_tpu.parallel.mesh import create_mesh
+
+    cfg = ModelConfig(
+        architecture="LlamaForCausalLM", vocab_size=64, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, head_dim=8, max_position_embeddings=256,
+        context_length=256, dtype="float32",
+    )
+    eng = Engine(server_args=ServerArgs(
+        model_path="", random_weights=True, page_size=4,
+        max_total_tokens=1024, dtype="float32", seed=7, tp_size=4,
+        speculative_algorithm="EAGLE", speculative_num_draft_tokens=3,
+    ), model_config=cfg, mesh=create_mesh(tp_size=4))
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(0, 64, size=n).tolist() for n in (10, 7)]
+    sp = SamplingParams(max_new_tokens=10, temperature=0.0, ignore_eos=True)
+    want = [o["output_ids"] for o in eng.generate(
+        input_ids=prompts, sampling_params=sp)]
+    assert got_ids == want

@@ -44,3 +44,28 @@ def tiny_llama_config():
         rope_theta=10000.0,
         dtype="float32",
     )
+
+
+# ---------------------------------------------------------------- tiering
+# Reference test/srt/run_suite.py:14-80 splits per-commit vs nightly
+# suites. Equivalent here: `pytest -m quick` is the per-commit tier
+# (<3 min — core serving loop, semi-PD cadence, memory, sampling,
+# constrained decoding, kernels-on-CPU); everything else is the full tier.
+QUICK_MODULES = {
+    "test_mem", "test_radix_native", "test_schedule_policy",
+    "test_sampling", "test_hicache", "test_watchdog_dump",
+    "test_semi_pd_cadence", "test_adaptive_depth", "test_engine_e2e",
+    "test_llama_parity", "test_constrained", "test_structural_tag",
+    "test_encode_sessions", "test_topk_logprobs", "test_penalties_e2e",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "quick: per-commit tier (<3 min; run_suite.py analog)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)

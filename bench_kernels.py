@@ -201,6 +201,87 @@ def run_case(name, B, kv_len, q_lens, iters=5, chunked=False, kv_block=None,
     return row
 
 
+def run_case_packed(name, B, kv_len, rpb, iters=5, kv_block=1024, page=None):
+    """Multi-request packed decode cell (VERDICT r3 #2: measure packing
+    even if negative). Chained-slope timing identical to run_case (KV
+    scatter included) so rows compare 1:1 with the blocked kernel's."""
+    from semi_pd_tpu.ops.attention.ragged_paged_attention import (
+        ragged_paged_attention_chunked,
+        ragged_paged_attention_chunked_packed,
+    )
+    from semi_pd_tpu.runtime.forward_batch import build_attn_meta as _bam
+
+    page = page or PAGE
+    q_lens = [1] * B
+    c = make_case(B, kv_len, q_lens, chunked=True, page=page)
+    rng = np.random.default_rng(7)
+    k_new0 = jnp.asarray(
+        rng.normal(size=(B, HKV, D)).astype(np.float32), jnp.bfloat16)
+    v_new0 = k_new0 * 0.5
+    pt_np = np.asarray(c["pt"])
+    slots = jnp.asarray(np.asarray(
+        [pt_np[b][(kv_len - 1) // page] * page + (kv_len - 1) % page
+         for b in range(B)], np.int32))
+    CT = 2 * HKV * D // 128
+
+    def make_fn(reps, packed):
+        def fn(q0, kv, k0, v0, pt, kv_lens, meta, slots):
+            def body(carry, _):
+                q, kv, k_new, v_new = carry
+                val = jnp.concatenate(
+                    [k_new.reshape(B, HKV * D // 128, 128),
+                     v_new.reshape(B, HKV * D // 128, 128)], axis=1)
+                kv = kv.at[0, slots].set(val.astype(kv.dtype))
+                if packed:
+                    out = ragged_paged_attention_chunked_packed(
+                        q, kv, 0, pt, kv_lens, page_size=page,
+                        num_kv_heads=HKV, head_dim=D, scale=SCALE,
+                        rpb=rpb, kv_block=kv_block)
+                else:
+                    out = ragged_paged_attention_chunked(
+                        q, kv, 0, pt, kv_lens, meta, page_size=page,
+                        num_kv_heads=HKV, head_dim=D, scale=SCALE,
+                        kv_block=kv_block)
+                q = q0 + 1e-3 * out.astype(q0.dtype)
+                k_new = k0 + 1e-3 * out[:, :HKV].astype(k0.dtype)
+                v_new = v0 + 1e-3 * out[:, :HKV].astype(v0.dtype)
+                return (q, kv, k_new, v_new), None
+
+            (q, kv, _, _), _ = jax.lax.scan(
+                body, (q0, kv, k0, v0), None, length=reps)
+            return q
+
+        return jax.jit(fn)
+
+    meta = c["meta"]
+    args = (c["q"], c["kv"], k_new0, v_new0, c["pt"], c["kv_lens"], meta,
+            slots)
+    res = {}
+    for packed in (True, False):
+        long_fn, short_fn = make_fn(CHAIN, packed), make_fn(1, packed)
+        for _ in range(4):
+            t_long = timeit(lambda: long_fn(*args), iters)
+            t_short = timeit(lambda: short_fn(*args), iters)
+            slope = (t_long - t_short) / (CHAIN - 1)
+            if slope > 0.05 * t_long / CHAIN:
+                break
+        res[packed] = (max(slope, 1e-7), np.asarray(short_fn(*args), np.float32))
+    err = float(np.abs(res[True][1] - res[False][1]).max())
+    assert err < 0.05, f"{name}: packed/blocked diverge (max abs err {err})"
+    t_packed, t_blocked = res[True][0], res[False][0]
+    gbps = c["bytes_touched"] / t_packed / 1e9
+    row = {
+        "case": name, "B": B, "kv_len": kv_len, "T": B, "rpb": rpb,
+        "pallas_ms": round(t_packed * 1e3, 3),
+        "blocked_ms": round(t_blocked * 1e3, 3),
+        "speedup": round(t_blocked / t_packed, 2),
+        "hbm_gbps": round(gbps, 1),
+        "roofline_pct": round(100 * gbps / HBM_PEAK_GBPS, 1),
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
 def run_case_mla(name, B, kv_len, iters=5, kv_block=None):
     """Absorbed-MLA decode (DeepSeek latent KV): pool [1, 1, S, 1, 768]
     (kv_lora 512 + rope 64, lane-padded), v = 512-dim latent prefix.

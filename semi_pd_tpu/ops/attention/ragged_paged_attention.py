@@ -1683,3 +1683,255 @@ def ragged_paged_attention_chunked(
         kv_flat,
     )
     return out[:T].reshape(T, Hq, D)
+
+
+def _rpa_kernel_chunked_packed(
+    # scalar prefetch
+    layer_ref, num_slots_ref, page_table_ref, kv_lens_ref,
+    # HBM refs: q [Bpad+QROWS, CQ, 128]; kv [L*S, CT, 128]; out like q
+    q_hbm, kv_hbm, out_hbm,
+    # scratch
+    q_buf, kv_buf, o_buf, m_scr, l_scr, acc_scr, qp_scr, q_sem, kv_sem,
+    o_sem,
+    *, page_size, RPB, SUB, scale, logit_cap, D, Hq, Hkv,
+):
+    """Multi-request packed DECODE cell (VERDICT r3 #2 escape hatch,
+    measured — see PERF.md).
+
+    Hypothesis under test: decode cells are bounded by VPU/op work on the
+    score tile, and the blocked kernel's tile is 1/QBLK valid (one request
+    per cell, QBLK=16 padded rows). Packing RPB requests per cell — each
+    contributing its own SUB=KVBLK/RPB KV section, masked block-diagonally
+    — shrinks the per-head tile from [QBLK*G, KVBLK] to [RPB*G, KVBLK]
+    with the SAME streamed bytes per cell: the elementwise VPU cost per
+    streamed KV byte drops QBLK/RPB-fold while DMA issues rise RPB-fold
+    (RPB gathers per cell instead of one).
+
+    Decode-only (T == B), chunked pool, no sliding window / spec trees.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    ppb = SUB // page_size
+    KVBLK = RPB * SUB
+    layer = layer_ref[0]
+    S = num_slots_ref[0]
+    row_base = layer * S
+    r0 = i * RPB
+    G = Hq // Hkv
+    RG = RPB * G
+
+    lens = [kv_lens_ref[r0 + r] for r in range(RPB)]
+    max_len = lens[0]
+    for r in range(1, RPB):
+        max_len = jnp.maximum(max_len, lens[r])
+    active = (j * SUB) < max_len
+    last_j = jnp.maximum((max_len + SUB - 1) // SUB - 1, 0)
+
+    def kv_dma(slot, blk, wait):
+        # Every section is gathered UNCONDITIONALLY, even past a request's
+        # kv_len: its page-table tail is zeros, so the copy reads the dump
+        # page — real (masked-out) data. Skipping would leave the section
+        # uninitialized, and 0 * garbage = NaN poisons the p @ v dot.
+        for r in range(RPB):
+            _kv_block_copies(
+                page_table_ref, r0 + r, blk, ppb, page_size,
+                [(kv_hbm, row_base,
+                  kv_buf.at[slot, pl.ds(r * SUB, SUB)],
+                  kv_sem.at[slot, r])],
+                wait=wait)
+
+    slot = jax.lax.rem(j, 2)
+
+    @pl.when(active & (j == 0))
+    def _():
+        pltpu.make_async_copy(
+            q_hbm.at[pl.ds(r0, q_buf.shape[0])], q_buf, q_sem).start()
+        kv_dma(slot, j, wait=False)
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        pltpu.make_async_copy(
+            q_hbm.at[pl.ds(r0, q_buf.shape[0])], q_buf, q_sem).wait()
+        # stage q rows packed per kv head: row r*G+g <- request r0+r, head
+        # h*G+g (g-major per request), staged once per request group
+        qf = q_buf[...]
+        for h in range(Hkv):
+            for r in range(RPB):
+                for g in range(G):
+                    hq = h * G + g
+                    c, o = (hq * D) // 128, (hq * D) % 128
+                    qp_scr[h, r * G + g, 0:D] = qf[r, c, o : o + D]
+
+    @pl.when(active)
+    def _():
+        @pl.when(j < last_j)
+        def _():
+            kv_dma(1 - slot, j + 1, wait=False)
+
+        kv_dma(slot, j, wait=True)
+
+        VB = (Hkv * D) // 128
+        kv = kv_buf[slot]  # [KVBLK, CT, 128]
+        if kv.dtype != q_buf.dtype:  # fp8 KV
+            kv = kv.astype(q_buf.dtype)
+
+        def head(x, h, base=0):
+            c, o = base + (h * D) // 128, (h * D) % 128
+            return x[:, c, o : o + D]
+
+        # Block-diagonal validity: kv column kc belongs to section
+        # kc // SUB == its request; row rq = r*G+g sees only its own
+        # section, up to that request's kv_len.
+        kc = jax.lax.broadcasted_iota(jnp.int32, (RG, KVBLK), 1)
+        rq = jax.lax.broadcasted_iota(jnp.int32, (RG, KVBLK), 0) // G
+        sect = kc // SUB
+        abs_kv = j * SUB + (kc - sect * SUB)
+        len_rows = jnp.zeros((RG, 1), jnp.int32)
+        for r in range(RPB):
+            len_rows = jnp.where(
+                (jax.lax.broadcasted_iota(jnp.int32, (RG, 1), 0) // G) == r,
+                lens[r], len_rows)
+        valid = (sect == rq) & (abs_kv < len_rows)
+
+        for h in range(Hkv):
+            k_h = head(kv, h)           # [KVBLK, D]
+            v_h = head(kv, h, base=VB)
+            q_h = qp_scr[h, :, 0:D]     # [RG, D]
+            s = jax.lax.dot_general(
+                q_h, k_h,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [RG, KVBLK]
+            if logit_cap:
+                s = logit_cap * jnp.tanh(s / logit_cap)
+            s = jnp.where(valid, s, NEG_INF)
+
+            m_old = m_scr[h, :][:, None]
+            l_old = l_scr[h, :][:, None]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_old, m_cur)
+            # Unlike the per-request blocked kernel, a packed cell can be
+            # entirely PAST one request's kv_len (the group runs to the
+            # longest member): such rows are all-masked, m stays NEG_INF,
+            # and exp(s - m_new) would be exp(0)=1 garbage — mask p itself.
+            p_ = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+            corr = jnp.exp(m_old - m_new)
+            l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p_.astype(v_h.dtype), v_h,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [RG, D]
+            acc_scr[h, :, 0:D] = acc_scr[h, :, 0:D] * corr + pv
+            m_scr[h, :] = m_new[:, 0]
+            l_scr[h, :] = l_new[:, 0]
+
+    @pl.when((max_len > 0) & (j == last_j))
+    def _():
+        l = l_scr[...]  # [Hkv, RG]
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
+        for hq in range(Hq):
+            h, g = hq // G, hq % G
+            c, o = (hq * D) // 128, (hq * D) % 128
+            for r in range(RPB):
+                row = r * G + g
+                o_buf[r, c, o : o + D] = (
+                    acc_scr[h, row, 0:D] / l_safe[h, row]
+                ).astype(o_buf.dtype)
+        cp = pltpu.make_async_copy(
+            o_buf, out_hbm.at[pl.ds(r0, RPB)], o_sem)
+        cp.start()
+        cp.wait()
+
+
+def ragged_paged_attention_chunked_packed(
+    q,  # [B, Hq, D] (decode: one row per request)
+    kv_cache,  # [L, S, CT, 128]
+    layer_idx,
+    page_table,
+    kv_lens,
+    *,
+    page_size,
+    num_kv_heads,
+    head_dim,
+    scale,
+    logit_cap=None,
+    rpb: int = 2,
+    kv_block: int = 1024,
+    interpret: bool = False,
+):
+    """Driver for the multi-request packed decode kernel (experiment; see
+    _rpa_kernel_chunked_packed)."""
+    B, Hq, D = q.shape
+    assert 128 % D == 0 and (Hq * D) % 128 == 0
+    L, S, CT, _ = kv_cache.shape
+    Hkv = num_kv_heads
+    Bt, maxP = page_table.shape
+    assert Bt == B
+    SUB = kv_block // rpb
+    if SUB % page_size:
+        raise ValueError("kv_block/rpb must be a multiple of page_size")
+    max_kv = maxP * page_size
+    if max_kv % SUB:
+        padP = (SUB - max_kv % SUB) // page_size
+        page_table = jnp.pad(page_table, ((0, 0), (0, padP)))
+        maxP += padP
+        max_kv += padP * page_size
+    if B % rpb:
+        padB = rpb - B % rpb
+        page_table = jnp.pad(page_table, ((0, padB), (0, 0)))
+        kv_lens = jnp.pad(kv_lens, (0, padB))
+    Bpad = page_table.shape[0]
+    KJ = max_kv // SUB
+    KVBLK = rpb * SUB
+    CQ = Hq * D // 128
+    QROWS = max(rpb, 8)
+    q_in = jnp.pad(q.reshape(B, CQ, 128), ((0, Bpad - B + QROWS), (0, 0), (0, 0)))
+    kv_flat = kv_cache.reshape(L * S, CT, 128)
+    RG = rpb * (Hq // Hkv)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(Bpad // rpb, KJ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((QROWS, CQ, 128), q.dtype),
+            pltpu.VMEM((2, KVBLK, CT, 128), kv_cache.dtype),
+            pltpu.VMEM((rpb, CQ, 128), q.dtype),
+            pltpu.VMEM((Hkv, RG), jnp.float32),
+            pltpu.VMEM((Hkv, RG), jnp.float32),
+            pltpu.VMEM((Hkv, RG, 128), jnp.float32),
+            pltpu.VMEM((Hkv, RG, 128), q.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2, rpb)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _rpa_kernel_chunked_packed,
+        page_size=page_size, RPB=rpb, SUB=SUB, scale=scale,
+        logit_cap=logit_cap, D=D, Hq=Hq, Hkv=Hkv,
+    )
+    layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bpad + QROWS, CQ, 128), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        layer_arr,
+        jnp.asarray([S], jnp.int32),
+        page_table,
+        kv_lens,
+        q_in,
+        kv_flat,
+    )
+    return out[:B].reshape(B, Hq, D)

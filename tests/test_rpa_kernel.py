@@ -443,3 +443,46 @@ def test_aligned_and_mla_stream_decode_match_reference(monkeypatch):
     )
     np.testing.assert_allclose(
         np.asarray(out_m)[:T], np.asarray(ref_m)[:T], rtol=2e-4, atol=2e-4)
+
+
+def test_packed_decode_kernel_matches_reference():
+    """Multi-request packed decode cell (ragged_paged_attention_chunked_
+    packed): RPB requests share one cell, each with its own block-diagonal
+    KV section. Ragged lens, shuffled pages, both RPB settings."""
+    import numpy as np
+    from semi_pd_tpu.ops.attention.ragged_paged_attention import (
+        ragged_paged_attention_chunked_packed,
+    )
+
+    rng = np.random.default_rng(31)
+    Hq, Hkv, D, PS, L = 8, 2, 64, 8, 2
+    kv_lens = [33, 5, 12, 64, 17, 3, 9]  # B=7 (odd: exercises pad rows)
+    B = len(kv_lens)
+    n_pages = sum(-(-k // PS) for k in kv_lens) + 2
+    S = n_pages * PS
+    kv5 = rng.normal(size=(L, 2, S, Hkv, D)).astype(np.float32)
+    q = jnp.asarray(rng.normal(size=(B, Hq, D)).astype(np.float32))
+    perm = rng.permutation(np.arange(1, n_pages))
+    maxP = max(-(-k // PS) for k in kv_lens) + 1
+    pt = np.zeros((B, maxP), np.int32); used = 0
+    for b in range(B):
+        n = -(-kv_lens[b] // PS)
+        pt[b, :n] = perm[used:used + n]; used += n
+    pt = jnp.asarray(pt)
+    qri = jnp.asarray(np.arange(B), jnp.int32)
+    qp = jnp.asarray(np.asarray(kv_lens) - 1, jnp.int32)
+    kvl = jnp.asarray(kv_lens, jnp.int32)
+
+    ref = ragged_paged_attention_reference(
+        q, jnp.asarray(kv5), 1, pt, qri, qp, kvl, page_size=PS, scale=0.25,
+    )
+    CT = 2 * Hkv * D // 128
+    kvc = jnp.asarray(np.swapaxes(kv5, 1, 2).reshape(L, S, CT, 128))
+    for rpb in (2, 4):
+        out = ragged_paged_attention_chunked_packed(
+            q, kvc, 1, pt, kvl, page_size=PS, num_kv_heads=Hkv, head_dim=D,
+            scale=0.25, rpb=rpb, kv_block=rpb * 16, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5,
+            err_msg=f"rpb={rpb}")

@@ -1560,6 +1560,21 @@ def ragged_paged_attention_chunked(
         )
     if spec_anc is not None:
         stream = False
+    # Multi-request packed decode cells: the measured-best decode schedule
+    # (v5e: 46.2%% of HBM roofline at b16/kv8k vs 31.5%% blocked, 1.95x at
+    # b64/kv1k — BENCH_PACKED_r4.json). Same streamed bytes per cell, but
+    # the per-head score tile shrinks from [QBLK*G, KVBLK] to [rpb*G,
+    # KVBLK] so the VPU cost per KV byte drops. rpb: 4 for b>=32 (deeper
+    # sections win), else 2 (measured crossover).
+    if (is_decode and sliding_window is None and spec_anc is None
+            and not stream
+            and os.environ.get("RPA_DECODE_PACKED", "1") == "1"):
+        return ragged_paged_attention_chunked_packed(
+            q, kv_cache, layer_idx, page_table, kv_lens,
+            page_size=page_size, num_kv_heads=Hkv, head_dim=D, scale=scale,
+            logit_cap=logit_cap, rpb=4 if B >= 32 else 2,
+            kv_block=kv_block, interpret=interpret,
+        )
     if stream and sliding_window is None:
         NBUF = int(os.environ.get("RPA_STREAM_NBUF", "4"))
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1869,10 +1884,12 @@ def ragged_paged_attention_chunked_packed(
     Hkv = num_kv_heads
     Bt, maxP = page_table.shape
     assert Bt == B
+    max_kv = maxP * page_size
     SUB = kv_block // rpb
+    # no point streaming sections longer than the pool's per-request extent
+    SUB = max(page_size, min(SUB, -(-max_kv // page_size) * page_size))
     if SUB % page_size:
         raise ValueError("kv_block/rpb must be a multiple of page_size")
-    max_kv = maxP * page_size
     if max_kv % SUB:
         padP = (SUB - max_kv % SUB) // page_size
         page_table = jnp.pad(page_table, ((0, 0), (0, padP)))

@@ -89,14 +89,23 @@ def _empty_payload(err=None, phase="init"):
 # Orchestrator: supervises worker subprocess attempts. NEVER imports jax.
 # ======================================================================
 
+_PHASE_RANK = {None: 0, "init": 0, "probe": 1, "build": 2,
+               "compile_warmup": 3, "ttft_floor": 4, "calibrate": 5,
+               "run_colocated": 6, "run_semi_pd": 7, "done": 8}
+
+
 def _payload_score(p) -> tuple:
     """Rank payloads across attempts: a measured ratio beats throughput
-    alone beats nothing."""
+    alone beats phase progress (an attempt that measured colocated but
+    died in the semi-PD pass still beats a probe wedge) beats nothing."""
     if not p:
-        return (-1, -1.0, -1.0)
+        return (-1, -1.0, -1.0, -1)
     has_ratio = 1 if p.get("vs_baseline", 0) > 0 else 0
+    phase = _PHASE_RANK.get(
+        str(p.get("detail", {}).get("phase_reached")).split("sweep")[0]
+        if p.get("detail", {}).get("phase_reached") else None, 0)
     return (has_ratio, float(p.get("value", 0.0)),
-            float(p.get("vs_baseline", 0.0)))
+            float(p.get("vs_baseline", 0.0)), phase)
 
 
 def _parse_last_json_line(text: str):
@@ -836,6 +845,26 @@ def worker_main():
         for mode, semi in (("colocated", False), ("semi_pd", True)):
             set_phase(f"run_{mode}")
             swap_scheduler(eng, semi)
+            # Mode warmup: each scheduler walks its own program set (chained
+            # phase variants, the small decode buckets paced admission
+            # passes through). A mini-pass over the same code path compiles
+            # them OUTSIDE the measured window (disk-cached for later runs);
+            # round-4 capture: two mid-pass compiles truncated the semi-PD
+            # pass at 35/95 admissions and scored it 0.34x on an otherwise
+            # healthy attachment.
+            if semi and remaining() > 130:
+                run_serving_sim(
+                    eng, 6, max(rate, 1.0), min(prompt_len, 1024), 6,
+                    seed=1, budget_s=min(30.0, remaining() - 110.0))
+                swap_scheduler(eng, semi)  # flush to clean state
+                _touch_progress()
+            # Size the pass to the time actually left: a shorter complete
+            # pass at the same rate yields a valid goodput ratio; mid-
+            # stream truncation does not (round-4: semi-PD cut at 35/95).
+            n_pass = n_reqs
+            if semi:
+                avail = max(20.0, min(pass_budget, remaining() - 35.0))
+                n_pass = max(20, min(n_reqs, int(rate * (avail - 10.0))))
             budgets = []
             if semi:  # record the controller's actual chunk budgets
                 orig_budget = eng.scheduler._prefill_chunk_budget
@@ -843,7 +872,7 @@ def worker_main():
                     lambda o=orig_budget: (budgets.append(o()) or budgets[-1])
                 )
             res = run_serving_sim(
-                eng, n_reqs, rate, prompt_len, out_len, seed=0,
+                eng, n_pass, rate, prompt_len, out_len, seed=0,
                 budget_s=min(pass_budget, max(12.0, remaining() - 22.0)))
             results[mode] = res
             state["detail"][mode] = summarize(res, ttft_slo, itl_slo)

@@ -413,6 +413,14 @@ def main():
     finally:
         os.environ.pop("RPA_DECODE_STREAM", None)
         os.environ.pop("RPA_STREAM_NBUF", None)
+    # Multi-request packed decode (the default serving schedule since r4)
+    try:
+        rows.append(run_case_packed(
+            "decode_b16_kv8192_packed_rpb2", 16, 8192, 2))
+        rows.append(run_case_packed(
+            "decode_b64_kv1024_packed_rpb4", 64, 1024, 4))
+    except Exception as e:
+        print(f"# packed cases failed: {e}", file=sys.stderr)
     # Extend: chunked prefill continuation (512 new tokens on 1.5k history)
     rows.append(run_case("extend_b8_q256_kv2048", 8, 2048, [256] * 8))
     rows.append(run_case("extend_b8_q256_kv2048_chunked", 8, 2048, [256] * 8,

@@ -852,6 +852,20 @@ def ragged_paged_attention(
             interpret=interpret, spec_anc=spec_anc, win_base=win_base,
         )
 
+    # Multi-request packed decode (the measured-best schedule; see
+    # _rpa_kernel_chunked_packed rationale + BENCH_PACKED3_r4.json:
+    # aligned 48.5%/41.1% of roofline, MLA 53.9% at b16/kv4k — 2.51x the
+    # blocked kernel). Same eligibility as the chunked router.
+    if (is_decode and sliding_window is None and spec_anc is None
+            and not os.environ.get("RPA_DECODE_STREAM", "0") == "1"
+            and os.environ.get("RPA_DECODE_PACKED", "1") == "1"):
+        return ragged_paged_attention_packed(
+            q, kv_cache, layer_idx, page_table, kv_lens,
+            page_size=page_size, scale=scale, logit_cap=logit_cap,
+            v_dim=v_dim, rpb=4 if B >= 32 else 2, kv_block=kv_block,
+            interpret=interpret,
+        )
+
     # q rows DMA may overrun by QBLK-1 rows: pad the flat token dim.
     q_in = jnp.pad(q, ((0, QBLK), (0, 0), (0, 0)))
     Tpad = q_in.shape[0]
@@ -1952,3 +1966,274 @@ def ragged_paged_attention_chunked_packed(
         kv_flat,
     )
     return out[:B].reshape(B, Hq, D)
+
+
+def _rpa_kernel_packed(
+    # scalar prefetch
+    layer_ref, num_slots_ref, page_table_ref, kv_lens_ref,
+    # HBM refs: q [Bpad+QROWS, Hq, D]; kv [L*ncomp*S, Hkv, D] (aligned) or
+    # [L*S, 2, D/2] (MLA latent halves); out [Bpad+QROWS, Hq, Dv]
+    q_hbm, kv_hbm, out_hbm,
+    # scratch
+    q_buf, k_buf, v_buf, o_buf, m_scr, l_scr, acc_scr, q_sem, kv_sems,
+    o_sem,
+    *, page_size, RPB, SUB, scale, logit_cap, ncomp, v_dim, D, Hq, Hkv,
+):
+    """Multi-request packed decode for the ALIGNED (D multiple of 128) and
+    MLA layouts — same schedule as _rpa_kernel_chunked_packed: RPB requests
+    per cell, block-diagonal SUB-slot KV sections, [RPB*G, KVBLK] score
+    tiles instead of [QBLK*G, KVBLK]. MLA benefits most: G = Hq there, so
+    the blocked tile is 16x taller than the valid rows."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    ppb = SUB // page_size
+    KVBLK = RPB * SUB
+    layer = layer_ref[0]
+    S = num_slots_ref[0]
+    k_base = (layer * ncomp + 0) * S
+    v_base = (layer * ncomp + 1) * S if ncomp == 2 else k_base
+    r0 = i * RPB
+    G = Hq // Hkv
+    RG = RPB * G
+
+    lens = [kv_lens_ref[r0 + r] for r in range(RPB)]
+    max_len = lens[0]
+    for r in range(1, RPB):
+        max_len = jnp.maximum(max_len, lens[r])
+    active = (j * SUB) < max_len
+    last_j = jnp.maximum((max_len + SUB - 1) // SUB - 1, 0)
+
+    def kv_dma(slot, blk, wait):
+        # unconditional per-request gathers (see chunked packed kernel)
+        for r in range(RPB):
+            specs = [(kv_hbm, k_base,
+                      k_buf.at[slot, pl.ds(r * SUB, SUB)],
+                      kv_sems.at[slot, r, 0])]
+            if v_dim is None:
+                specs.append((kv_hbm, v_base,
+                              v_buf.at[slot, pl.ds(r * SUB, SUB)],
+                              kv_sems.at[slot, r, 1]))
+            _kv_block_copies(
+                page_table_ref, r0 + r, blk, ppb, page_size, specs,
+                wait=wait)
+
+    slot = jax.lax.rem(j, 2)
+
+    @pl.when(active & (j == 0))
+    def _():
+        pltpu.make_async_copy(
+            q_hbm.at[pl.ds(r0, q_buf.shape[0])], q_buf, q_sem).start()
+        kv_dma(slot, j, wait=False)
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        pltpu.make_async_copy(
+            q_hbm.at[pl.ds(r0, q_buf.shape[0])], q_buf, q_sem).wait()
+
+    @pl.when(active)
+    def _():
+        @pl.when(j < last_j)
+        def _():
+            kv_dma(1 - slot, j + 1, wait=False)
+
+        kv_dma(slot, j, wait=True)
+
+        Dv = v_dim if v_dim is not None else D
+        q = q_buf[...]  # [QROWS, Hq, D]
+        if v_dim is None:
+            k = k_buf[slot]  # [KVBLK, Hkv, D]
+            v = v_buf[slot]
+            if k.dtype != q.dtype:
+                k, v = k.astype(q.dtype), v.astype(q.dtype)
+        else:
+            q = q.astype(jnp.float32)
+            k3 = k_buf[slot].astype(jnp.float32)  # [KVBLK, 2, D/2]
+
+        kc = jax.lax.broadcasted_iota(jnp.int32, (RG, KVBLK), 1)
+        rq = jax.lax.broadcasted_iota(jnp.int32, (RG, KVBLK), 0) // G
+        sect = kc // SUB
+        abs_kv = j * SUB + (kc - sect * SUB)
+        len_rows = jnp.zeros((RG, 1), jnp.int32)
+        for r in range(RPB):
+            len_rows = jnp.where(
+                (jax.lax.broadcasted_iota(jnp.int32, (RG, 1), 0) // G) == r,
+                lens[r], len_rows)
+        valid = (sect == rq) & (abs_kv < len_rows)
+
+        for h in range(Hkv):
+            # rows packed request-major: row r*G+g = request r0+r, group g
+            q_h = q[0:RPB, h * G : (h + 1) * G, :].reshape(RG, D)
+            if v_dim is None:
+                s = jax.lax.dot_general(
+                    q_h, k[:, h, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                HALF = D // 2
+                s = jax.lax.dot_general(
+                    q_h[:, 0:HALF], k3[:, 0, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    q_h[:, HALF:], k3[:, 1, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            s = s * scale  # [RG, KVBLK]
+            if logit_cap:
+                s = logit_cap * jnp.tanh(s / logit_cap)
+            s = jnp.where(valid, s, NEG_INF)
+
+            m_old = m_scr[h, :][:, None]
+            l_old = l_scr[h, :][:, None]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_old, m_cur)
+            p_ = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+            corr = jnp.exp(m_old - m_new)
+            l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
+            if v_dim is None:
+                pv = jax.lax.dot_general(
+                    p_.astype(v.dtype), v[:, h, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [RG, Dv]
+            else:
+                HALF = D // 2
+                parts = []
+                for c in range(2):
+                    lo = c * HALF
+                    hi = min(v_dim, lo + HALF)
+                    if hi > lo:
+                        parts.append(jax.lax.dot_general(
+                            p_.astype(k3.dtype), k3[:, c, 0 : hi - lo],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ))
+                pv = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                      else parts[0])
+            acc_scr[h] = acc_scr[h] * corr + pv
+            m_scr[h, :] = m_new[:, 0]
+            l_scr[h, :] = l_new[:, 0]
+
+    @pl.when((max_len > 0) & (j == last_j))
+    def _():
+        Dv = v_dim if v_dim is not None else D
+        l = l_scr[...]  # [Hkv, RG]
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
+        normed = acc_scr[...] / l_safe[:, :, None]  # [Hkv, RG, Dv]
+        out = (
+            normed.reshape(Hkv, RPB, G, Dv)
+            .transpose(1, 0, 2, 3)
+            .reshape(RPB, Hq, Dv)
+        )
+        o_buf[0:RPB] = out.astype(o_buf.dtype)
+        cp = pltpu.make_async_copy(
+            o_buf.at[pl.ds(0, RPB)], out_hbm.at[pl.ds(r0, RPB)], o_sem)
+        cp.start()
+        cp.wait()
+
+
+def ragged_paged_attention_packed(
+    q,  # [B, Hq, D] decode rows
+    kv_cache,  # [L, ncomp, S, Hkv, D] aligned pool or [L, 1, S, 1, Dlat]
+    layer_idx,
+    page_table,
+    kv_lens,
+    *,
+    page_size,
+    scale,
+    logit_cap=None,
+    v_dim=None,
+    rpb: int = 2,
+    kv_block: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Driver for the aligned/MLA multi-request packed decode kernel."""
+    B, Hq, D = q.shape
+    L, ncomp, S, Hkv, _ = kv_cache.shape
+    Bt, maxP = page_table.shape
+    assert Bt == B
+    max_kv = maxP * page_size
+    kv_block = kv_block or 1024
+    row_bytes = 2 * Hkv * D * jnp.dtype(kv_cache.dtype).itemsize
+    budget = (8 << 20) if v_dim is not None else (6 << 20)
+    vmem_rows = budget // (2 * max(row_bytes, 1))
+    kv_block = min(kv_block,
+                   max(page_size, vmem_rows // page_size * page_size))
+    SUB = max(page_size, kv_block // rpb)
+    SUB = max(page_size, min(SUB, -(-max_kv // page_size) * page_size))
+    if SUB % page_size:
+        raise ValueError("kv_block/rpb must be a multiple of page_size")
+    if max_kv % SUB:
+        padP = (SUB - max_kv % SUB) // page_size
+        page_table = jnp.pad(page_table, ((0, 0), (0, padP)))
+        maxP += padP
+        max_kv += padP * page_size
+    if B % rpb:
+        padB = rpb - B % rpb
+        page_table = jnp.pad(page_table, ((0, padB), (0, 0)))
+        kv_lens = jnp.pad(kv_lens, (0, padB))
+    Bpad = page_table.shape[0]
+    KJ = max_kv // SUB
+    KVBLK = rpb * SUB
+    Dv = v_dim if v_dim is not None else D
+    QROWS = max(rpb, 8)
+    q_in = jnp.pad(q, ((0, Bpad - B + QROWS), (0, 0), (0, 0)))
+    G = Hq // Hkv
+    RG = rpb * G
+
+    if v_dim is None:
+        kv_flat = kv_cache.reshape(L * ncomp * S, Hkv, kv_cache.shape[-1])
+        kvb_shape = (2, KVBLK, Hkv, D)
+        vb_shape = (2, KVBLK, Hkv, D)
+    else:
+        kv_flat = kv_cache.reshape(L * ncomp * S, 2, kv_cache.shape[-1] // 2)
+        kvb_shape = (2, KVBLK, 2, D // 2)
+        vb_shape = (1, 8, 2, 128)  # unused for MLA
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(Bpad // rpb, KJ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((QROWS, Hq, D), q.dtype),
+            pltpu.VMEM(kvb_shape, kv_cache.dtype),
+            pltpu.VMEM(vb_shape, kv_cache.dtype),
+            pltpu.VMEM((QROWS, Hq, Dv), q.dtype),
+            pltpu.VMEM((Hkv, RG), jnp.float32),
+            pltpu.VMEM((Hkv, RG), jnp.float32),
+            pltpu.VMEM((Hkv, RG, Dv), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2, rpb, 2)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(
+        _rpa_kernel_packed,
+        page_size=page_size, RPB=rpb, SUB=SUB, scale=scale,
+        logit_cap=logit_cap, ncomp=ncomp, v_dim=v_dim, D=D, Hq=Hq, Hkv=Hkv,
+    )
+    layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bpad + QROWS, Hq, Dv), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        layer_arr,
+        jnp.asarray([S], jnp.int32),
+        page_table,
+        kv_lens,
+        q_in,
+        kv_flat,
+    )
+    return out[:B]

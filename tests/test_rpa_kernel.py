@@ -486,3 +486,74 @@ def test_packed_decode_kernel_matches_reference():
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5,
             err_msg=f"rpb={rpb}")
+
+
+def test_packed_aligned_kernel_matches_reference():
+    """Aligned-layout packed decode (ragged_paged_attention_packed,
+    v_dim=None): ragged lens, shuffled pages, both rpb settings."""
+    import numpy as np
+    from semi_pd_tpu.ops.attention.ragged_paged_attention import (
+        ragged_paged_attention_packed,
+    )
+
+    rng = np.random.default_rng(41)
+    Hq, Hkv, D, PS, L = 4, 2, 32, 8, 2
+    kv_lens = [33, 5, 12, 64, 17]
+    B = len(kv_lens)
+    n_pages = sum(-(-k // PS) for k in kv_lens) + 2
+    S = n_pages * PS
+    kv5 = jnp.asarray(rng.normal(size=(L, 2, S, Hkv, D)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, Hq, D)).astype(np.float32))
+    perm = rng.permutation(np.arange(1, n_pages))
+    maxP = max(-(-k // PS) for k in kv_lens) + 1
+    pt = np.zeros((B, maxP), np.int32); used = 0
+    for b in range(B):
+        n = -(-kv_lens[b] // PS)
+        pt[b, :n] = perm[used:used + n]; used += n
+    pt = jnp.asarray(pt)
+    kvl = jnp.asarray(kv_lens, jnp.int32)
+    ref = ragged_paged_attention_reference(
+        q, kv5, 1, pt, jnp.asarray(np.arange(B), jnp.int32),
+        jnp.asarray(np.asarray(kv_lens) - 1, jnp.int32), kvl,
+        page_size=PS, scale=0.25)
+    for rpb in (2, 4):
+        out = ragged_paged_attention_packed(
+            q, kv5, 1, pt, kvl, page_size=PS, scale=0.25, rpb=rpb,
+            kv_block=rpb * 16, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5,
+            err_msg=f"rpb={rpb}")
+
+
+def test_packed_mla_kernel_matches_reference():
+    """MLA packed decode: latent pool, V = latent prefix of K."""
+    import numpy as np
+    from semi_pd_tpu.ops.attention.ragged_paged_attention import (
+        ragged_paged_attention_packed,
+    )
+
+    rng = np.random.default_rng(43)
+    Hq, Dlat, VDIM, PS, L = 4, 256, 128, 8, 2
+    kv_lens = [20, 7, 31]
+    B = len(kv_lens)
+    n_pages = sum(-(-k // PS) for k in kv_lens) + 2
+    S = n_pages * PS
+    kvc = jnp.asarray(
+        rng.normal(size=(L, 1, S, 1, Dlat)).astype(np.float32) * 0.3)
+    q = jnp.asarray(rng.normal(size=(B, Hq, Dlat)).astype(np.float32) * 0.3)
+    maxP = max(-(-k // PS) for k in kv_lens) + 1
+    pt = np.zeros((B, maxP), np.int32); used = 1
+    for b in range(B):
+        n = -(-kv_lens[b] // PS)
+        pt[b, :n] = np.arange(used, used + n); used += n
+    pt = jnp.asarray(pt)
+    kvl = jnp.asarray(kv_lens, jnp.int32)
+    ref = ragged_paged_attention_reference(
+        q, kvc, 1, pt, jnp.asarray(np.arange(B), jnp.int32),
+        jnp.asarray(np.asarray(kv_lens) - 1, jnp.int32), kvl,
+        page_size=PS, scale=0.2, v_dim=VDIM)
+    out = ragged_paged_attention_packed(
+        q, kvc, 1, pt, kvl, page_size=PS, scale=0.2, v_dim=VDIM, rpb=2,
+        kv_block=32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)

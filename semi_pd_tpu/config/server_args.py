@@ -115,7 +115,11 @@ class ServerArgs:
     # clamped to [overlap_depth, max_overlap_depth] and to max_stall_ms.
     # Disabled automatically when --num-continuous-decode-steps pins a depth.
     adaptive_overlap_depth: bool = True
-    max_overlap_depth: int = 64
+    # Backstop only — the live bounds are the stall cap and the remaining-
+    # token cap (_ring_target). Round-4 capture: with packed decode at
+    # ~1 ms/step against a ~134 ms readback the ring wanted depth ~140 and
+    # the old cap of 64 was the binding constraint on decode throughput.
+    max_overlap_depth: int = 256
     # Bound on one flush cycle (the client-visible token-burst gap: results
     # are delivered depth tokens at a time). None = 4 x decode_slo_ms.
     max_stall_ms: Optional[float] = None

@@ -360,7 +360,6 @@ class ServerArgs:
             # (runtime/mirror.py docstring)
             for flag, name in (
                 (self.enable_hierarchical_cache, "hierarchical cache"),
-                (self.lora_paths, "LoRA"),
             ):
                 if flag:
                     raise ValueError(f"{name} is single-host for now")

@@ -182,9 +182,15 @@ class LoRAManager:
                     dn_a[l, ai, :, :rr] = A.T
                     dn_b[l, ai, :rr, :] = B.T * sc
 
+        # HOST values: device placement happens in
+        # ModelRunner.install_lora (replicated over the mesh when there is
+        # one, and mirrorable to multi-host followers).
+        import ml_dtypes  # noqa: F401 — numpy bf16 support
+
+        npdt = np.dtype(dt) if dt != jnp.bfloat16 else ml_dtypes.bfloat16
         self.lora_params = {
-            "qkv_a": jnp.asarray(qkv_a, dt), "qkv_b": jnp.asarray(qkv_b, dt),
-            "o_a": jnp.asarray(o_a, dt), "o_b": jnp.asarray(o_b, dt),
-            "gate_up_a": jnp.asarray(gu_a, dt), "gate_up_b": jnp.asarray(gu_b, dt),
-            "down_a": jnp.asarray(dn_a, dt), "down_b": jnp.asarray(dn_b, dt),
+            "qkv_a": qkv_a.astype(npdt), "qkv_b": qkv_b.astype(npdt),
+            "o_a": o_a.astype(npdt), "o_b": o_b.astype(npdt),
+            "gate_up_a": gu_a.astype(npdt), "gate_up_b": gu_b.astype(npdt),
+            "down_a": dn_a.astype(npdt), "down_b": dn_b.astype(npdt),
         }

@@ -97,7 +97,7 @@ class Engine:
         idx = self.lora_manager.load_adapter(
             name, path=path, state_dict=state_dict, rank=rank, alpha=alpha
         )
-        self.runner.params["layers"]["lora"] = self.lora_manager.lora_params
+        self.runner.install_lora(self.lora_manager.lora_params)
         return idx
 
     def unload_lora_adapter(self, name: str) -> bool:
@@ -117,7 +117,7 @@ class Engine:
                 f"LoRA adapter {name!r} is in use by {len(in_use)} "
                 f"request(s); retry when they finish")
         self.lora_manager.unload_adapter(name)
-        self.runner.params["layers"]["lora"] = self.lora_manager.lora_params
+        self.runner.install_lora(self.lora_manager.lora_params)
         return True
 
     def _get_grammar_compiler(self):

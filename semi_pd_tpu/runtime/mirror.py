@@ -19,7 +19,10 @@ Multimodal vision encodes are mirrored too (pixel inputs broadcast, the
 vision jit replayed in lockstep with a replicated output sharding), and
 so are the fused speculative rounds (EAGLE chain/tree, NGRAM verify) —
 host batches + drafts/hidden seeds are host values already.
-Hierarchical cache and LoRA are single-host for now.
+LoRA register/unload installs its stacked adapter pytree through the
+mirrored ``install_lora`` (host values; replicated over the mesh).
+Hierarchical cache is single-host for now (its traffic is host-RAM
+locality — a follower-side host tier has no reader).
 """
 
 from __future__ import annotations
@@ -163,6 +166,10 @@ class MirroredRunner:
         self._chan.broadcast(("spec", hb.wire(), d, dl, gamma))
         return self._r.spec_step_host(hb, d, dl, gamma)
 
+    def install_lora(self, lora_host_tree):
+        self._chan.broadcast(("lora", lora_host_tree))
+        return self._r.install_lora(lora_host_tree)
+
     def close(self):
         try:
             self._chan.broadcast(("stop",))
@@ -241,6 +248,8 @@ def follower_main(server_args, model_config=None) -> None:
             runner.encode_images_cross(msg[1])
         elif kind == "imgp":
             runner.encode_images_patches(msg[1], msg[2])
+        elif kind == "lora":
+            runner.install_lora(msg[1])
         elif kind == "wupb":
             pending_weights.append((msg[1], msg[2]))
         elif kind == "wupe":

@@ -1188,6 +1188,22 @@ class ModelRunner:
         self.rng_key = new_key
         return accept_len, next_tok
 
+    # ------------------------------------------------------------- lora
+    def install_lora(self, lora_host_tree: Dict[str, Any]) -> None:
+        """Install a stacked adapter pytree (host numpy values from
+        LoRAManager._stack) into the live param tree — replicated over the
+        mesh so every shard computes the same deltas; a host-value entry
+        point so the multi-host mirror can forward it verbatim."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            dev = {k: jax.device_put(v, rep)
+                   for k, v in lora_host_tree.items()}
+        else:
+            dev = {k: jnp.asarray(v) for k, v in lora_host_tree.items()}
+        self.params["layers"]["lora"] = dev
+
     # ------------------------------------------------------------- vision
     def _host_np(self, a) -> np.ndarray:
         """Device -> host for REPLICATED outputs. On a multi-process mesh a

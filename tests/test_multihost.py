@@ -404,3 +404,105 @@ def test_two_process_eagle_matches_single_process():
     want = [o["output_ids"] for o in eng.generate(
         input_ids=prompts, sampling_params=sp)]
     assert got_ids == want
+
+
+_LORA_SETUP = """
+def make_adapter(rng, L=2, H=32, q_size=32, kv_size=16, I=64, R=4):
+    sd = {}
+    m = {"q_proj": q_size, "k_proj": kv_size, "v_proj": kv_size,
+         "o_proj": H, "gate_proj": I, "up_proj": I, "down_proj": H}
+    din = {"q_proj": H, "k_proj": H, "v_proj": H, "o_proj": q_size,
+           "gate_proj": H, "up_proj": H, "down_proj": I}
+    for l in range(L):
+        for t, dout in m.items():
+            sd["base_model.model.model.layers.%d.self_attn.%s.lora_A.weight"
+               % (l, t)] = (rng.normal(size=(R, din[t])) * 0.5).astype("float32")
+            sd["base_model.model.model.layers.%d.self_attn.%s.lora_B.weight"
+               % (l, t)] = (rng.normal(size=(dout, R)) * 0.5).astype("float32")
+    return sd
+"""
+
+_RANK0_LORA = _COMMON + _LORA_SETUP + """
+args = make_args(0)
+init_multihost(args)
+from semi_pd_tpu.parallel.mesh import create_mesh
+from semi_pd_tpu.runtime.engine import Engine
+from semi_pd_tpu.sampling.sampling_params import SamplingParams
+
+mesh = create_mesh(tp_size=4)
+eng = Engine(server_args=args, model_config=make_cfg(), mesh=mesh)
+rng = np.random.default_rng(17)
+prompt = rng.integers(0, 64, size=9).tolist()
+sp = SamplingParams(max_new_tokens=8, temperature=0.0, ignore_eos=True)
+base = eng.generate(input_ids=prompt, sampling_params=sp)
+eng.register_lora_adapter("ad", state_dict=make_adapter(rng), rank=4)
+with_lora = eng.generate(input_ids=prompt, sampling_params=sp,
+                         lora_path="ad")
+eng.unload_lora_adapter("ad")
+after = eng.generate(input_ids=prompt, sampling_params=sp)
+eng.runner.close()
+print("RESULT " + json.dumps(
+    [base["output_ids"], with_lora["output_ids"], after["output_ids"]]))
+"""
+
+_RANK1_LORA = _COMMON + """
+from semi_pd_tpu.runtime.mirror import follower_main
+args = make_args(1)
+follower_main(args, model_config=make_cfg())
+print("FOLLOWER DONE")
+"""
+
+
+def test_two_process_lora_matches_single_process():
+    """LoRA register/unload over two processes (the lora mirror branch):
+    the stacked adapter pytree installs replicated on every process."""
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "XLA_FLAGS", "JAX_PLATFORMS",
+                     "JAX_NUM_CPU_DEVICES")
+    }
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    r0 = subprocess.Popen(
+        [sys.executable, "-c", _RANK0_LORA.replace(str(PORT), str(PORT + 8))],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+    r1 = subprocess.Popen(
+        [sys.executable, "-c", _RANK1_LORA.replace(str(PORT), str(PORT + 8))],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+    out0, err0 = r0.communicate(timeout=420)
+    out1, err1 = r1.communicate(timeout=120)
+    assert r0.returncode == 0, f"rank0 failed:\n{err0[-3000:]}"
+    assert r1.returncode == 0, f"rank1 failed:\n{err1[-3000:]}"
+    got = json.loads(
+        [l for l in out0.splitlines() if l.startswith("RESULT ")][0][7:])
+
+    from semi_pd_tpu.parallel.mesh import create_mesh
+
+    cfg = ModelConfig(
+        architecture="LlamaForCausalLM", vocab_size=64, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, head_dim=8, max_position_embeddings=256,
+        context_length=256, dtype="float32",
+    )
+    eng = Engine(server_args=ServerArgs(
+        model_path="", random_weights=True, page_size=4,
+        max_total_tokens=1024, dtype="float32", seed=7, tp_size=4,
+    ), model_config=cfg, mesh=create_mesh(tp_size=4))
+    rng = np.random.default_rng(17)
+    prompt = rng.integers(0, 64, size=9).tolist()
+    sp = SamplingParams(max_new_tokens=8, temperature=0.0, ignore_eos=True)
+    want = [eng.generate(input_ids=prompt, sampling_params=sp)["output_ids"]]
+    # rebuild the same adapter from the same rng position
+    import re as _re
+    ns = {}
+    exec(_LORA_SETUP, ns)
+    eng.register_lora_adapter("ad", state_dict=ns["make_adapter"](rng),
+                              rank=4)
+    want.append(eng.generate(input_ids=prompt, sampling_params=sp,
+                             lora_path="ad")["output_ids"])
+    eng.unload_lora_adapter("ad")
+    want.append(eng.generate(input_ids=prompt, sampling_params=sp)
+                ["output_ids"])
+    assert got == want
+    assert want[0] != want[1]  # the adapter actually changed the output
+    assert want[2] == want[0]  # unload restored base behavior

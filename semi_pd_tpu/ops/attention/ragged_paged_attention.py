@@ -1524,6 +1524,7 @@ def ragged_paged_attention_chunked(
     stream: Optional[bool] = None,
     spec_anc=None,
     win_base=None,
+    force_blocked: bool = False,
 ):
     """Driver for the chunked combined-KV pool layout (see KVCache).
 
@@ -1581,7 +1582,7 @@ def ragged_paged_attention_chunked(
     # KVBLK] so the VPU cost per KV byte drops. rpb: 4 for b>=32 (deeper
     # sections win), else 2 (measured crossover).
     if (is_decode and sliding_window is None and spec_anc is None
-            and not stream
+            and not stream and not force_blocked
             and os.environ.get("RPA_DECODE_PACKED", "1") == "1"):
         return ragged_paged_attention_chunked_packed(
             q, kv_cache, layer_idx, page_table, kv_lens,

@@ -856,13 +856,14 @@ def ragged_paged_attention(
     # _rpa_kernel_chunked_packed rationale + BENCH_PACKED3_r4.json:
     # aligned 48.5%/41.1% of roofline, MLA 53.9% at b16/kv4k — 2.51x the
     # blocked kernel). Same eligibility as the chunked router.
-    if (is_decode and sliding_window is None and spec_anc is None
+    if (is_decode and spec_anc is None
             and not os.environ.get("RPA_DECODE_STREAM", "0") == "1"
             and os.environ.get("RPA_DECODE_PACKED", "1") == "1"):
         return ragged_paged_attention_packed(
             q, kv_cache, layer_idx, page_table, kv_lens,
             page_size=page_size, scale=scale, logit_cap=logit_cap,
-            v_dim=v_dim, rpb=4 if B >= 32 else 2, kv_block=kv_block,
+            sliding_window=sliding_window, v_dim=v_dim,
+            rpb=4 if B >= 32 else 2, kv_block=kv_block,
             interpret=interpret,
         )
 
@@ -1581,13 +1582,14 @@ def ragged_paged_attention_chunked(
     # the per-head score tile shrinks from [QBLK*G, KVBLK] to [rpb*G,
     # KVBLK] so the VPU cost per KV byte drops. rpb: 4 for b>=32 (deeper
     # sections win), else 2 (measured crossover).
-    if (is_decode and sliding_window is None and spec_anc is None
+    if (is_decode and spec_anc is None
             and not stream and not force_blocked
             and os.environ.get("RPA_DECODE_PACKED", "1") == "1"):
         return ragged_paged_attention_chunked_packed(
             q, kv_cache, layer_idx, page_table, kv_lens,
             page_size=page_size, num_kv_heads=Hkv, head_dim=D, scale=scale,
-            logit_cap=logit_cap, rpb=4 if B >= 32 else 2,
+            logit_cap=logit_cap, sliding_window=sliding_window,
+            rpb=4 if B >= 32 else 2,
             kv_block=kv_block, interpret=interpret,
         )
     if stream and sliding_window is None:
@@ -1723,7 +1725,7 @@ def _rpa_kernel_chunked_packed(
     # scratch
     q_buf, kv_buf, o_buf, m_scr, l_scr, acc_scr, qp_scr, q_sem, kv_sem,
     o_sem,
-    *, page_size, RPB, SUB, scale, logit_cap, D, Hq, Hkv,
+    *, page_size, RPB, SUB, scale, logit_cap, sliding_window, D, Hq, Hkv,
 ):
     """Multi-request packed DECODE cell (VERDICT r3 #2 escape hatch,
     measured — see PERF.md).
@@ -1757,6 +1759,16 @@ def _rpa_kernel_chunked_packed(
         max_len = jnp.maximum(max_len, lens[r])
     active = (j * SUB) < max_len
     last_j = jnp.maximum((max_len + SUB - 1) // SUB - 1, 0)
+    first_j = jnp.zeros((), jnp.int32)
+    if sliding_window is not None and sliding_window > 0:
+        # decode rows attend (len - W, len): chunks wholly before the
+        # EARLIEST window start in the group are skipped (their rows would
+        # be all-masked anyway)
+        w0 = jnp.maximum(lens[0] - sliding_window, 0)
+        for r in range(1, RPB):
+            w0 = jnp.minimum(w0, jnp.maximum(lens[r] - sliding_window, 0))
+        first_j = w0 // SUB
+        active &= j >= first_j
 
     def kv_dma(slot, blk, wait):
         # Every section is gathered UNCONDITIONALLY, even past a request's
@@ -1773,7 +1785,7 @@ def _rpa_kernel_chunked_packed(
 
     slot = jax.lax.rem(j, 2)
 
-    @pl.when(active & (j == 0))
+    @pl.when(active & (j == first_j))
     def _():
         pltpu.make_async_copy(
             q_hbm.at[pl.ds(r0, q_buf.shape[0])], q_buf, q_sem).start()
@@ -1823,6 +1835,9 @@ def _rpa_kernel_chunked_packed(
                 (jax.lax.broadcasted_iota(jnp.int32, (RG, 1), 0) // G) == r,
                 lens[r], len_rows)
         valid = (sect == rq) & (abs_kv < len_rows)
+        if sliding_window is not None and sliding_window > 0:
+            # decode: q_abs = len - 1; visible iff abs_kv > q_abs - W
+            valid &= abs_kv > (len_rows - 1 - sliding_window)
 
         for h in range(Hkv):
             k_h = head(kv, h)           # [KVBLK, D]
@@ -1887,6 +1902,7 @@ def ragged_paged_attention_chunked_packed(
     head_dim,
     scale,
     logit_cap=None,
+    sliding_window=None,
     rpb: int = 2,
     kv_block: int = 1024,
     interpret: bool = False,
@@ -1947,7 +1963,8 @@ def ragged_paged_attention_chunked_packed(
     kernel = functools.partial(
         _rpa_kernel_chunked_packed,
         page_size=page_size, RPB=rpb, SUB=SUB, scale=scale,
-        logit_cap=logit_cap, D=D, Hq=Hq, Hkv=Hkv,
+        logit_cap=logit_cap, sliding_window=sliding_window,
+        D=D, Hq=Hq, Hkv=Hkv,
     )
     layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
     out = pl.pallas_call(
@@ -1978,7 +1995,8 @@ def _rpa_kernel_packed(
     # scratch
     q_buf, k_buf, v_buf, o_buf, m_scr, l_scr, acc_scr, q_sem, kv_sems,
     o_sem,
-    *, page_size, RPB, SUB, scale, logit_cap, ncomp, v_dim, D, Hq, Hkv,
+    *, page_size, RPB, SUB, scale, logit_cap, sliding_window, ncomp, v_dim,
+    D, Hq, Hkv,
 ):
     """Multi-request packed decode for the ALIGNED (D multiple of 128) and
     MLA layouts — same schedule as _rpa_kernel_chunked_packed: RPB requests
@@ -2004,6 +2022,13 @@ def _rpa_kernel_packed(
         max_len = jnp.maximum(max_len, lens[r])
     active = (j * SUB) < max_len
     last_j = jnp.maximum((max_len + SUB - 1) // SUB - 1, 0)
+    first_j = jnp.zeros((), jnp.int32)
+    if sliding_window is not None and sliding_window > 0:
+        w0 = jnp.maximum(lens[0] - sliding_window, 0)
+        for r in range(1, RPB):
+            w0 = jnp.minimum(w0, jnp.maximum(lens[r] - sliding_window, 0))
+        first_j = w0 // SUB
+        active &= j >= first_j
 
     def kv_dma(slot, blk, wait):
         # unconditional per-request gathers (see chunked packed kernel)
@@ -2021,7 +2046,7 @@ def _rpa_kernel_packed(
 
     slot = jax.lax.rem(j, 2)
 
-    @pl.when(active & (j == 0))
+    @pl.when(active & (j == first_j))
     def _():
         pltpu.make_async_copy(
             q_hbm.at[pl.ds(r0, q_buf.shape[0])], q_buf, q_sem).start()
@@ -2061,6 +2086,8 @@ def _rpa_kernel_packed(
                 (jax.lax.broadcasted_iota(jnp.int32, (RG, 1), 0) // G) == r,
                 lens[r], len_rows)
         valid = (sect == rq) & (abs_kv < len_rows)
+        if sliding_window is not None and sliding_window > 0:
+            valid &= abs_kv > (len_rows - 1 - sliding_window)
 
         for h in range(Hkv):
             # rows packed request-major: row r*G+g = request r0+r, group g
@@ -2146,6 +2173,7 @@ def ragged_paged_attention_packed(
     page_size,
     scale,
     logit_cap=None,
+    sliding_window=None,
     v_dim=None,
     rpb: int = 2,
     kv_block: Optional[int] = None,
@@ -2218,7 +2246,8 @@ def ragged_paged_attention_packed(
     kernel = functools.partial(
         _rpa_kernel_packed,
         page_size=page_size, RPB=rpb, SUB=SUB, scale=scale,
-        logit_cap=logit_cap, ncomp=ncomp, v_dim=v_dim, D=D, Hq=Hq, Hkv=Hkv,
+        logit_cap=logit_cap, sliding_window=sliding_window,
+        ncomp=ncomp, v_dim=v_dim, D=D, Hq=Hq, Hkv=Hkv,
     )
     layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
     out = pl.pallas_call(

@@ -557,3 +557,47 @@ def test_packed_mla_kernel_matches_reference():
         kv_block=32, interpret=True)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_packed_sliding_window_matches_reference():
+    """Packed decode with a sliding window (gemma2/mistral-class): chunks
+    before the group's earliest window start are skipped; per-row masks
+    handle ragged window starts inside a request group."""
+    import numpy as np
+    from semi_pd_tpu.ops.attention.ragged_paged_attention import (
+        ragged_paged_attention_chunked_packed, ragged_paged_attention_packed,
+    )
+
+    rng = np.random.default_rng(51)
+    Hq, Hkv, D, PS, L, W = 8, 2, 64, 8, 2, 24
+    kv_lens = [70, 15, 40, 9]
+    B = len(kv_lens)
+    n_pages = sum(-(-k // PS) for k in kv_lens) + 2
+    S = n_pages * PS
+    kv5 = rng.normal(size=(L, 2, S, Hkv, D)).astype(np.float32)
+    q = jnp.asarray(rng.normal(size=(B, Hq, D)).astype(np.float32))
+    maxP = max(-(-k // PS) for k in kv_lens) + 1
+    pt = np.zeros((B, maxP), np.int32); used = 1
+    for b in range(B):
+        n = -(-kv_lens[b] // PS)
+        pt[b, :n] = np.arange(used, used + n); used += n
+    pt = jnp.asarray(pt)
+    kvl = jnp.asarray(kv_lens, jnp.int32)
+    ref = ragged_paged_attention_reference(
+        q, jnp.asarray(kv5), 1, pt, jnp.asarray(np.arange(B), jnp.int32),
+        jnp.asarray(np.asarray(kv_lens) - 1, jnp.int32), kvl,
+        page_size=PS, scale=0.25, sliding_window=W)
+    CT = 2 * Hkv * D // 128
+    kvc = jnp.asarray(np.swapaxes(kv5, 1, 2).reshape(L, S, CT, 128))
+    out_c = ragged_paged_attention_chunked_packed(
+        q, kvc, 1, pt, kvl, page_size=PS, num_kv_heads=Hkv, head_dim=D,
+        scale=0.25, sliding_window=W, rpb=2, kv_block=32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_c), np.asarray(ref), rtol=2e-5, atol=2e-5,
+        err_msg="chunked")
+    out_a = ragged_paged_attention_packed(
+        q, jnp.asarray(kv5), 1, pt, kvl, page_size=PS, scale=0.25,
+        sliding_window=W, rpb=2, kv_block=32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_a), np.asarray(ref), rtol=2e-5, atol=2e-5,
+        err_msg="aligned")

@@ -233,7 +233,18 @@ def _rpa_kernel(
     causal_active = kv_blk_start <= q_abs_hi
     first_ki = jnp.zeros((), jnp.int32)
     if sliding_window is not None and sliding_window > 0:
-        causal_active &= (kv_blk_start + KVBLK) > (q_abs_lo - sliding_window)
+        # A block is active iff it contains a VISIBLE position: its end
+        # must exceed first_visible = q_abs_lo - W + 1 (the earliest slot
+        # any of this block's rows can see). The previous form compared
+        # against first_visible - 1, marking one extra, wholly-invisible
+        # leading block active when first_visible landed exactly on a
+        # block boundary — that block then waited on a KV DMA that
+        # first_ki's init cell never started, deadlocking the device
+        # (observed v5e round 4: worker watchdog kill, decode kv2048/W512
+        # at KVBLK 512/768).
+        causal_active &= (
+            (kv_blk_start + KVBLK) > (q_abs_lo - sliding_window + 1)
+        )
         first_ki = jnp.maximum(q_abs_lo - sliding_window + 1, 0) // KVBLK
     active = seq_active & causal_active
 
@@ -656,7 +667,18 @@ def _rpa_kernel_merged(
     causal_active = kv_blk_start <= q_abs_hi
     first_ki = jnp.zeros((), jnp.int32)
     if sliding_window is not None and sliding_window > 0:
-        causal_active &= (kv_blk_start + KVBLK) > (q_abs_lo - sliding_window)
+        # A block is active iff it contains a VISIBLE position: its end
+        # must exceed first_visible = q_abs_lo - W + 1 (the earliest slot
+        # any of this block's rows can see). The previous form compared
+        # against first_visible - 1, marking one extra, wholly-invisible
+        # leading block active when first_visible landed exactly on a
+        # block boundary — that block then waited on a KV DMA that
+        # first_ki's init cell never started, deadlocking the device
+        # (observed v5e round 4: worker watchdog kill, decode kv2048/W512
+        # at KVBLK 512/768).
+        causal_active &= (
+            (kv_blk_start + KVBLK) > (q_abs_lo - sliding_window + 1)
+        )
         first_ki = jnp.maximum(q_abs_lo - sliding_window + 1, 0) // KVBLK
     active = seq_active & causal_active
 
@@ -1168,7 +1190,18 @@ def _rpa_kernel_chunked(
     causal_active = kv_blk_start <= q_abs_hi
     first_ki = jnp.zeros((), jnp.int32)
     if sliding_window is not None and sliding_window > 0:
-        causal_active &= (kv_blk_start + KVBLK) > (q_abs_lo - sliding_window)
+        # A block is active iff it contains a VISIBLE position: its end
+        # must exceed first_visible = q_abs_lo - W + 1 (the earliest slot
+        # any of this block's rows can see). The previous form compared
+        # against first_visible - 1, marking one extra, wholly-invisible
+        # leading block active when first_visible landed exactly on a
+        # block boundary — that block then waited on a KV DMA that
+        # first_ki's init cell never started, deadlocking the device
+        # (observed v5e round 4: worker watchdog kill, decode kv2048/W512
+        # at KVBLK 512/768).
+        causal_active &= (
+            (kv_blk_start + KVBLK) > (q_abs_lo - sliding_window + 1)
+        )
         first_ki = jnp.maximum(q_abs_lo - sliding_window + 1, 0) // KVBLK
     active = seq_active & causal_active
 

@@ -134,7 +134,20 @@ def paged_attention(
     )
 
     spec_anc = _SPEC_TREE
-    if _BACKEND == "pallas" and alibi_slopes is None:
+    use_pallas = _BACKEND == "pallas" and alibi_slopes is None
+    T, Hq, D = q.shape
+    Hkv = kv_cache.shape[3]
+    if use_pallas and D % 128 != 0 and (Hkv * D == 128 or Hq * D == 128):
+        # Sub-lane head dims route through the merged-lane kernel, whose
+        # refs are [rows, H*D/128, 128]; a single 128-chunk (Hkv*D == 128,
+        # e.g. qwen2-0.5B's 2 kv heads x 64) leaves dim 1 at extent 1,
+        # which Mosaic cannot tile (v5e: "slice shape along dimension 1
+        # must be aligned to tiling (2)"). These geometries also fail the
+        # chunked-pool eligibility (CT % 8, XLA pool tiling), so fall back
+        # to the XLA reference attention — correct, and these are sub-1B
+        # models where attention is not the serving bottleneck.
+        use_pallas = False
+    if use_pallas:
         from semi_pd_tpu.ops.attention.ragged_paged_attention import (
             ragged_paged_attention,
         )

@@ -824,7 +824,11 @@ def ragged_paged_attention(
     # Decode default is 16, not 8: the (QBLK=8, KVBLK=256) instantiation
     # tickles a Mosaic compile-time blow-up on v5e (155s vs 2s; measured
     # round 2) and padding decode rows 8->16 is free (KV reads dominate).
-    QBLK = q_block or (16 if is_decode else 128)
+    # MLA extend uses 64: at QBLK=128 the f32 accumulator alone is
+    # [1, QBLK*Hq, v_dim] = 4MB and a deepseek-lite-geometry prefill
+    # overflowed the 16MB scoped VMEM on v5e (16.77M, round-4 smoke).
+    QBLK = q_block or (
+        16 if is_decode else (64 if v_dim is not None else 128))
     QBLK = min(QBLK, max(16, T))
 
     # Decode is per-page-DMA bound: larger KV blocks amortize grid-step

@@ -356,13 +356,6 @@ class ServerArgs:
         if self.nnodes > 1:
             if not self.dist_init_addr:
                 raise ValueError("--nnodes > 1 requires --dist-init-addr")
-            # v1 multi-host mirrors the core serving loop only
-            # (runtime/mirror.py docstring)
-            for flag, name in (
-                (self.enable_hierarchical_cache, "hierarchical cache"),
-            ):
-                if flag:
-                    raise ValueError(f"{name} is single-host for now")
 
         if self.decode_bs_buckets is None:
             self.decode_bs_buckets = [1, 2, 4, 8, 16, 32, 64, 128, 256]

@@ -20,9 +20,12 @@ vision jit replayed in lockstep with a replicated output sharding), and
 so are the fused speculative rounds (EAGLE chain/tree, NGRAM verify) —
 host batches + drafts/hidden seeds are host values already.
 LoRA register/unload installs its stacked adapter pytree through the
-mirrored ``install_lora`` (host values; replicated over the mesh).
-Hierarchical cache is single-host for now (its traffic is host-RAM
-locality — a follower-side host tier has no reader).
+mirrored ``install_lora`` (host values; replicated over the mesh), and
+the hierarchical host-KV tier's page transfers mirror as ``hdl``
+(lockstep gather with a replicated output node 0 reads) and ``hup``
+(host page buffers scattered into each process's pool shards) — the
+host-RAM tree itself lives on node 0 only, which is where the scheduler
+that consults it runs.
 """
 
 from __future__ import annotations
@@ -166,6 +169,20 @@ class MirroredRunner:
         self._chan.broadcast(("spec", hb.wire(), d, dl, gamma))
         return self._r.spec_step_host(hb, d, dl, gamma)
 
+    def download_pages_async(self, page_ids):
+        import numpy as np
+
+        pages = np.asarray(page_ids)
+        self._chan.broadcast(("hdl", pages))
+        return self._r.download_pages_async(pages)
+
+    def upload_pages(self, page_ids, bufs):
+        import numpy as np
+
+        pages = np.asarray(page_ids)
+        self._chan.broadcast(("hup", pages, bufs))
+        return self._r.upload_pages(pages, bufs)
+
     def install_lora(self, lora_host_tree):
         self._chan.broadcast(("lora", lora_host_tree))
         return self._r.install_lora(lora_host_tree)
@@ -248,6 +265,11 @@ def follower_main(server_args, model_config=None) -> None:
             runner.encode_images_cross(msg[1])
         elif kind == "imgp":
             runner.encode_images_patches(msg[1], msg[2])
+        elif kind == "hdl":
+            runner.download_pages_async(msg[1])  # lockstep gather; result
+            # is node 0's to read — followers just keep dispatch order
+        elif kind == "hup":
+            runner.upload_pages(msg[1], msg[2])
         elif kind == "lora":
             runner.install_lora(msg[1])
         elif kind == "wupb":

@@ -1282,7 +1282,10 @@ class ModelRunner:
                     return pool[:, slots]  # [L, n*P, CT, 128]
                 return pool[:, :, slots]  # [L, nc, n*P, H, D]
 
-            self._dl_jit = jax.jit(_dl)
+            # replicated output: the hicache worker device_gets it on
+            # the host; on a multi-process mesh the tp-sharded pool gather
+            # must allgather in lockstep (runtime/mirror.py 'hdl')
+            self._dl_jit = jax.jit(_dl, out_shardings=self._replicated)
         return self._dl_jit(
             self.kv_cache.arrays, jnp.asarray(page_ids, jnp.int32)
         )

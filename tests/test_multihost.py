@@ -506,3 +506,67 @@ def test_two_process_lora_matches_single_process():
     assert got == want
     assert want[0] != want[1]  # the adapter actually changed the output
     assert want[2] == want[0]  # unload restored base behavior
+
+
+_RANK0_HICACHE = _COMMON + """
+args = make_args(0)
+args.enable_hierarchical_cache = True
+args.__post_init__()
+init_multihost(args)
+from semi_pd_tpu.parallel.mesh import create_mesh
+from semi_pd_tpu.runtime.engine import Engine
+from semi_pd_tpu.sampling.sampling_params import SamplingParams
+
+mesh = create_mesh(tp_size=4)
+eng = Engine(server_args=args, model_config=make_cfg(), mesh=mesh)
+rng = np.random.default_rng(23)
+prompt = rng.integers(0, 64, size=16).tolist()
+sp = SamplingParams(max_new_tokens=6, temperature=0.0, ignore_eos=True)
+o1 = eng.generate(input_ids=prompt, sampling_params=sp)
+eng.scheduler.hicache_ctl.drain()
+assert eng.scheduler.host_cache.n_pages() > 0
+# nuke the DEVICE tree: only the host tier still holds the prefix
+assert eng.flush_cache()
+o2 = eng.generate(input_ids=prompt, sampling_params=sp)
+assert o2["meta_info"]["cached_tokens"] > 0   # host-tier restore
+eng.runner.close()
+print("RESULT " + json.dumps([o1["output_ids"], o2["output_ids"]]))
+"""
+
+_RANK1_HICACHE = _COMMON + """
+from semi_pd_tpu.runtime.mirror import follower_main
+args = make_args(1)
+args.enable_hierarchical_cache = True
+args.__post_init__()
+follower_main(args, model_config=make_cfg())
+print("FOLLOWER DONE")
+"""
+
+
+def test_two_process_hicache_matches_single_process():
+    """Hierarchical host-KV tier over two processes (hdl/hup mirror
+    branches): write-through gathers allgather in lockstep, a host-tier
+    restore uploads into every process's pool shards, and the restored
+    prefix reproduces the original outputs."""
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "XLA_FLAGS", "JAX_PLATFORMS",
+                     "JAX_NUM_CPU_DEVICES")
+    }
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    r0 = subprocess.Popen(
+        [sys.executable, "-c",
+         _RANK0_HICACHE.replace(str(PORT), str(PORT + 10))],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+    r1 = subprocess.Popen(
+        [sys.executable, "-c",
+         _RANK1_HICACHE.replace(str(PORT), str(PORT + 10))],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+    out0, err0 = r0.communicate(timeout=420)
+    out1, err1 = r1.communicate(timeout=120)
+    assert r0.returncode == 0, f"rank0 failed:\n{err0[-3000:]}"
+    assert r1.returncode == 0, f"rank1 failed:\n{err1[-3000:]}"
+    got = json.loads(
+        [l for l in out0.splitlines() if l.startswith("RESULT ")][0][7:])
+    assert got[0] == got[1]  # host-restored prefix reproduces the output

@@ -259,7 +259,8 @@ def orchestrator_main():
         if i > 0 and remaining() < 130.0:
             break
         name = f"attempt{i+1}"
-        env = {"BENCH_PROBE_S": str(probe_budgets[min(i, 3)])}
+        env = {"BENCH_PROBE_S": str(probe_budgets[min(i, 3)]),
+               "BENCH_SEMI_FIRST": "1" if i % 2 else "0"}
         if profile == "degraded":
             env.update({
                 "BENCH_DEGRADED": "1",
@@ -847,7 +848,15 @@ def worker_main():
         }
 
         results = {}
-        for mode, semi in (("colocated", False), ("semi_pd", True)):
+        mode_order = [("colocated", False), ("semi_pd", True)]
+        if os.environ.get("BENCH_SEMI_FIRST") == "1":
+            # The attachment often degrades over a run's lifetime, so the
+            # second pass systematically eats the worse window. The
+            # orchestrator alternates order across attempts to cancel the
+            # bias (round-4 captures: semi-PD second scored 0.67-1.34
+            # goodput while every tail metric at matched windows favors it).
+            mode_order.reverse()
+        for mode, semi in mode_order:
             set_phase(f"run_{mode}")
             swap_scheduler(eng, semi)
             # Mode warmup: each scheduler walks its own program set (chained

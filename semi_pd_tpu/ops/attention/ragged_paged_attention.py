@@ -1832,15 +1832,15 @@ def _rpa_kernel_chunked_packed(
         acc_scr[...] = jnp.zeros_like(acc_scr)
         pltpu.make_async_copy(
             q_hbm.at[pl.ds(r0, q_buf.shape[0])], q_buf, q_sem).wait()
-        # stage q rows packed per kv head: row r*G+g <- request r0+r, head
-        # h*G+g (g-major per request), staged once per request group
+        # stage q rows packed per kv head (flat head-major rows: row
+        # h*RG + r*G + g <- request r0+r, head h*G+g), once per group
         qf = q_buf[...]
         for h in range(Hkv):
             for r in range(RPB):
                 for g in range(G):
                     hq = h * G + g
                     c, o = (hq * D) // 128, (hq * D) % 128
-                    qp_scr[h, r * G + g, 0:D] = qf[r, c, o : o + D]
+                    qp_scr[h * RG + r * G + g, 0:D] = qf[r, c, o : o + D]
 
     @pl.when(active)
     def _():
@@ -1860,66 +1860,74 @@ def _rpa_kernel_chunked_packed(
             return x[:, c, o : o + D]
 
         # Block-diagonal validity: kv column kc belongs to section
-        # kc // SUB == its request; row rq = r*G+g sees only its own
-        # section, up to that request's kv_len.
-        kc = jax.lax.broadcasted_iota(jnp.int32, (RG, KVBLK), 1)
-        rq = jax.lax.broadcasted_iota(jnp.int32, (RG, KVBLK), 0) // G
+        # kc // SUB == its request; a row sees only its own section, up to
+        # that request's kv_len. Rows are STACKED head-major ([Hkv * RG,
+        # ...]): the qk/pv dots stay per head (different kv lanes), but the
+        # mask/softmax/normalizer ops run ONCE on the [Hkv*RG, KVBLK] tile
+        # instead of Hkv times on [RG, KVBLK] — same VPU element count,
+        # ~Hkv x fewer op issues (the residual per-cell cost after the
+        # packing win; PERF.md round 4).
+        HRG = Hkv * RG
+        kc = jax.lax.broadcasted_iota(jnp.int32, (HRG, KVBLK), 1)
+        rq = (jax.lax.broadcasted_iota(jnp.int32, (HRG, KVBLK), 0) % RG) // G
         sect = kc // SUB
         abs_kv = j * SUB + (kc - sect * SUB)
-        len_rows = jnp.zeros((RG, 1), jnp.int32)
+        len_rows = jnp.zeros((HRG, 1), jnp.int32)
+        row_req = (jax.lax.broadcasted_iota(jnp.int32, (HRG, 1), 0) % RG) // G
         for r in range(RPB):
-            len_rows = jnp.where(
-                (jax.lax.broadcasted_iota(jnp.int32, (RG, 1), 0) // G) == r,
-                lens[r], len_rows)
+            len_rows = jnp.where(row_req == r, lens[r], len_rows)
         valid = (sect == rq) & (abs_kv < len_rows)
         if sliding_window is not None and sliding_window > 0:
             # decode: q_abs = len - 1; visible iff abs_kv > q_abs - W
             valid &= abs_kv > (len_rows - 1 - sliding_window)
 
-        for h in range(Hkv):
-            k_h = head(kv, h)           # [KVBLK, D]
-            v_h = head(kv, h, base=VB)
-            q_h = qp_scr[h, :, 0:D]     # [RG, D]
-            s = jax.lax.dot_general(
-                q_h, k_h,
+        s = jnp.concatenate([
+            jax.lax.dot_general(
+                qp_scr[h * RG : (h + 1) * RG, 0:D], head(kv, h),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale  # [RG, KVBLK]
-            if logit_cap:
-                s = logit_cap * jnp.tanh(s / logit_cap)
-            s = jnp.where(valid, s, NEG_INF)
+            )
+            for h in range(Hkv)
+        ], axis=0) * scale  # [HRG, KVBLK], head-major rows
+        if logit_cap:
+            s = logit_cap * jnp.tanh(s / logit_cap)
+        s = jnp.where(valid, s, NEG_INF)
 
-            m_old = m_scr[h, :][:, None]
-            l_old = l_scr[h, :][:, None]
-            m_cur = jnp.max(s, axis=1, keepdims=True)
-            m_new = jnp.maximum(m_old, m_cur)
-            # Unlike the per-request blocked kernel, a packed cell can be
-            # entirely PAST one request's kv_len (the group runs to the
-            # longest member): such rows are all-masked, m stays NEG_INF,
-            # and exp(s - m_new) would be exp(0)=1 garbage — mask p itself.
-            p_ = jnp.where(valid, jnp.exp(s - m_new), 0.0)
-            corr = jnp.exp(m_old - m_new)
-            l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p_.astype(v_h.dtype), v_h,
+        m_old = m_scr[0, :][:, None]
+        l_old = l_scr[0, :][:, None]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_old, m_cur)
+        # Unlike the per-request blocked kernel, a packed cell can be
+        # entirely PAST one request's kv_len (the group runs to the
+        # longest member): such rows are all-masked, m stays NEG_INF,
+        # and exp(s - m_new) would be exp(0)=1 garbage — mask p itself.
+        p_ = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+        corr = jnp.exp(m_old - m_new)
+        l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
+        pv = jnp.concatenate([
+            jax.lax.dot_general(
+                p_[h * RG : (h + 1) * RG].astype(kv.dtype),
+                head(kv, h, base=VB),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [RG, D]
-            acc_scr[h, :, 0:D] = acc_scr[h, :, 0:D] * corr + pv
-            m_scr[h, :] = m_new[:, 0]
-            l_scr[h, :] = l_new[:, 0]
+            )
+            for h in range(Hkv)
+        ], axis=0)  # [HRG, D]
+        acc_scr[:, 0:D] = acc_scr[:, 0:D] * corr + pv
+        m_scr[0, :] = m_new[:, 0]
+        l_scr[0, :] = l_new[:, 0]
 
     @pl.when((max_len > 0) & (j == last_j))
     def _():
-        l = l_scr[...]  # [Hkv, RG]
+        l = l_scr[0, :]  # [Hkv*RG] head-major
         l_safe = jnp.where(l <= 0.0, 1.0, l)
         for hq in range(Hq):
             h, g = hq // G, hq % G
             c, o = (hq * D) // 128, (hq * D) % 128
             for r in range(RPB):
-                row = r * G + g
+                row = h * RG + r * G + g
                 o_buf[r, c, o : o + D] = (
-                    acc_scr[h, row, 0:D] / l_safe[h, row]
+                    acc_scr[row, 0:D] / l_safe[row]
                 ).astype(o_buf.dtype)
         cp = pltpu.make_async_copy(
             o_buf, out_hbm.at[pl.ds(r0, RPB)], o_sem)
@@ -1988,10 +1996,10 @@ def ragged_paged_attention_chunked_packed(
             pltpu.VMEM((QROWS, CQ, 128), q.dtype),
             pltpu.VMEM((2, KVBLK, CT, 128), kv_cache.dtype),
             pltpu.VMEM((rpb, CQ, 128), q.dtype),
-            pltpu.VMEM((Hkv, RG), jnp.float32),
-            pltpu.VMEM((Hkv, RG), jnp.float32),
-            pltpu.VMEM((Hkv, RG, 128), jnp.float32),
-            pltpu.VMEM((Hkv, RG, 128), q.dtype),
+            pltpu.VMEM((1, Hkv * RG), jnp.float32),
+            pltpu.VMEM((1, Hkv * RG), jnp.float32),
+            pltpu.VMEM((Hkv * RG, 128), jnp.float32),
+            pltpu.VMEM((Hkv * RG, 128), q.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2, rpb)),
             pltpu.SemaphoreType.DMA(()),

@@ -2121,86 +2121,101 @@ def _rpa_kernel_packed(
             q = q.astype(jnp.float32)
             k3 = k_buf[slot].astype(jnp.float32)  # [KVBLK, 2, D/2]
 
-        kc = jax.lax.broadcasted_iota(jnp.int32, (RG, KVBLK), 1)
-        rq = jax.lax.broadcasted_iota(jnp.int32, (RG, KVBLK), 0) // G
+        # Stacked-heads flash (see the chunked packed kernel): rows are
+        # head-major [Hkv*RG, ...]; dots per head, flash ops once.
+        HRG = Hkv * RG
+        kc = jax.lax.broadcasted_iota(jnp.int32, (HRG, KVBLK), 1)
+        rq = (jax.lax.broadcasted_iota(jnp.int32, (HRG, KVBLK), 0) % RG) // G
         sect = kc // SUB
         abs_kv = j * SUB + (kc - sect * SUB)
-        len_rows = jnp.zeros((RG, 1), jnp.int32)
+        len_rows = jnp.zeros((HRG, 1), jnp.int32)
+        row_req = (jax.lax.broadcasted_iota(jnp.int32, (HRG, 1), 0) % RG) // G
         for r in range(RPB):
-            len_rows = jnp.where(
-                (jax.lax.broadcasted_iota(jnp.int32, (RG, 1), 0) // G) == r,
-                lens[r], len_rows)
+            len_rows = jnp.where(row_req == r, lens[r], len_rows)
         valid = (sect == rq) & (abs_kv < len_rows)
         if sliding_window is not None and sliding_window > 0:
             valid &= abs_kv > (len_rows - 1 - sliding_window)
 
-        for h in range(Hkv):
-            # rows packed request-major: row r*G+g = request r0+r, group g
-            q_h = q[0:RPB, h * G : (h + 1) * G, :].reshape(RG, D)
-            if v_dim is None:
-                s = jax.lax.dot_general(
-                    q_h, k[:, h, :],
+        def qh(h):
+            # rows packed request-major within a head: row r*G+g
+            return q[0:RPB, h * G : (h + 1) * G, :].reshape(RG, D)
+
+        if v_dim is None:
+            s = jnp.concatenate([
+                jax.lax.dot_general(
+                    qh(h), k[:, h, :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
-            else:
-                HALF = D // 2
-                s = jax.lax.dot_general(
-                    q_h[:, 0:HALF], k3[:, 0, :],
+                ) for h in range(Hkv)
+            ], axis=0)
+        else:
+            HALF = D // 2
+            s = jnp.concatenate([
+                jax.lax.dot_general(
+                    qh(h)[:, 0:HALF], k3[:, 0, :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) + jax.lax.dot_general(
-                    q_h[:, HALF:], k3[:, 1, :],
+                    qh(h)[:, HALF:], k3[:, 1, :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
-            s = s * scale  # [RG, KVBLK]
-            if logit_cap:
-                s = logit_cap * jnp.tanh(s / logit_cap)
-            s = jnp.where(valid, s, NEG_INF)
+                ) for h in range(Hkv)
+            ], axis=0)
+        s = s * scale  # [HRG, KVBLK]
+        if logit_cap:
+            s = logit_cap * jnp.tanh(s / logit_cap)
+        s = jnp.where(valid, s, NEG_INF)
 
-            m_old = m_scr[h, :][:, None]
-            l_old = l_scr[h, :][:, None]
-            m_cur = jnp.max(s, axis=1, keepdims=True)
-            m_new = jnp.maximum(m_old, m_cur)
-            p_ = jnp.where(valid, jnp.exp(s - m_new), 0.0)
-            corr = jnp.exp(m_old - m_new)
-            l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
-            if v_dim is None:
-                pv = jax.lax.dot_general(
-                    p_.astype(v.dtype), v[:, h, :],
+        m_old = m_scr[0, :][:, None]
+        l_old = l_scr[0, :][:, None]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_old, m_cur)
+        p_ = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+        corr = jnp.exp(m_old - m_new)
+        l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
+        if v_dim is None:
+            pv = jnp.concatenate([
+                jax.lax.dot_general(
+                    p_[h * RG : (h + 1) * RG].astype(v.dtype), v[:, h, :],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # [RG, Dv]
-            else:
-                HALF = D // 2
+                ) for h in range(Hkv)
+            ], axis=0)  # [HRG, Dv]
+        else:
+            HALF = D // 2
+            hv = []
+            for h in range(Hkv):
                 parts = []
                 for c in range(2):
                     lo = c * HALF
                     hi = min(v_dim, lo + HALF)
                     if hi > lo:
                         parts.append(jax.lax.dot_general(
-                            p_.astype(k3.dtype), k3[:, c, 0 : hi - lo],
+                            p_[h * RG : (h + 1) * RG].astype(k3.dtype),
+                            k3[:, c, 0 : hi - lo],
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         ))
-                pv = (jnp.concatenate(parts, axis=1) if len(parts) > 1
-                      else parts[0])
-            acc_scr[h] = acc_scr[h] * corr + pv
-            m_scr[h, :] = m_new[:, 0]
-            l_scr[h, :] = l_new[:, 0]
+                hv.append(jnp.concatenate(parts, axis=1)
+                          if len(parts) > 1 else parts[0])
+            pv = jnp.concatenate(hv, axis=0) if len(hv) > 1 else hv[0]
+        acc_scr[...] = acc_scr[...] * corr + pv
+        m_scr[0, :] = m_new[:, 0]
+        l_scr[0, :] = l_new[:, 0]
 
     @pl.when((max_len > 0) & (j == last_j))
     def _():
         Dv = v_dim if v_dim is not None else D
-        l = l_scr[...]  # [Hkv, RG]
+        l = l_scr[0, :]  # [Hkv*RG] head-major
         l_safe = jnp.where(l <= 0.0, 1.0, l)
-        normed = acc_scr[...] / l_safe[:, :, None]  # [Hkv, RG, Dv]
-        out = (
-            normed.reshape(Hkv, RPB, G, Dv)
-            .transpose(1, 0, 2, 3)
-            .reshape(RPB, Hq, Dv)
-        )
+        normed = acc_scr[...] / l_safe[:, None]  # [HRG, Dv]
+        out = jnp.concatenate([
+            jnp.concatenate([
+                normed[h * RG + r * G : h * RG + (r + 1) * G][None]
+                for h in range(Hkv)
+            ], axis=1)
+            for r in range(RPB)
+        ], axis=0)  # [RPB, Hq, Dv]
         o_buf[0:RPB] = out.astype(o_buf.dtype)
         cp = pltpu.make_async_copy(
             o_buf.at[pl.ds(0, RPB)], out_hbm.at[pl.ds(r0, RPB)], o_sem)
@@ -2280,9 +2295,9 @@ def ragged_paged_attention_packed(
             pltpu.VMEM(kvb_shape, kv_cache.dtype),
             pltpu.VMEM(vb_shape, kv_cache.dtype),
             pltpu.VMEM((QROWS, Hq, Dv), q.dtype),
-            pltpu.VMEM((Hkv, RG), jnp.float32),
-            pltpu.VMEM((Hkv, RG), jnp.float32),
-            pltpu.VMEM((Hkv, RG, Dv), jnp.float32),
+            pltpu.VMEM((1, Hkv * RG), jnp.float32),
+            pltpu.VMEM((1, Hkv * RG), jnp.float32),
+            pltpu.VMEM((Hkv * RG, Dv), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2, rpb, 2)),
             pltpu.SemaphoreType.DMA(()),

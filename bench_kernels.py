@@ -361,6 +361,82 @@ def run_case_mla(name, B, kv_len, iters=5, kv_block=None):
     return row
 
 
+def run_case_aligned(name, B, kv_len, iters=5):
+    """Aligned-layout (D=128) decode: pool [1, 2, S, Hkv, 128], the layout
+    the runner picks for lane-multiple head dims. Times the default routing
+    (packed since r4) against the forced-blocked kernel via the trace-time
+    RPA_DECODE_PACKED switch — the BENCH_PACKED3_r4 aligned rows, made
+    reproducible in the standard sweep."""
+    HKV_A, D_A, HQ_A = 8, 128, 32
+    rng = np.random.default_rng(13)
+    pages_per_req = -(-kv_len // PAGE)
+    num_pages = 1 + B * pages_per_req
+    S = num_pages * PAGE
+    kv = jnp.asarray(
+        rng.normal(size=(1, 2, S, HKV_A, D_A)).astype(np.float32) * 0.3,
+        jnp.bfloat16)
+    pt = np.zeros((B, pages_per_req), np.int32)
+    for b in range(B):
+        pt[b] = 1 + b * pages_per_req + np.arange(pages_per_req)
+    pt = jnp.asarray(pt)
+    kv_lens_np = np.full(B, kv_len, np.int32)
+    kv_lens = jnp.asarray(kv_lens_np)
+    q0 = jnp.asarray(
+        rng.normal(size=(B, HQ_A, D_A)).astype(np.float32) * 0.3,
+        jnp.bfloat16)
+    meta = build_attn_meta(np.ones(B, np.int64), kv_lens_np.astype(np.int64), B)
+    slots = jnp.asarray(
+        np.asarray([pt[b][(kv_len - 1) // PAGE] * PAGE + (kv_len - 1) % PAGE
+                    for b in range(B)], np.int32))
+    scale = D_A ** -0.5
+
+    def make_fn(reps):
+        def fn(q0, kv):
+            def body(carry, _):
+                q, kv = carry
+                out = ragged_paged_attention(
+                    q, kv, 0, pt, kv_lens, meta, page_size=PAGE, scale=scale)
+                kv = kv.at[0, 0, slots, :, :].set(
+                    out[:, :HKV_A].astype(kv.dtype))
+                q = q0 + 1e-3 * out.astype(q0.dtype)
+                return (q, kv), None
+
+            (q, kv), _ = jax.lax.scan(body, (q0, kv), None, length=reps)
+            return q
+
+        return jax.jit(fn)
+
+    res = {}
+    for tag, packed in (("packed", "1"), ("blocked", "0")):
+        os.environ["RPA_DECODE_PACKED"] = packed  # read at trace time
+        try:
+            long_fn, short_fn = make_fn(CHAIN), make_fn(1)
+            for _ in range(4):
+                t_long = timeit(lambda: long_fn(q0, kv), iters)
+                t_short = timeit(lambda: short_fn(q0, kv), iters)
+                slope = (t_long - t_short) / (CHAIN - 1)
+                if slope > 0.05 * t_long / CHAIN:
+                    break
+            res[tag] = max(slope, 1e-7)
+            res[tag + "_out"] = np.asarray(short_fn(q0, kv), np.float32)
+        finally:
+            os.environ.pop("RPA_DECODE_PACKED", None)
+    err = float(np.abs(res["packed_out"] - res["blocked_out"]).max())
+    assert err < 0.05, f"{name}: packed/blocked diverge (max abs err {err})"
+    bytes_touched = B * kv_len * 2 * HKV_A * D_A * 2
+    gbps = bytes_touched / res["packed"] / 1e9
+    row = {
+        "case": name, "B": B, "kv_len": kv_len, "T": B,
+        "pallas_ms": round(res["packed"] * 1e3, 3),
+        "blocked_ms": round(res["blocked"] * 1e3, 3),
+        "speedup": round(res["blocked"] / res["packed"], 2),
+        "hbm_gbps": round(gbps, 1),
+        "roofline_pct": round(100 * gbps / HBM_PEAK_GBPS, 1),
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
 def main():
     # Pay the tunnel's first-D2H up front so it doesn't pollute timings.
     t0 = time.monotonic()
@@ -432,6 +508,12 @@ def main():
     rows.append(run_case(
         "extend_ragged", 8, 1024, [512, 256, 128, 64, 384, 448, 192, 64]
     ))
+    # Aligned-layout (D=128) packed vs blocked
+    try:
+        rows.append(run_case_aligned("decode_aligned_b16_kv4096", 16, 4096))
+        rows.append(run_case_aligned("decode_aligned_b64_kv1024", 64, 1024))
+    except Exception as e:
+        print(f"# aligned cases failed: {e}", file=sys.stderr)
     # Absorbed-MLA decode (DeepSeek-V2-Lite latent shapes), blocked + stream
     try:
         rows.append(run_case_mla("decode_mla_b64_kv1024", 64, 1024))

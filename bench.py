@@ -94,17 +94,31 @@ _PHASE_RANK = {None: 0, "init": 0, "probe": 1, "build": 2,
                "run_colocated": 6, "run_semi_pd": 7, "done": 8}
 
 
+MIN_CAP_TOKS = float(os.environ.get("BENCH_MIN_CAP_TOKS", "50"))
+
+
+def _capture_healthy(p) -> bool:
+    """True when the attempt's calibrated device capacity was above the
+    degraded-attachment threshold (round-4 verdict: captures span 16-130
+    tok/s calibrated capacity depending on attachment health; capture
+    quality must gate on capacity, NOT on the measured ratio — retrying on
+    a sub-par ratio conflates device state with genuine regression)."""
+    cap = (p or {}).get("detail", {}).get("capacity_tok_s")
+    return cap is not None and cap >= MIN_CAP_TOKS
+
+
 def _payload_score(p) -> tuple:
     """Rank payloads across attempts: a measured ratio beats throughput
-    alone beats phase progress (an attempt that measured colocated but
-    died in the semi-PD pass still beats a probe wedge) beats nothing."""
+    alone; among ratio-carrying payloads a healthy-device capture beats a
+    degraded one; then throughput, ratio, phase progress."""
     if not p:
-        return (-1, -1.0, -1.0, -1)
+        return (-1, -1, -1.0, -1.0, -1)
     has_ratio = 1 if p.get("vs_baseline", 0) > 0 else 0
     phase = _PHASE_RANK.get(
         str(p.get("detail", {}).get("phase_reached")).split("sweep")[0]
         if p.get("detail", {}).get("phase_reached") else None, 0)
-    return (has_ratio, float(p.get("value", 0.0)),
+    return (has_ratio, 1 if _capture_healthy(p) else 0,
+            float(p.get("value", 0.0)),
             float(p.get("vs_baseline", 0.0)), phase)
 
 
@@ -277,16 +291,17 @@ def orchestrator_main():
             "profile": profile, "wedged": wedged, "phase": phase,
             "value": (p or {}).get("value"),
             "vs_baseline": (p or {}).get("vs_baseline"),
+            "capacity_tok_s": (p or {}).get("detail", {}).get("capacity_tok_s"),
         })
         if _payload_score(p) > _payload_score(best):
             best = p
-        # A completed attempt with a sub-par ratio usually means a
-        # degraded attachment window (measured round 4: the same build
-        # scored 0.75x and 1.77x in back-to-back degraded captures, and
-        # 1.2-1.4x when healthy) — keep attempting while budget remains;
-        # _payload_score keeps the best capture either way.
+        # Accept the first COMPLETE capture taken on a healthy device —
+        # whatever the ratio says (retrying on a sub-par ratio conflates
+        # device state with genuine regression, round-4 verdict). Keep
+        # attempting only while the capture is missing, incomplete, or the
+        # calibrated capacity says the attachment was degraded.
         if (p is not None and p.get("value", 0) > 0
-                and p.get("vs_baseline", 0) >= 1.05):
+                and p.get("vs_baseline", 0) > 0 and _capture_healthy(p)):
             break
         # a probe wedge says nothing about memory pressure — keep the full
         # profile; a wedge during build/exec escalates to degraded
@@ -397,41 +412,68 @@ def swap_scheduler(eng, semi_pd: bool):
     eng.scheduler = Scheduler(args, eng.runner)
 
 
-def run_serving_sim(eng, n_reqs, rate, prompt_len, out_len, seed=0,
-                    budget_s=None):
+def sample_out_lens(rng, n, out_mean):
+    """ShareGPT-style output-length mix (reference bench_serving.py samples
+    real ShareGPT completions; no datasets exist in this env, so a lognormal
+    with the same qualitative shape — median below mean, long right tail —
+    stands in). Mean ~= out_mean so aggregate decode demand is predictable
+    for the pass-sizing math."""
+    import numpy as np
+
+    sigma = 0.6
+    mu = np.log(out_mean) - sigma * sigma / 2.0  # lognormal mean = out_mean
+    outs = rng.lognormal(mu, sigma, size=n)
+    return np.clip(outs, max(4, out_mean // 6), 4 * out_mean).astype(int)
+
+
+def run_serving_sim(eng, n_reqs, rate, prompt_len, out_mean, seed=0,
+                    budget_s=None, drain_s=15.0):
     """Poisson open-loop arrivals driven through scheduler ticks; returns
-    per-request TTFT and ITL samples plus aggregate throughput. Stops
-    submitting (and drains) if budget_s is exceeded."""
+    per-request TTFT and ITL samples plus aggregate throughput. budget_s
+    closes ADMISSION; the in-flight tail then drains for up to drain_s
+    before a hard abort. A pass is only "truncated" when its window is
+    incomplete: some arrival was never admitted or some admitted request
+    was aborted (round-4 verdict: goodput compared on truncated windows
+    measures truncation artifacts, not schedulers)."""
     import numpy as np
 
     from semi_pd_tpu.sampling.sampling_params import SamplingParams
 
     rng = np.random.default_rng(seed)
     arrivals = np.cumsum(rng.exponential(1.0 / rate, size=n_reqs))
+    if budget_s is not None and arrivals[-1] > 0.85 * budget_s:
+        # Pin the arrival SPAN inside the admission window (keeping the
+        # poisson gap structure): with small n the exponential span's
+        # variance is large enough that un-admitted tail arrivals would
+        # mark the window truncated (round-4 verdict: never compare
+        # truncated windows).
+        arrivals = arrivals * (0.85 * budget_s / arrivals[-1])
+    out_lens = sample_out_lens(rng, n_reqs, out_mean)
     reqs = []
-    sp = SamplingParams(max_new_tokens=out_len, temperature=0.0, ignore_eos=True)
     for i in range(n_reqs):
         pl = max(16, int(rng.normal(prompt_len, prompt_len / 4)))
         ids = rng.integers(0, 1000, size=pl).tolist()
+        sp = SamplingParams(max_new_tokens=int(out_lens[i]), temperature=0.0,
+                            ignore_eos=True)
         reqs.append(eng.make_request(input_ids=ids, sampling_params=sp))
 
     token_times = {r.rid: [] for r in reqs}
     t_start = time.monotonic()
     submitted = 0
-    truncated = False
+    admission_closed = False
+    aborted = False
     while True:
         now = time.monotonic() - t_start
         if budget_s is not None and now > budget_s:
-            if not truncated:
-                truncated = True  # stop admitting; drain what's in flight
-            elif now > budget_s + 12:
-                # hard stop: abort the un-served backlog (12s, was 30 —
-                # round-4 capture: two drains at +30s each ate the semi-PD
-                # pass's entire slice on a degraded attachment)
+            if not admission_closed:
+                admission_closed = True  # stop admitting; drain in-flight
+            elif now > budget_s + drain_s:
+                # hard stop: abort the un-served backlog
                 for r in reqs[:submitted]:
                     if not r.finished:
+                        aborted = True
                         eng.scheduler.abort_request(r.rid)
-        if not truncated:
+        if not admission_closed:
             while submitted < n_reqs and arrivals[submitted] <= now:
                 eng.scheduler.add_request(reqs[submitted])
                 submitted += 1
@@ -443,7 +485,7 @@ def run_serving_sim(eng, n_reqs, rate, prompt_len, out_len, seed=0,
             if tok >= 0:
                 token_times[req.rid].append(tnow)
         if not eng.scheduler.has_work():
-            if truncated or submitted == n_reqs:
+            if admission_closed or submitted == n_reqs:
                 break  # everything admitted has finished
             # idle: wait for the next poisson arrival
             time.sleep(min(0.002, max(0.0, arrivals[submitted]
@@ -474,23 +516,26 @@ def run_serving_sim(eng, n_reqs, rate, prompt_len, out_len, seed=0,
             1 for r in reqs[:submitted]
             if r.finished and r.finish_reason is not FinishReason.ABORT
         ),
-        "truncated": truncated,
+        "truncated": aborted or submitted < n_reqs,
     }
 
 
 def goodput(res, ttft_slo, itl_slo):
     """Completed (non-aborted) requests meeting BOTH the TTFT SLO and an
     interactivity SLO, per second (reference bench_serving.py goodput over
-    its ttft/tpot/itl SLO flags). Interactivity = per-request p90 of the
-    inter-DELIVERY gaps: with fused-readback burst delivery the stream
+    its ttft/tpot/itl SLO flags). Interactivity = per-request SECOND-LARGEST
+    inter-DELIVERY gap: with fused-readback burst delivery the stream
     arrives depth tokens at a time, so the gaps a client sees are flush
-    cycles — a prefill stall shows up as one outsized gap. p90 (not max)
-    forgives a single tunnel-latency spike but fails a request whose decode
-    repeatedly stalls behind monolithic prefills — the isolation property
-    semi-PD exists to provide. Mean TPOT is reported in summarize() but no
-    longer gates: it averages stalls away (round-2 postmortem: colocated
-    passed a 159ms mean-TPOT gate while freezing streams for ~190ms on
-    every prefill)."""
+    cycles — a prefill stall shows up as one outsized gap. The old p90
+    metric was degenerate at large ring depths (a request sees only a
+    handful of non-zero gaps among hundreds of burst-internal zeros, so p90
+    was always ~0 and goodput was purely TTFT-gated — round-4 verdict).
+    Second-largest forgives exactly one tunnel-latency spike but fails a
+    request whose decode repeatedly stalls behind prefills — the isolation
+    property semi-PD exists to provide. Mean TPOT is reported in
+    summarize() but does not gate: it averages stalls away (round-2
+    postmortem: colocated passed a 159ms mean-TPOT gate while freezing
+    streams for ~190ms on every prefill)."""
     import numpy as np
 
     from semi_pd_tpu.runtime.req import FinishReason
@@ -501,8 +546,8 @@ def goodput(res, ttft_slo, itl_slo):
         if len(ts) < 2 or not r.finished or r.finish_reason is FinishReason.ABORT:
             continue
         ttft = ts[0] - res["arrivals"][i]
-        gaps = np.diff(ts)
-        stall = float(np.percentile(gaps, 90))
+        gaps = np.sort(np.diff(ts))
+        stall = float(gaps[-2]) if len(gaps) >= 2 else float(gaps[-1])
         if ttft <= ttft_slo and stall <= itl_slo:
             ok += 1
     return ok / res["wall_s"]
@@ -551,18 +596,22 @@ def worker_main():
     import numpy as np
 
     # Long prompts: at 1B-class compute a prefill only stalls decode at
-    # SLO scale when a chunk carries several thousand tokens.
+    # SLO scale when a chunk carries several thousand tokens. Output
+    # lengths are a ShareGPT-style mix with MEAN out_mean (round-4 verdict:
+    # at out_len 64 the workload was structurally decode-light — 64 decode
+    # steps against a 3.5k prefill — and goodput was almost purely
+    # TTFT-gated; reference bench_serving.py uses realistic completions).
     prompt_len = int(os.environ.get("BENCH_PROMPT", "3584"))
-    out_len = int(os.environ.get("BENCH_OUT", "64"))
+    out_mean = int(os.environ.get("BENCH_OUT", "256"))
     # TTFT gate: fixed via env, else derived from the idle single-request
     # prefill latency measured after warmup (the achievable floor through
     # THIS attachment): a fixed 1s gate fails every request of both modes
     # when the tunnel adds ~44ms per flush cycle (round-2 observation).
     ttft_env = os.environ.get("BENCH_TTFT_SLO")
     ttft_slo = float(ttft_env) if ttft_env else 1.0
-    # ITL gate: fixed via env, else derived from the calibrated device speed
-    # — the attachment's step time varies 13-60ms run to run, so a fixed
-    # gate is meaningless.
+    # ITL gate: fixed via env, else derived from the PURE decode flush
+    # cycle after calibration (round-4 verdict: the old 1.5x-decode-SLO
+    # floor landed at 391ms — loose enough that ITL never gated goodput).
     itl_env = os.environ.get("BENCH_ITL_SLO")
     itl_slo = float(itl_env) if itl_env else 0.25
 
@@ -799,26 +848,32 @@ def worker_main():
         assert eng.flush_cache()
         cal_budget = max(12.0, min(40.0, remaining() - 2 * 35 - 15))
         cal = run_serving_sim(eng, n_reqs=12, rate=1e9, prompt_len=prompt_len,
-                              out_len=out_len, seed=123, budget_s=cal_budget)
+                              out_mean=out_mean, seed=123, budget_s=cal_budget)
         if cal["n_done"] >= 4 and cal["wall_s"] >= 1.0:
             cap_rps = cal["n_done"] / cal["wall_s"]
         else:
-            cap_rps = 2.0  # calibration unusable; conservative default
-            log("calibration unusable; falling back to 2 req/s capacity")
+            cap_rps = 1.0  # calibration unusable; conservative default
+            log("calibration unusable; falling back to 1 req/s capacity")
         cap_rps = min(cap_rps, 100.0)
+        # Capture-quality signal (round-4 verdict: the attachment oscillates
+        # 16-130 tok/s calibrated capacity; the orchestrator retries while
+        # the device is degraded, independent of the measured ratio).
+        state["detail"]["capacity_tok_s"] = round(cal["out_tok_s"], 1)
+        state["detail"]["capacity_rps"] = round(cap_rps, 3)
         log(f"calibration: capacity ~{cap_rps:.2f} req/s "
             f"({cal['out_tok_s']:.0f} tok/s, wall {cal['wall_s']:.1f}s, "
             f"done {cal['n_done']})")
+        s = eng.scheduler
+        pure_cycle = s._readback_cost + max(s.overlap_depth, 1) * s._decode_cost
         if not itl_env:
             # Interactivity gate in CYCLE units (goodput gates per-request
-            # p90 delivery gap): prefill may at most double the pure decode
-            # flush cycle (readback + depth decode steps, learned by the
-            # scheduler during calibration). Floored at 1.5x the decode SLO
-            # so a degraded attachment doesn't zero both schedulers.
-            slo_s = float(os.environ.get("BENCH_SLO_MS", "50")) / 1e3
-            s = eng.scheduler
-            pure_cycle = s._readback_cost + max(s.overlap_depth, 1) * s._decode_cost
-            itl_slo = max(2.0 * pure_cycle, 1.5 * slo_s)
+            # second-largest delivery gap): a request's steady gap is one
+            # pure decode flush cycle (readback + depth decode steps,
+            # learned by the scheduler during calibration); 3x leaves room
+            # for dispatch jitter but fails cycles that absorb a monolithic
+            # prefill (round-4 verdict: derive from the pure cycle, not
+            # 1.5x the decode SLO).
+            itl_slo = 3.0 * pure_cycle
             log(f"derived stall gate: {itl_slo*1e3:.0f}ms (pure decode cycle "
                 f"{pure_cycle*1e3:.0f}ms, cal tpot p50 "
                 f"{float(np.percentile(_tpots(cal), 50))*1e3:.0f}ms)")
@@ -828,22 +883,24 @@ def worker_main():
         # nominally stable so the queue drains.
         rate = float(os.environ.get("BENCH_RATE", 0.0)) or 0.9 * cap_rps
         state["rate"] = rate  # for the overload guard in partial_payload
-        # Each pass may overrun its budget by the +12s drain; budget both
-        # passes to FIT what remains (round-4 capture: a 30s floor
-        # overcommitted a 69s remainder and the second pass was killed
-        # mid-flight) — a short pass beats a lost one.
-        pass_budget = max(15.0, min(90.0, (remaining() - 50) / 2))
-        # Arrivals must FIT the pass (round-2 postmortem: a 40-req floor at
-        # 0.19 req/s spanned 210s of arrivals in a 30s pass — only the first
-        # 8 were served and goodput compared truncation artifacts).
+        # Size each pass so its window COMPLETES: arrivals span most of the
+        # budget, then the in-flight tail (~out_mean decode steps + one
+        # prefill) drains inside the drain window (round-4 verdict: never
+        # compare truncated windows).
+        cal_tpot = float(np.percentile(_tpots(cal), 50)) or 0.05
+        tail_est = min(30.0, out_mean * cal_tpot + t_pf + 3.0)
+        pass_budget = max(20.0, min(100.0, (remaining() - 40) / 2 - tail_est))
         n_reqs = int(os.environ.get("BENCH_REQS", 0)) or int(
-            min(200, max(8, rate * pass_budget * 0.8)))
+            min(200, max(8, rate * pass_budget * 0.9)))
+        drain_s = max(15.0, 1.5 * tail_est)
         log(f"operating point: rate={rate:.2f} req/s n={n_reqs} "
-            f"pass_budget={pass_budget:.0f}s")
+            f"pass_budget={pass_budget:.0f}s tail_est={tail_est:.0f}s")
         state["detail"]["operating_point"] = {
             "rate_rps": round(rate, 3), "n_reqs": n_reqs,
-            "prompt_len": prompt_len, "out_len": out_len,
+            "prompt_len": prompt_len, "out_mean": out_mean,
             "ttft_slo_s": ttft_slo, "itl_slo_s": itl_slo,
+            "pure_cycle_ms": round(pure_cycle * 1e3, 1),
+            "tail_est_s": round(tail_est, 1),
             "tunnel_warmup_s": round(t_tunnel, 1),
         }
 
@@ -875,10 +932,9 @@ def worker_main():
             # Size the pass to the time actually left: a shorter complete
             # pass at the same rate yields a valid goodput ratio; mid-
             # stream truncation does not (round-4: semi-PD cut at 35/95).
-            n_pass = n_reqs
-            if semi:
-                avail = max(20.0, min(pass_budget, remaining() - 35.0))
-                n_pass = max(20, min(n_reqs, int(rate * (avail - 10.0))))
+            avail = max(20.0, min(
+                pass_budget, remaining() - tail_est - 25.0))
+            n_pass = max(12, min(n_reqs, int(rate * avail * 0.9)))
             budgets = []
             if semi:  # record the controller's actual chunk budgets
                 orig_budget = eng.scheduler._prefill_chunk_budget
@@ -886,8 +942,9 @@ def worker_main():
                     lambda o=orig_budget: (budgets.append(o()) or budgets[-1])
                 )
             res = run_serving_sim(
-                eng, n_pass, rate, prompt_len, out_len, seed=0,
-                budget_s=min(pass_budget, max(12.0, remaining() - 22.0)))
+                eng, n_pass, rate, prompt_len, out_mean, seed=0,
+                budget_s=min(avail, max(15.0, remaining() - tail_est - 12.0)),
+                drain_s=drain_s)
             results[mode] = res
             state["detail"][mode] = summarize(res, ttft_slo, itl_slo)
             s = eng.scheduler
@@ -908,18 +965,19 @@ def worker_main():
         sweep = []
         if not os.environ.get("BENCH_SKIP_SWEEP"):
             for mult in (1.3, 0.45):
-                need = 2 * (n_reqs / rate * 0.75 + 12)
+                need = 2 * (n_reqs / rate * 0.75 + tail_est)
                 if remaining() < need + 25:
                     break
                 set_phase(f"sweep_{mult}")
                 r2 = rate * mult
-                n2 = max(30, int(n_reqs * min(mult, 1.0)))
+                n2 = max(20, int(n_reqs * min(mult, 1.0)))
                 row = {"rate_rps": round(r2, 2)}
                 for mode, semi in (("colocated", False), ("semi_pd", True)):
                     swap_scheduler(eng, semi)
                     res = run_serving_sim(
-                        eng, n2, r2, prompt_len, out_len,
-                        seed=7, budget_s=min(60.0, remaining() - 15))
+                        eng, n2, r2, prompt_len, out_mean,
+                        seed=7, budget_s=min(60.0, remaining() - tail_est - 10),
+                        drain_s=drain_s)
                     row[mode] = summarize(res, ttft_slo, itl_slo)
                 sweep.append(row)
                 log(f"sweep x{mult}: {json.dumps(row)}")

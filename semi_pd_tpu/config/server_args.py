@@ -138,6 +138,27 @@ class ServerArgs:
     decode_slo_ms: float = 50.0  # target TPOT; bounds prefill chunk per tick
     prefill_chunk_budget_tokens: Optional[int] = None  # override auto chunk bound
     semi_pd_prefill_share: float = 0.8  # fraction of a tick prefill may occupy
+    # Interference bound RELATIVE to the pure decode flush cycle: prefill may
+    # inflate the client-visible token-burst gap by at most this factor over
+    # a decode-only cycle (readback + depth decode steps). This is what makes
+    # semi-PD dominate — never merely trade against — the colocated baseline
+    # on ITL: when decode_slo_ms leaves lots of slack, the stretch bound
+    # still caps visible interference; when the SLO is unattainable, the
+    # stretch bound is scale-free and degrades gracefully (reference MPS
+    # SM-split analog: prefill always gets its share, engine.py:591-642).
+    semi_pd_max_cycle_stretch: float = 1.35
+    # Absolute per-flush-cycle grace added to the stretch allowance: on a
+    # fast device a purely relative bound over-throttles (a 5 ms prompt is
+    # 5x a 1 ms cycle yet invisible against any human SLO); 1 ms/cycle is
+    # negligible against the tunneled attachment's ~200 ms cycles.
+    semi_pd_stretch_grace_ms: float = 1.0
+    # Per-chunk useful compute must be at least this multiple of the fixed
+    # chunk dispatch overhead before a chunk is dispatched; the per-tick
+    # allowance banks in a deficit counter until a chunk of that size is
+    # affordable (round-4 driver data: dispatching one small chunk EVERY
+    # tick made semi-PD ITL p95 worse than colocated — the per-chunk
+    # overhead exceeded the interference it prevented).
+    semi_pd_min_chunk_duty: float = 3.0
 
     # Parallelism (mesh)
     tp_size: int = 1

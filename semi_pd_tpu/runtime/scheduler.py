@@ -133,6 +133,10 @@ class Scheduler:
         self._prefill_overhead = 3e-3
         self._decode_cost = 5e-3
         self._readback_cost = 5e-3
+        # Banked prefill interference allowance (seconds) — see
+        # _prefill_chunk_budget. Seeded at one chunk-overhead so the first
+        # chunk after a quiet period does not wait for the bank to fill.
+        self._prefill_deficit = self._prefill_overhead
         # Full wall time of a decode-only flush cycle INCLUDING the readback
         # wait. With async dispatch the device executes during the readback
         # wait, so per-step wall times are meaningless (observed: decode
@@ -322,17 +326,18 @@ class Scheduler:
         return self._flush_ring()
 
     def _tick_semi_pd(self) -> List[Tuple[Req, int]]:
-        """Decode first (cadence guaranteed), then one SLO-bounded prefill
-        chunk on the same unified storage. Cost EWMAs are fed by flush-cycle
-        accounting (_account_costs) — with async dispatch, per-call wall
-        times no longer measure device work."""
+        """Decode first (cadence guaranteed), then at most one bounded
+        prefill chunk on the same unified storage. Cost EWMAs are fed by
+        flush-cycle accounting (_account_costs) — with async dispatch,
+        per-call wall times no longer measure device work."""
         out = []
         if self.running or self._ring:
             out += self._run_decode()
 
         budget = self._prefill_chunk_budget()
-        extend = self._form_extend_batch(budget)
+        extend = self._form_extend_batch(budget) if budget > 0 else None
         if extend is not None:
+            self._note_prefill_dispatch(sum(n for _, n in extend))
             out += self._run_extend(extend)
         if not out and not extend and self._held and not (
                 self.running or self._ring):
@@ -341,13 +346,31 @@ class Scheduler:
         return out
 
     def _prefill_chunk_budget(self) -> int:
-        """The MPS-%-equivalent knob: tokens of prefill allowed per tick.
+        """The MPS-%-equivalent knob: tokens of prefill allowed NOW (0 =
+        skip prefill this tick and keep banking allowance).
 
         With the in-flight ring, one flush delivers ``overlap_depth`` decode
         tokens at once, so the observed ITL is the whole flush cycle:
-        depth x (decode step + prefill chunk) + one readback. The per-tick
-        slack is therefore the SLO divided by depth, minus the amortized
-        readback, minus the decode step itself."""
+        depth x (decode step + prefill chunk) + one readback. Two bounds
+        shape the per-tick interference allowance:
+
+        * **Cycle stretch** (semi_pd_max_cycle_stretch): prefill may inflate
+          the flush cycle at most ``stretch``x over the decode-only base —
+          a scale-free bound that holds at every device-health state, and
+          the reason semi-PD dominates (never merely trades against) the
+          colocated baseline on ITL.
+        * **SLO slack** (decode_slo_ms): when the absolute per-token SLO is
+          tighter than the stretch bound, it wins; when it is unattainable
+          (the pure decode cycle alone exceeds it), the stretch bound still
+          grants prefill its proportional share (reference MPS SM-split
+          behavior, engine.py:591-642).
+
+        The allowance accrues in a deficit counter across ticks and is only
+        spent when it affords a chunk whose useful compute is at least
+        ``semi_pd_min_chunk_duty`` x the fixed dispatch overhead — banking
+        beats dribbling one overpriced page-sized chunk per tick (round-4
+        driver capture: per-tick chunks made semi-PD ITL p95 WORSE than
+        colocated at moderate load)."""
         if self.args.prefill_chunk_budget_tokens:
             return min(
                 self.args.prefill_chunk_budget_tokens, self.args.chunked_prefill_size
@@ -356,38 +379,79 @@ class Scheduler:
             # No decode cadence to protect: full-size chunks.
             return self.args.chunked_prefill_size
         depth = max(self.overlap_depth, 1)
+        per_tick_pure = self._cycle_base / depth
+        stretch_allow = (
+            max(self.args.semi_pd_max_cycle_stretch - 1.0, 0.0) * per_tick_pure
+            + self.args.semi_pd_stretch_grace_ms / 1e3 / depth
+        )
         # Cycle framing: clients receive `depth` tokens per flush cycle, so
         # the SLO constrains the WHOLE cycle: depth*slo >= cycle_base +
         # depth*chunk_time. Per-tick slack:
         slo_cycle = self.args.decode_slo_ms / 1e3 * depth
-        slack = (
+        slo_slack = (
             (slo_cycle - self._cycle_base) / depth
         ) * self.args.semi_pd_prefill_share
-        # If the SLO is unattainable (the decode cycle alone exceeds it),
-        # degrade to MPS-style proportional sharing — the reference's SM
-        # split always grants prefill its share of the device regardless of
-        # latency: prefill may occupy share/(1-share) x the decode time.
-        share = self.args.semi_pd_prefill_share
-        floor_time = (self._cycle_base / depth) * share / max(1.0 - share, 0.05)
-        budget_time = max(slack, floor_time)
-        # Overhead may consume at most a quarter of the budget: the EWMA
-        # is learned from noisy cycle residuals and an inflated value would
+        if slo_slack <= 0:
+            # SLO unattainable: the scale-free stretch bound alone governs.
+            allow = stretch_allow
+        else:
+            # Both bounds live: the tighter one wins, floored at a quarter
+            # of the stretch allowance so a barely-attainable SLO does not
+            # starve prefill below its proportional share.
+            allow = min(stretch_allow, max(slo_slack, 0.25 * stretch_allow))
+        # Split-flush overlap: the cycle's one blocking readback executes
+        # held extend chunks on-device underneath the D2H latency — that
+        # window is free prefill time. Credit its per-tick share on top of
+        # the visible-time allowance.
+        hidden = (self._readback_cost / depth) if self.enable_overlap else 0.0
+        # Bank the allowance; cap at one full-size chunk so idle stretches
+        # cannot bank an unbounded stall.
+        cost = max(self._prefill_cost_per_token, 1e-9)
+        bank_cap = (
+            self._prefill_overhead
+            + self.args.chunked_prefill_size * cost
+        )
+        self._prefill_deficit = min(
+            self._prefill_deficit + allow + hidden, bank_cap
+        )
+        # Overhead may consume at most 1/(1+duty) of the spend: the EWMA is
+        # learned from noisy cycle residuals and an inflated value would
         # otherwise zero the chunk permanently (observed: host think-time
         # attribution drove it to 91ms -> 16-token chunks -> ever-smaller
         # cycles confirming the bad estimate — a starvation spiral).
-        ovh = min(self._prefill_overhead, 0.25 * budget_time)
-        # Split-flush overlap: the cycle's one blocking readback executes
-        # the held extend chunk on-device underneath the D2H latency — that
-        # window is free prefill time. Credit its per-tick share on top of
-        # the visible-time budget.
-        hidden = (self._readback_cost / depth) if self.enable_overlap else 0.0
-        tokens = int(
-            (budget_time - ovh + hidden)
-            / max(self._prefill_cost_per_token, 1e-9)
-        )
+        ovh = min(self._prefill_overhead, 0.5 * self._prefill_deficit)
+        tokens = int((self._prefill_deficit - ovh) / cost)
         tokens = (tokens // self.page_size) * self.page_size
-        # Minimum one page per tick: prefill always makes progress.
-        return max(min(tokens, self.args.chunked_prefill_size), self.page_size)
+        min_tokens = max(
+            self.page_size,
+            min(
+                int(self.args.semi_pd_min_chunk_duty * self._prefill_overhead
+                    / cost) // self.page_size * self.page_size,
+                # never demand more than one chunk can carry
+                self.args.chunked_prefill_size,
+            ),
+        )
+        if self.waiting:
+            # A chunk that FINISHES a waiting prompt is worth dispatching
+            # below the duty floor: its stall cost can never exceed the
+            # monolithic stall the colocated baseline would have paid.
+            head_need = min(
+                max(r.prompt_len - r.prefilled_len, 1)
+                for r in list(self.waiting)[:8]
+            )
+            head_need = -(-head_need // self.page_size) * self.page_size
+            min_tokens = min(min_tokens, head_need)
+        if tokens < min_tokens:
+            return 0  # keep banking
+        return min(tokens, self.args.chunked_prefill_size)
+
+    def _note_prefill_dispatch(self, n_tokens: int) -> None:
+        """Spend the banked interference allowance for a dispatched chunk
+        (the admitted token count may be below the granted budget)."""
+        if not self.running:
+            return  # free chunk: no decode cadence was at stake
+        spent = self._prefill_overhead + n_tokens * self._prefill_cost_per_token
+        self._prefill_deficit = max(0.0, self._prefill_deficit - spent)
 
     # ================================================================ prefill
     def _form_extend_batch(self, token_budget: int) -> Optional[List[Tuple[Req, int]]]:

@@ -48,18 +48,24 @@ class CadenceSim:
     """Replays the semi-PD tick/flush cadence against the real controller,
     charging the injected cost model instead of running the device."""
 
-    def __init__(self, sched, prefill_tokens):
+    def __init__(self, sched, prefill_tokens, decode_cost=DECODE_COST,
+                 chunk_overhead=CHUNK_OVERHEAD, cost_per_token=COST_PER_TOKEN,
+                 readback=READBACK_COST):
         self.s = sched
         self.remaining = prefill_tokens
+        self.decode_cost = decode_cost
+        self.chunk_overhead = chunk_overhead
+        self.cost_per_token = cost_per_token
+        self.readback = readback
         self.t = 0.0  # simulated wall clock
         self.decode_deliveries = []  # times at which decode tokens reach host
         self.chunks = []  # (budget_at_dispatch, n, slack_feasible)
-        self.s._readback_cost = READBACK_COST  # measured on first flush IRL
+        self.s._readback_cost = readback  # measured on first flush IRL
         # the scheduler believes there is one running decode stream
         self.s.running = [object()]
 
     def chunk_cost(self, n):
-        return CHUNK_OVERHEAD + COST_PER_TOKEN * n
+        return self.chunk_overhead + self.cost_per_token * n
 
     def run(self, n_cycles):
         depth = self.s.overlap_depth
@@ -67,27 +73,29 @@ class CadenceSim:
             entries, cycle_dt = [], 0.0
             for _ in range(depth):
                 # decode step (dispatched; lands at next flush)
-                cycle_dt += DECODE_COST
+                cycle_dt += self.decode_cost
                 entries.append(_RingEntry(
                     kind="decode", hb=None, tokens=None, logprobs=None,
                     epochs=[]))
-                # SLO-bounded prefill chunk
+                # bounded prefill chunk — budget 0 means "keep banking"
                 if self.remaining > 0:
                     budget = self.s._prefill_chunk_budget()
-                    n = min(budget, self.remaining)
-                    self.remaining -= n
-                    cycle_dt += self.chunk_cost(n)
-                    entries.append(_RingEntry(
-                        kind="extend", hb=None, tokens=None, logprobs=None,
-                        epochs=[], admitted=[(None, n)]))
-                    self.chunks.append((budget, n))
+                    if budget > 0:
+                        n = min(budget, self.remaining)
+                        self.remaining -= n
+                        self.s._note_prefill_dispatch(n)
+                        cycle_dt += self.chunk_cost(n)
+                        entries.append(_RingEntry(
+                            kind="extend", hb=None, tokens=None, logprobs=None,
+                            epochs=[], admitted=[(None, n)]))
+                        self.chunks.append((budget, n))
             # flush: readback, then all `depth` decode tokens reach the host
-            self.t += cycle_dt + READBACK_COST
+            self.t += cycle_dt + self.readback
             for _ in range(depth):
                 self.decode_deliveries.append(self.t)
             # accounting sees the FULL cycle wall incl. the readback wait
             # (async dispatch hides device work inside it)
-            self.s._account_costs(entries, cycle_dt + READBACK_COST)
+            self.s._account_costs(entries, cycle_dt + self.readback)
 
     def itl_p95(self, skip_cycles=3):
         d = self.s.overlap_depth
@@ -119,24 +127,119 @@ def test_decode_itl_bounded_under_8k_prefill():
     assert mean_chunk >= 8 * sched.page_size, f"chunk spiral: mean {mean_chunk}"
 
 
-def test_budget_respects_feasible_slack():
-    """When slack-based sizing is feasible, the chunk the controller grants
-    must FIT the slack under the true cost model — no floor may push a chunk
-    past the SLO (round-1 verdict: the 1/8-chunk floor could)."""
-    slo_ms = 150.0
-    sched = make_scheduler(decode_slo_ms=slo_ms)
-    sim = CadenceSim(sched, prefill_tokens=32768)
-    sim.run(30)
+def test_cycle_stretch_bounds_interference():
+    """The scale-free isolation contract: across any converged window, the
+    time spent on prefill chunks may inflate the decode flush cycles by at
+    most ``semi_pd_max_cycle_stretch`` (plus the readback-hidden credit,
+    which on real hardware executes under the D2H wait) — even when the
+    absolute SLO would allow far more."""
+    sched = make_scheduler(decode_slo_ms=500.0)  # SLO slack huge: stretch governs
+    sim = CadenceSim(sched, prefill_tokens=1 << 20)  # never drains
+    sim.run(5)  # converge EWMAs
+    t0, chunks0 = sim.t, len(sim.chunks)
+    n_cycles = 40
+    sim.run(n_cycles)
     depth = sched.overlap_depth
-    share = sched.args.semi_pd_prefill_share
-    # cycle framing: depth tokens per cycle; base = decodes + readback
-    cycle_base = depth * DECODE_COST + READBACK_COST
-    slack = ((slo_ms / 1e3 * depth - cycle_base) / depth) * share
-    assert slack > sim.chunk_cost(sched.page_size), "scenario must be feasible"
-    for budget, _n in sim.chunks[3 * depth:]:
-        assert sim.chunk_cost(budget) <= slack * 1.3, (
-            f"granted chunk {budget} costs {sim.chunk_cost(budget)*1e3:.1f}ms "
-            f"> feasible slack {slack*1e3:.1f}ms"
+    window = sim.t - t0
+    chunk_time = sum(
+        sim.chunk_cost(n) for _, n in sim.chunks[chunks0:]
+    )
+    pure = n_cycles * (depth * DECODE_COST + READBACK_COST)
+    stretch = sched.args.semi_pd_max_cycle_stretch
+    hidden_credit = n_cycles * READBACK_COST  # one readback hideable per cycle
+    allowed = (stretch - 1.0) * pure + hidden_credit
+    assert chunk_time <= allowed * 1.25, (
+        f"prefill consumed {chunk_time*1e3:.0f}ms over {window*1e3:.0f}ms — "
+        f"exceeds the stretch bound ({allowed*1e3:.0f}ms allowance)"
+    )
+    # ... while still making real progress (no starvation under the bound)
+    assert sum(n for _, n in sim.chunks[chunks0:]) > 0
+
+
+def _colocated_deliveries(sched, prompt_tokens, prompt_at_cycle, n_cycles,
+                          decode_cost, chunk_overhead, cost_per_token,
+                          readback):
+    """Replay of _tick_colocated's policy under the same injected costs:
+    when an extend batch can form it runs ALONE at full chunked_prefill_size
+    (monolithic chunks, decode waits) — the reference event_loop_normal
+    baseline (scheduler.py:540)."""
+    depth = sched.overlap_depth
+    t, deliveries, remaining = 0.0, [], 0
+    for cycle in range(n_cycles):
+        if cycle == prompt_at_cycle:
+            remaining = prompt_tokens
+        cycle_dt = 0.0
+        while remaining > 0:  # prefill-priority: drains before any decode
+            n = min(sched.args.chunked_prefill_size, remaining)
+            remaining -= n
+            cycle_dt += chunk_overhead + cost_per_token * n
+        cycle_dt += depth * decode_cost
+        t += cycle_dt + readback
+        deliveries.extend([t] * depth)
+    return np.asarray(deliveries)
+
+
+def test_semi_pd_dominates_colocated_itl():
+    """Round-4 driver regression, gated: at a LOW-interference operating
+    point (cheap decode, tiny readback, a single medium prompt) the old
+    per-tick chunk dribble paid the chunk-dispatch overhead every tick and
+    made semi-PD's ITL WORSE than colocated's. With deficit banking +
+    duty-bounded chunks, semi-PD's worst delivery gap must be <= colocated's
+    at the same injected costs — the design dominates, it does not trade."""
+    decode_cost, chunk_overhead, cost_per_token, readback = (
+        5e-3, 3e-3, 40e-6, 1e-3)
+    prompt = 512
+
+    sched = make_scheduler(decode_slo_ms=500.0)
+    sim = CadenceSim(sched, 0, decode_cost=decode_cost,
+                     chunk_overhead=chunk_overhead,
+                     cost_per_token=cost_per_token, readback=readback)
+    sim.run(5)  # converge EWMAs on pure decode
+    sim.remaining = prompt
+    guard = 0
+    while sim.remaining > 0:
+        sim.run(1)
+        guard += 1
+        assert guard < 200, "prompt never drained under semi-PD"
+    sim.run(2)
+    # slice from the last warm delivery so the first post-prompt cycle's
+    # gap (the stall candidate) stays in the diff
+    semi_gaps = np.diff(sim.decode_deliveries[5 * sched.overlap_depth - 1:])
+    semi_gaps = semi_gaps[semi_gaps > 1e-9]  # burst-internal zeros
+
+    sched2 = make_scheduler(decode_slo_ms=500.0)
+    sched2.overlap_depth = sched.overlap_depth
+    colo = _colocated_deliveries(
+        sched2, prompt, prompt_at_cycle=5, n_cycles=5 + guard + 2,
+        decode_cost=decode_cost, chunk_overhead=chunk_overhead,
+        cost_per_token=cost_per_token, readback=readback)
+    colo_gaps = np.diff(colo[5 * sched2.overlap_depth - 1:])
+    colo_gaps = colo_gaps[colo_gaps > 1e-9]
+
+    assert semi_gaps.max() <= colo_gaps.max() * 1.02, (
+        f"semi-PD worst gap {semi_gaps.max()*1e3:.1f}ms > colocated "
+        f"{colo_gaps.max()*1e3:.1f}ms — isolation is causing the stalls "
+        f"it exists to prevent"
+    )
+    assert np.percentile(semi_gaps, 95) <= np.percentile(colo_gaps, 95) * 1.02
+
+
+def test_no_chunk_below_duty_floor():
+    """While decode runs, every dispatched chunk must amortize its fixed
+    overhead: useful compute >= semi_pd_min_chunk_duty x overhead (the
+    round-4 ITL regression was exactly sub-duty chunks every tick)."""
+    sched = make_scheduler(decode_slo_ms=150.0)
+    sim = CadenceSim(sched, prefill_tokens=16384)
+    sim.run(30)
+    duty = sched.args.semi_pd_min_chunk_duty
+    # The floor is computed with grant-time EWMA estimates (which drift as
+    # the model converges) and page-rounded, so assert within a 2x band —
+    # the regression being gated was page-sized (16-token) chunks, 10x+
+    # below any duty floor.
+    for budget, _n in sim.chunks:
+        assert (budget * sched._prefill_cost_per_token
+                >= duty * sched._prefill_overhead * 0.5), (
+            f"granted chunk {budget} below the duty floor"
         )
 
 
@@ -150,9 +253,10 @@ def test_cost_model_converges():
 
 
 def test_infeasible_slo_degrades_to_proportional():
-    """SLO below one decode step: the controller must degrade to
-    proportional sharing (prefill still progresses >= one page per tick,
-    never starves) instead of chasing an unattainable bound."""
+    """SLO below one decode step: the controller must degrade to the
+    scale-free stretch bound (prefill keeps its proportional share, banked
+    into duty-sized chunks — never starves) instead of chasing an
+    unattainable absolute bound."""
     sched = make_scheduler(decode_slo_ms=4.0)  # < DECODE_COST per tick
     sim = CadenceSim(sched, prefill_tokens=4096)
     n_cycles = 0

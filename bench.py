@@ -847,14 +847,30 @@ def worker_main():
         set_phase("calibrate")
         assert eng.flush_cache()
         cal_budget = max(12.0, min(40.0, remaining() - 2 * 35 - 15))
-        cal = run_serving_sim(eng, n_reqs=12, rate=1e9, prompt_len=prompt_len,
+        cal = run_serving_sim(eng, n_reqs=16, rate=1e9, prompt_len=prompt_len,
                               out_mean=out_mean, seed=123, budget_s=cal_budget)
         if cal["n_done"] >= 4 and cal["wall_s"] >= 1.0:
             cap_rps = cal["n_done"] / cal["wall_s"]
         else:
             cap_rps = 1.0  # calibration unusable; conservative default
             log("calibration unusable; falling back to 1 req/s capacity")
-        cap_rps = min(cap_rps, 100.0)
+        # The burst-derived capacity badly UNDER-estimates a decode-heavy
+        # workload's sustainable rate (a 16-way burst's wall is dominated by
+        # its longest serial decode; steady-state decode throughput scales
+        # with concurrency) — round-5 capture: burst said 0.79 rps while the
+        # device cruised both passes at 100% goodput. The regime the paper
+        # targets (decode cadence under prefill pressure, evaluation/*.sh
+        # rates 5-15 on ShareGPT) starts where prefill occupies a real share
+        # of device time, so floor the rate at BENCH_PREFILL_UTIL x the
+        # measured prefill-rate bound (1 / per-request prefill seconds).
+        sch = eng.scheduler
+        prefill_s = (sch._prefill_overhead
+                     + prompt_len * sch._prefill_cost_per_token)
+        prefill_util = float(os.environ.get("BENCH_PREFILL_UTIL", "0.55"))
+        analytic_rps = prefill_util / max(prefill_s, 1e-3)
+        cap_rps = min(max(cap_rps, analytic_rps), 100.0)
+        state["detail"]["prefill_s"] = round(prefill_s, 4)
+        state["detail"]["analytic_rps"] = round(analytic_rps, 3)
         # Capture-quality signal (round-4 verdict: the attachment oscillates
         # 16-130 tok/s calibrated capacity; the orchestrator retries while
         # the device is degraded, independent of the measured ratio).
@@ -890,8 +906,13 @@ def worker_main():
         cal_tpot = float(np.percentile(_tpots(cal), 50)) or 0.05
         tail_est = min(30.0, out_mean * cal_tpot + t_pf + 3.0)
         pass_budget = max(20.0, min(100.0, (remaining() - 40) / 2 - tail_est))
+        # Aggregate decode demand must be deliverable inside the pass:
+        # n * out_mean <= deliverable tokens (cal throughput with ~2x
+        # concurrency headroom — decode throughput scales with batch).
+        tok_cap = max(cal["out_tok_s"], 1.0) * 2.0
+        n_tok_bound = int(tok_cap * pass_budget * 0.8 / max(out_mean, 1))
         n_reqs = int(os.environ.get("BENCH_REQS", 0)) or int(
-            min(200, max(8, rate * pass_budget * 0.9)))
+            min(200, n_tok_bound, max(8, rate * pass_budget * 0.9)))
         drain_s = max(15.0, 1.5 * tail_est)
         log(f"operating point: rate={rate:.2f} req/s n={n_reqs} "
             f"pass_budget={pass_budget:.0f}s tail_est={tail_est:.0f}s")

@@ -42,128 +42,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e30
 
-
-class AttnMeta(NamedTuple):
-    """Host-precomputed ragged-attention metadata (all int32 device arrays).
-
-    q_lens/q_start: per sequence [B] — number of new (query) tokens and the
-    absolute position of the first one. block_*: the query-block work list
-    [NQB] (padded with seq = -1)."""
-
-    q_lens: jax.Array
-    q_start: jax.Array
-    block_seq: jax.Array
-    block_row: jax.Array
-    block_qofs: jax.Array
-
-
-def make_attn_meta_host(
-    q_lens: np.ndarray, T: int, q_block_size: int
-) -> tuple:
-    """Build the work list on the host (numpy). Returns (block_seq,
-    block_row, block_qofs) padded to the static bucket size
-    ``num_q_blocks(T, B, q_block_size)``."""
-    B = len(q_lens)
-    nqb = num_q_blocks(T, B, q_block_size)
-    block_seq = np.full(nqb, -1, np.int32)
-    block_row = np.zeros(nqb, np.int32)
-    block_qofs = np.zeros(nqb, np.int32)
-    i = 0
-    row = 0
-    for b in range(B):
-        n = int(q_lens[b])
-        for ofs in range(0, n, q_block_size):
-            block_seq[i] = b
-            block_row[i] = row + ofs
-            block_qofs[i] = ofs
-            i += 1
-        row += n
-    return block_seq, block_row, block_qofs
-
-
-def num_q_blocks(T: int, B: int, q_block_size: int) -> int:
-    """Static upper bound on work-list length: every sequence contributes at
-    most one partial block; full blocks are bounded by T // q_block_size."""
-    return min(T // q_block_size + B, (T + q_block_size - 1) // q_block_size + B)
-
-
-def _spec_tree_mask(valid, spec_anc, win_base, q_abs, kv_pos):
-    """Refine the causal mask with the static speculation-tree ancestor
-    bitmasks (speculative/tree.py): kv slots inside the window
-    [win_base, win_base + W) are visible to a q row only if the row's
-    ancestor bit for that slot is set. q_abs must be SLOT-ORDER positions
-    (BFS node index relative to win_base), which makes plain causal a
-    superset of the tree mask outside the window."""
-    W = len(spec_anc)
-    win_q = q_abs - win_base
-    # int32 select-chain gather of the static mask table (no vector gather
-    # on Mosaic); trees are capped at 31 nodes so masks stay positive i32,
-    # and the bit test lowers to shift+and+cmp (trunci-to-i1 is unsupported).
-    bits = jnp.zeros(win_q.shape, jnp.int32)
-    for idx, a in enumerate(spec_anc):
-        bits = jnp.where(win_q == idx, jnp.int32(a), bits)
-    win_kv = kv_pos - win_base
-    in_win = (win_kv >= 0) & (win_kv < W)
-    shift = jnp.clip(win_kv, 0, 31)
-    tree_ok = (jax.lax.shift_right_logical(bits, shift) & 1) > 0
-    return valid & (~in_win | tree_ok)
-
-
-def _kv_block_copies(
-    page_table_ref, bsafe, block_idx, ppb, page_size, specs, wait
-):
-    """Issue (wait=False) or await (wait=True) the KV-block gather.
-
-    specs: list of (hbm_ref, row_base, dst_block_ref, sem) — one entry per
-    pool component (K and V for the aligned layout, one combined row for the
-    chunked layout, one latent row for MLA).
-
-    Decode attention on this hardware is DMA-ISSUE-bound, not
-    bandwidth-bound: bench_kernels measured ~150-230ns per page copy
-    (page_size 16 → 32KB transfers take ~40ns of wire time), capping the
-    per-page gather at ~19%% of HBM roofline. When the block's ppb pages are
-    consecutive pool slots — the common case, since the allocator hands out
-    runs and prefill allocates a request's pages at once — ONE copy of the
-    whole KVBLK replaces ppb page copies. The predicate is recomputed from
-    the scalar-prefetched page table on the wait side so start/wait branch
-    identically (symmetric semaphore accounting, valid in interpret mode
-    too, where semaphores count per-copy rather than per-byte)."""
-    if ppb == 1:
-        page = page_table_ref[bsafe, block_idx]
-        for hbm, base, dst, sem in specs:
-            src = hbm.at[pl.ds((0 if wait else base + page * page_size),
-                               page_size)]
-            cp = pltpu.make_async_copy(src, dst, sem)
-            (cp.wait if wait else cp.start)()
-        return
-    first = page_table_ref[bsafe, block_idx * ppb]
-    contig = page_table_ref[bsafe, block_idx * ppb + 1] == first + 1
-    for p in range(2, ppb):
-        contig &= page_table_ref[bsafe, block_idx * ppb + p] == first + p
-
-    KVBLK = ppb * page_size
-
-    @pl.when(contig)
-    def _():
-        for hbm, base, dst, sem in specs:
-            src = hbm.at[pl.ds((0 if wait else base + first * page_size),
-                               KVBLK)]
-            cp = pltpu.make_async_copy(src, dst, sem)
-            (cp.wait if wait else cp.start)()
-
-    @pl.when(~contig)
-    def _():
-        for p in range(ppb):
-            page = page_table_ref[bsafe, block_idx * ppb + p]
-            for hbm, base, dst, sem in specs:
-                src = hbm.at[pl.ds(
-                    (0 if wait else base + page * page_size), page_size)]
-                cp = pltpu.make_async_copy(
-                    src, dst.at[pl.ds(p * page_size, page_size)], sem)
-                (cp.wait if wait else cp.start)()
-
+from semi_pd_tpu.ops.attention.rpa_common import (  # noqa: F401 (re-export)
+    NEG_INF,
+    AttnMeta,
+    _kv_block_copies,
+    _spec_tree_mask,
+    make_attn_meta_host,
+    num_q_blocks,
+)
+from semi_pd_tpu.ops.attention.rpa_packed import (  # noqa: F401 (re-export)
+    ragged_paged_attention_chunked_packed,
+    ragged_paged_attention_packed,
+)
 
 def _rpa_kernel(
     # scalar prefetch
@@ -407,215 +298,6 @@ def _rpa_kernel(
 
 
 
-def _rpa_kernel_stream(
-    # scalar prefetch (same 10 as _rpa_kernel)
-    layer_ref, num_slots_ref, page_table_ref, kv_lens_ref, q_lens_ref,
-    q_start_ref, block_seq_ref, block_row_ref, block_qofs_ref, win_base_ref,
-    q_hbm, kv_hbm, out_hbm,
-    q_buf, k_buf, v_buf, o_buf, m_scr, l_scr, acc_scr, st,
-    q_sem, kv_sems, o_sem,
-    *, page_size, QBLK, KVBLK, NBUF, scale, logit_cap, ncomp, v_dim,
-):
-    """Cross-request streaming variant of _rpa_kernel (aligned / MLA
-    layouts). Same global kv-block stream + SMEM fetch state machine as
-    _rpa_kernel_chunked_stream (see its docstring); the flash math is the
-    [Hkv, QG] form of _rpa_kernel."""
-    i = pl.program_id(0)
-    NQB = pl.num_programs(0)
-    ppb = KVBLK // page_size
-    layer = layer_ref[0]
-    S = num_slots_ref[0]
-    k_base = (layer * ncomp + 0) * S
-    v_base = (layer * ncomp + 1) * S if ncomp == 2 else k_base
-
-    def nblk(idx):
-        bb = block_seq_ref[jnp.minimum(idx, NQB - 1)]
-        kvl = kv_lens_ref[jnp.maximum(bb, 0)]
-        n = (kvl + KVBLK - 1) // KVBLK
-        return jnp.where(bb >= 0, n, 0)
-
-    def start_block_dma(req_idx, blk, slot):
-        bb = jnp.maximum(block_seq_ref[req_idx], 0)
-        for p in range(ppb):
-            page = page_table_ref[bb, blk * ppb + p]
-            dst = pl.ds(p * page_size, page_size)
-            pltpu.make_async_copy(
-                kv_hbm.at[pl.ds(k_base + page * page_size, page_size)],
-                k_buf.at[slot, dst], kv_sems.at[slot, 0],
-            ).start()
-            if v_dim is None:
-                pltpu.make_async_copy(
-                    kv_hbm.at[pl.ds(v_base + page * page_size, page_size)],
-                    v_buf.at[slot, dst], kv_sems.at[slot, 1],
-                ).start()
-
-    def wait_block_dma(slot):
-        for p in range(ppb):
-            dst = pl.ds(p * page_size, page_size)
-            pltpu.make_async_copy(
-                kv_hbm.at[pl.ds(0, page_size)], k_buf.at[slot, dst],
-                kv_sems.at[slot, 0],
-            ).wait()
-            if v_dim is None:
-                pltpu.make_async_copy(
-                    kv_hbm.at[pl.ds(0, page_size)], v_buf.at[slot, dst],
-                    kv_sems.at[slot, 1],
-                ).wait()
-
-    def issue_next():
-        def cond(c):
-            r, bk = c
-            return (r < NQB) & (bk >= nblk(r))
-
-        def step(c):
-            r, _ = c
-            return r + 1, jnp.zeros((), jnp.int32)
-
-        r, bk = jax.lax.while_loop(cond, step, (st[0], st[1]))
-        fo = st[2]
-
-        @pl.when(r < NQB)
-        def _():
-            start_block_dma(r, bk, jax.lax.rem(fo, NBUF))
-
-        st[0] = r
-        st[1] = jnp.where(r < NQB, bk + 1, bk)
-        st[2] = jnp.where(r < NQB, fo + 1, fo)
-
-    @pl.when(i == 0)
-    def _():
-        st[0] = jnp.zeros((), jnp.int32)
-        st[1] = jnp.zeros((), jnp.int32)
-        st[2] = jnp.zeros((), jnp.int32)
-        st[3] = jnp.zeros((), jnp.int32)
-
-        def warm(_, carry):
-            issue_next()
-            return carry
-
-        jax.lax.fori_loop(0, NBUF, warm, 0)
-
-    b = block_seq_ref[i]
-    bsafe = jnp.maximum(b, 0)
-    row0 = block_row_ref[i]
-    qofs = block_qofs_ref[i]
-    kv_len = kv_lens_ref[bsafe]
-    q_len = q_lens_ref[bsafe]
-    q_start = q_start_ref[bsafe]
-    n_rows = jnp.minimum(q_len - qofs, QBLK)
-    q_abs_lo = q_start + qofs
-    nb = nblk(i)
-    active = (b >= 0) & (nb > 0)
-
-    @pl.when(active)
-    def _():
-        pltpu.make_async_copy(q_hbm.at[pl.ds(row0, QBLK)], q_buf, q_sem).start()
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
-        pltpu.make_async_copy(q_hbm.at[pl.ds(row0, QBLK)], q_buf, q_sem).wait()
-
-        QBLK_, Hq, D = q_buf.shape
-        Hkv = k_buf.shape[2] if v_dim is None else 1
-        G = Hq // Hkv
-        QG = QBLK_ * G
-        q_local_qg = jax.lax.broadcasted_iota(jnp.int32, (QG, KVBLK), 0) // G
-
-        def body(j, carry):
-            co = st[3]
-            slot = jax.lax.rem(co, NBUF)
-            wait_block_dma(slot)
-            q = q_buf[...]  # native dtype: bf16 dots, f32 accumulation
-            if v_dim is None:
-                k = k_buf[slot]
-                v = v_buf[slot]
-                if k.dtype != q.dtype:  # fp8 KV
-                    k, v = k.astype(q.dtype), v.astype(q.dtype)
-            else:  # MLA keeps f32 (see _rpa_kernel)
-                q = q.astype(jnp.float32)
-                k3 = k_buf[slot].astype(jnp.float32)
-            kv_blk_start = j * KVBLK
-            kv_pos = kv_blk_start + jax.lax.broadcasted_iota(
-                jnp.int32, (QG, KVBLK), 1)
-            q_abs = q_abs_lo + q_local_qg
-            valid = (kv_pos <= q_abs) & (kv_pos < kv_len) & (q_local_qg < n_rows)
-
-            for h in range(Hkv):
-                q_h = q[:, h * G : (h + 1) * G, :].reshape(QG, D)
-                if v_dim is None:
-                    s = jax.lax.dot_general(
-                        q_h, k[:, h, :],
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                else:
-                    HALF = D // 2
-                    s = jax.lax.dot_general(
-                        q_h[:, 0:HALF], k3[:, 0, :],
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ) + jax.lax.dot_general(
-                        q_h[:, HALF:], k3[:, 1, :],
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                s = s * scale
-                if logit_cap:
-                    s = logit_cap * jnp.tanh(s / logit_cap)
-                s = jnp.where(valid, s, NEG_INF)
-
-                m_old = m_scr[h, :][:, None]
-                l_old = l_scr[h, :][:, None]
-                m_cur = jnp.max(s, axis=1, keepdims=True)
-                m_new = jnp.maximum(m_old, m_cur)
-                p_ = jnp.exp(s - m_new)
-                corr = jnp.exp(m_old - m_new)
-                l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
-                if v_dim is None:
-                    pv = jax.lax.dot_general(
-                        p_.astype(v.dtype), v[:, h, :],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                else:
-                    HALF = D // 2
-                    parts = []
-                    for comp in range(2):
-                        lo = comp * HALF
-                        hi = min(v_dim, lo + HALF)
-                        if hi > lo:
-                            parts.append(jax.lax.dot_general(
-                                p_.astype(k3.dtype), k3[:, comp, 0 : hi - lo],
-                                dimension_numbers=(((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            ))
-                    pv = (jnp.concatenate(parts, axis=1)
-                          if len(parts) > 1 else parts[0])
-                acc_scr[h] = acc_scr[h] * corr + pv
-                m_scr[h, :] = m_new[:, 0]
-                l_scr[h, :] = l_new[:, 0]
-
-            st[3] = co + 1
-            issue_next()
-            return carry
-
-        jax.lax.fori_loop(0, nb, body, 0)
-
-        QBLK_, Hq, D = q_buf.shape
-        Hkv = 1 if v_dim is not None else k_buf.shape[2]
-        Dv = v_dim if v_dim is not None else D
-        G = Hq // Hkv
-        l = l_scr[...]
-        l_safe = jnp.where(l <= 0.0, 1.0, l)
-        normed = acc_scr[...] / l_safe[:, :, None]
-        out = (
-            normed.reshape(Hkv, QBLK_, G, Dv).transpose(1, 0, 2, 3)
-            .reshape(QBLK_, Hq, Dv)
-        )
-        o_buf[...] = out.astype(o_buf.dtype)
-        cp = pltpu.make_async_copy(o_buf, out_hbm.at[pl.ds(row0, QBLK_)], o_sem)
-        cp.start()
-        cp.wait()
 
 
 def _rpa_kernel_merged(
@@ -909,62 +591,18 @@ def ragged_paged_attention(
         and os.environ.get("RPA_DECODE_STREAM", "0") == "1"
     )
     if stream:
-        NBUF = int(os.environ.get("RPA_STREAM_NBUF", "4"))
-        kvb_shape = (
-            (NBUF, KVBLK, Hkv, D) if v_dim is None
-            else (NBUF, KVBLK, 2, D // 2))
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=10,
-            grid=(NQB,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[
-                pltpu.VMEM((QBLK, Hq, D), q.dtype),
-                pltpu.VMEM(kvb_shape, kv_cache.dtype),
-                pltpu.VMEM(
-                    kvb_shape if v_dim is None else (1, 8, 2, 128),
-                    kv_cache.dtype),
-                pltpu.VMEM((QBLK, Hq, Dv), q.dtype),
-                pltpu.VMEM((Hkv, QG), jnp.float32),
-                pltpu.VMEM((Hkv, QG), jnp.float32),
-                pltpu.VMEM((Hkv, QG, Dv), jnp.float32),
-                pltpu.SMEM((4,), jnp.int32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA((NBUF, 2)),
-                pltpu.SemaphoreType.DMA(()),
-            ],
+        # Experimental negative-result schedule, quarantined in rpa_stream
+        from semi_pd_tpu.ops.attention.rpa_stream import (
+            dispatch_stream_aligned,
         )
-        kernel_s = functools.partial(
-            _rpa_kernel_stream,
-            page_size=page_size, QBLK=QBLK, KVBLK=KVBLK, NBUF=NBUF,
+
+        return dispatch_stream_aligned(
+            q_in, kv_flat_s, T, Tpad, layer_arr_s, S, page_table, kv_lens,
+            meta, win_base, kv_dtype=kv_cache.dtype, QBLK=QBLK, KVBLK=KVBLK,
+            NQB=NQB, Hq=Hq, Hkv=Hkv, D=D, Dv=Dv, QG=QG, page_size=page_size,
             scale=scale, logit_cap=logit_cap, ncomp=ncomp, v_dim=v_dim,
-        )
-        out = pl.pallas_call(
-            kernel_s,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((Tpad, Hq, Dv), q.dtype),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
             interpret=interpret,
-        )(
-            layer_arr_s,
-            jnp.asarray([S], jnp.int32),
-            page_table,
-            kv_lens,
-            meta.q_lens,
-            meta.q_start,
-            meta.block_seq,
-            meta.block_row,
-            meta.block_qofs,
-            win_base if win_base is not None else jnp.zeros_like(kv_lens),
-            q_in,
-            kv_flat_s,
         )
-        return out[:T]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=10,
@@ -1360,186 +998,6 @@ def _rpa_kernel_chunked(
         cp.wait()
 
 
-def _rpa_kernel_chunked_stream(
-    # scalar prefetch (same 9 as _rpa_kernel_chunked)
-    layer_ref, num_slots_ref, page_table_ref, kv_lens_ref, q_lens_ref,
-    q_start_ref, block_seq_ref, block_row_ref, block_qofs_ref,
-    q_hbm, kv_hbm, out_hbm,
-    q_buf, kv_buf, o_buf, m_scr, l_scr, acc_scr, st,
-    q_sem, kv_sem, o_sem,
-    *, page_size, QBLK, KVBLK, NBUF, scale, logit_cap, D, Hq, Hkv,
-):
-    """Decode-streaming variant of _rpa_kernel_chunked.
-
-    The blocked (NQB, KB) schedule only overlaps DMA *within* one request's
-    kv blocks; in decode most requests span a single kv block, so every
-    grid cell pays a full cold DMA latency (the measured DMA-issue bound:
-    BENCH_KERNELS.json decode ~23%% of HBM roofline). Here the grid is
-    (NQB,) and kv blocks of ALL requests form one global stream,
-    double-buffered NBUF deep through an SMEM fetch state machine
-    (st = [fetch_req, fetch_blk, fetch_ordinal, consume_ordinal], persisted
-    across grid cells): while request i's blocks are computed, blocks of
-    requests i+1.. stream into the ring. Every stream block is issued
-    exactly once (warm-up fills the ring; each consume issues one more) and
-    waited exactly once, so semaphore counts always pair. Reference serving
-    path: srt/layers/attention/flashinfer_backend.py decode wrappers keep
-    all pages in flight via one batched kernel — this is the TPU
-    equivalent over Mosaic async copies."""
-    i = pl.program_id(0)
-    NQB = pl.num_programs(0)
-    ppb = KVBLK // page_size
-    layer = layer_ref[0]
-    S = num_slots_ref[0]
-    row_base = layer * S
-
-    def nblk(idx):
-        bb = block_seq_ref[jnp.minimum(idx, NQB - 1)]
-        kvl = kv_lens_ref[jnp.maximum(bb, 0)]
-        n = (kvl + KVBLK - 1) // KVBLK
-        return jnp.where(bb >= 0, n, 0)
-
-    def start_block_dma(req_idx, blk, slot):
-        bb = jnp.maximum(block_seq_ref[req_idx], 0)
-        for p in range(ppb):
-            page = page_table_ref[bb, blk * ppb + p]
-            pltpu.make_async_copy(
-                kv_hbm.at[pl.ds(row_base + page * page_size, page_size)],
-                kv_buf.at[slot, pl.ds(p * page_size, page_size)],
-                kv_sem.at[slot],
-            ).start()
-
-    def wait_block_dma(slot):
-        for p in range(ppb):
-            pltpu.make_async_copy(
-                kv_hbm.at[pl.ds(0, page_size)],
-                kv_buf.at[slot, pl.ds(p * page_size, page_size)],
-                kv_sem.at[slot],
-            ).wait()
-
-    def issue_next():
-        # Advance (fetch_req, fetch_blk) past exhausted requests, then issue
-        # one stream block if any remain.
-        def cond(c):
-            r, bk = c
-            return (r < NQB) & (bk >= nblk(r))
-
-        def step(c):
-            r, _ = c
-            return r + 1, jnp.zeros((), jnp.int32)
-
-        r, bk = jax.lax.while_loop(cond, step, (st[0], st[1]))
-        fo = st[2]
-
-        @pl.when(r < NQB)
-        def _():
-            start_block_dma(r, bk, jax.lax.rem(fo, NBUF))
-
-        st[0] = r
-        st[1] = jnp.where(r < NQB, bk + 1, bk)
-        st[2] = jnp.where(r < NQB, fo + 1, fo)
-
-    @pl.when(i == 0)
-    def _():
-        st[0] = jnp.zeros((), jnp.int32)
-        st[1] = jnp.zeros((), jnp.int32)
-        st[2] = jnp.zeros((), jnp.int32)
-        st[3] = jnp.zeros((), jnp.int32)
-
-        def warm(_, carry):
-            issue_next()
-            return carry
-
-        jax.lax.fori_loop(0, NBUF, warm, 0)
-
-    b = block_seq_ref[i]
-    bsafe = jnp.maximum(b, 0)
-    row0 = block_row_ref[i]
-    qofs = block_qofs_ref[i]
-    kv_len = kv_lens_ref[bsafe]
-    q_len = q_lens_ref[bsafe]
-    q_start = q_start_ref[bsafe]
-    n_rows = jnp.minimum(q_len - qofs, QBLK)
-    q_abs_lo = q_start + qofs
-    nb = nblk(i)
-    active = (b >= 0) & (nb > 0)
-
-    @pl.when(active)
-    def _():
-        pltpu.make_async_copy(q_hbm.at[pl.ds(row0, QBLK)], q_buf, q_sem).start()
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
-        pltpu.make_async_copy(q_hbm.at[pl.ds(row0, QBLK)], q_buf, q_sem).wait()
-
-        G = Hq // Hkv
-        VB = (Hkv * D) // 128
-        q_local = jax.lax.broadcasted_iota(jnp.int32, (QBLK, KVBLK), 0)
-        q_abs = q_abs_lo + q_local
-
-        def head(x, h, base=0):
-            c, o = base + (h * D) // 128, (h * D) % 128
-            return x[:, c, o : o + D]
-
-        def body(j, carry):
-            co = st[3]
-            slot = jax.lax.rem(co, NBUF)
-            wait_block_dma(slot)
-            q = q_buf[...]  # native dtype: bf16 dots, f32 accumulation
-            kv = kv_buf[slot]
-            if kv.dtype != q.dtype:  # fp8 KV
-                kv = kv.astype(q.dtype)
-            kv_blk_start = j * KVBLK
-            kv_pos = kv_blk_start + jax.lax.broadcasted_iota(
-                jnp.int32, (QBLK, KVBLK), 1)
-            valid = (kv_pos <= q_abs) & (kv_pos < kv_len) & (q_local < n_rows)
-
-            for h in range(Hkv):
-                k_h = head(kv, h)
-                v_h = head(kv, h, base=VB)
-                for g in range(G):
-                    hq = h * G + g
-                    q_h = head(q, hq)
-                    s = jax.lax.dot_general(
-                        q_h, k_h,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ) * scale
-                    if logit_cap:
-                        s = logit_cap * jnp.tanh(s / logit_cap)
-                    s = jnp.where(valid, s, NEG_INF)
-
-                    m_old = m_scr[hq, :][:, None]
-                    l_old = l_scr[hq, :][:, None]
-                    m_cur = jnp.max(s, axis=1, keepdims=True)
-                    m_new = jnp.maximum(m_old, m_cur)
-                    p_ = jnp.exp(s - m_new)
-                    corr = jnp.exp(m_old - m_new)
-                    l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
-                    pv = jax.lax.dot_general(
-                        p_.astype(v_h.dtype), v_h,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    acc_scr[:, hq, 0:D] = acc_scr[:, hq, 0:D] * corr + pv
-                    m_scr[hq, :] = m_new[:, 0]
-                    l_scr[hq, :] = l_new[:, 0]
-
-            st[3] = co + 1
-            issue_next()
-            return carry
-
-        jax.lax.fori_loop(0, nb, body, 0)
-
-        l = l_scr[...]
-        l_safe = jnp.where(l <= 0.0, 1.0, l)
-        for hq in range(Hq):
-            c, o = (hq * D) // 128, (hq * D) % 128
-            o_buf[:, c, o : o + D] = (
-                acc_scr[:, hq, 0:D] / l_safe[hq][:, None]
-            ).astype(o_buf.dtype)
-        cp = pltpu.make_async_copy(o_buf, out_hbm.at[pl.ds(row0, QBLK)], o_sem)
-        cp.start()
-        cp.wait()
 
 
 def ragged_paged_attention_chunked(
@@ -1630,56 +1088,17 @@ def ragged_paged_attention_chunked(
             kv_block=kv_block, interpret=interpret,
         )
     if stream and sliding_window is None:
-        NBUF = int(os.environ.get("RPA_STREAM_NBUF", "4"))
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=9,
-            grid=(NQB,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[
-                pltpu.VMEM((QBLK, CQ, 128), q.dtype),
-                pltpu.VMEM((NBUF, KVBLK, CT, 128), kv_cache.dtype),
-                pltpu.VMEM((QBLK, CQ, 128), q.dtype),
-                pltpu.VMEM((Hq, QBLK), jnp.float32),
-                pltpu.VMEM((Hq, QBLK), jnp.float32),
-                pltpu.VMEM((QBLK, Hq, 128), jnp.float32),
-                pltpu.SMEM((4,), jnp.int32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA((NBUF,)),
-                pltpu.SemaphoreType.DMA(()),
-            ],
+        # Experimental negative-result schedule, quarantined in rpa_stream
+        from semi_pd_tpu.ops.attention.rpa_stream import (
+            dispatch_stream_chunked,
         )
-        kernel = functools.partial(
-            _rpa_kernel_chunked_stream,
-            page_size=page_size, QBLK=QBLK, KVBLK=KVBLK, NBUF=NBUF,
-            scale=scale, logit_cap=logit_cap, D=D, Hq=Hq, Hkv=Hkv,
+
+        return dispatch_stream_chunked(
+            q_in, kv_flat, T, Tpad, layer_idx, S, page_table, kv_lens, meta,
+            kv_dtype=kv_cache.dtype, QBLK=QBLK, KVBLK=KVBLK, NQB=NQB, CQ=CQ,
+            CT=CT, Hq=Hq, Hkv=Hkv, D=D, page_size=page_size, scale=scale,
+            logit_cap=logit_cap, interpret=interpret,
         )
-        layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
-        out = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((Tpad, CQ, 128), q.dtype),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
-            ),
-            interpret=interpret,
-        )(
-            layer_arr,
-            jnp.asarray([S], jnp.int32),
-            page_table,
-            kv_lens,
-            meta.q_lens,
-            meta.q_start,
-            meta.block_seq,
-            meta.block_row,
-            meta.block_qofs,
-            q_in,
-            kv_flat,
-        )
-        return out[:T].reshape(T, Hq, D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=10,
@@ -1752,578 +1171,3 @@ def ragged_paged_attention_chunked(
         kv_flat,
     )
     return out[:T].reshape(T, Hq, D)
-
-
-def _rpa_kernel_chunked_packed(
-    # scalar prefetch
-    layer_ref, num_slots_ref, page_table_ref, kv_lens_ref,
-    # HBM refs: q [Bpad+QROWS, CQ, 128]; kv [L*S, CT, 128]; out like q
-    q_hbm, kv_hbm, out_hbm,
-    # scratch
-    q_buf, kv_buf, o_buf, m_scr, l_scr, acc_scr, qp_scr, q_sem, kv_sem,
-    o_sem,
-    *, page_size, RPB, SUB, scale, logit_cap, sliding_window, D, Hq, Hkv,
-):
-    """Multi-request packed DECODE cell (VERDICT r3 #2 escape hatch,
-    measured — see PERF.md).
-
-    Hypothesis under test: decode cells are bounded by VPU/op work on the
-    score tile, and the blocked kernel's tile is 1/QBLK valid (one request
-    per cell, QBLK=16 padded rows). Packing RPB requests per cell — each
-    contributing its own SUB=KVBLK/RPB KV section, masked block-diagonally
-    — shrinks the per-head tile from [QBLK*G, KVBLK] to [RPB*G, KVBLK]
-    with the SAME streamed bytes per cell: the elementwise VPU cost per
-    streamed KV byte drops QBLK/RPB-fold while DMA issues rise RPB-fold
-    (RPB gathers per cell instead of one).
-
-    Decode-only (T == B), chunked pool, no sliding window / spec trees.
-    """
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    ppb = SUB // page_size
-    KVBLK = RPB * SUB
-    layer = layer_ref[0]
-    S = num_slots_ref[0]
-    row_base = layer * S
-    r0 = i * RPB
-    G = Hq // Hkv
-    RG = RPB * G
-
-    lens = [kv_lens_ref[r0 + r] for r in range(RPB)]
-    max_len = lens[0]
-    for r in range(1, RPB):
-        max_len = jnp.maximum(max_len, lens[r])
-    active = (j * SUB) < max_len
-    last_j = jnp.maximum((max_len + SUB - 1) // SUB - 1, 0)
-    first_j = jnp.zeros((), jnp.int32)
-    if sliding_window is not None and sliding_window > 0:
-        # decode rows attend (len - W, len): chunks wholly before the
-        # EARLIEST window start in the group are skipped (their rows would
-        # be all-masked anyway)
-        w0 = jnp.maximum(lens[0] - sliding_window, 0)
-        for r in range(1, RPB):
-            w0 = jnp.minimum(w0, jnp.maximum(lens[r] - sliding_window, 0))
-        first_j = w0 // SUB
-        active &= j >= first_j
-
-    def kv_dma(slot, blk, wait):
-        # Every section is gathered UNCONDITIONALLY, even past a request's
-        # kv_len: its page-table tail is zeros, so the copy reads the dump
-        # page — real (masked-out) data. Skipping would leave the section
-        # uninitialized, and 0 * garbage = NaN poisons the p @ v dot.
-        for r in range(RPB):
-            _kv_block_copies(
-                page_table_ref, r0 + r, blk, ppb, page_size,
-                [(kv_hbm, row_base,
-                  kv_buf.at[slot, pl.ds(r * SUB, SUB)],
-                  kv_sem.at[slot, r])],
-                wait=wait)
-
-    slot = jax.lax.rem(j, 2)
-
-    @pl.when(active & (j == first_j))
-    def _():
-        pltpu.make_async_copy(
-            q_hbm.at[pl.ds(r0, q_buf.shape[0])], q_buf, q_sem).start()
-        kv_dma(slot, j, wait=False)
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
-        pltpu.make_async_copy(
-            q_hbm.at[pl.ds(r0, q_buf.shape[0])], q_buf, q_sem).wait()
-        # stage q rows packed per kv head (flat head-major rows: row
-        # h*RG + r*G + g <- request r0+r, head h*G+g), once per group
-        qf = q_buf[...]
-        for h in range(Hkv):
-            for r in range(RPB):
-                for g in range(G):
-                    hq = h * G + g
-                    c, o = (hq * D) // 128, (hq * D) % 128
-                    qp_scr[h * RG + r * G + g, 0:D] = qf[r, c, o : o + D]
-
-    @pl.when(active)
-    def _():
-        @pl.when(j < last_j)
-        def _():
-            kv_dma(1 - slot, j + 1, wait=False)
-
-        kv_dma(slot, j, wait=True)
-
-        VB = (Hkv * D) // 128
-        kv = kv_buf[slot]  # [KVBLK, CT, 128]
-        if kv.dtype != q_buf.dtype:  # fp8 KV
-            kv = kv.astype(q_buf.dtype)
-
-        def head(x, h, base=0):
-            c, o = base + (h * D) // 128, (h * D) % 128
-            return x[:, c, o : o + D]
-
-        # Block-diagonal validity: kv column kc belongs to section
-        # kc // SUB == its request; a row sees only its own section, up to
-        # that request's kv_len. Rows are STACKED head-major ([Hkv * RG,
-        # ...]): the qk/pv dots stay per head (different kv lanes), but the
-        # mask/softmax/normalizer ops run ONCE on the [Hkv*RG, KVBLK] tile
-        # instead of Hkv times on [RG, KVBLK] — same VPU element count,
-        # ~Hkv x fewer op issues (the residual per-cell cost after the
-        # packing win; PERF.md round 4).
-        HRG = Hkv * RG
-        kc = jax.lax.broadcasted_iota(jnp.int32, (HRG, KVBLK), 1)
-        rq = (jax.lax.broadcasted_iota(jnp.int32, (HRG, KVBLK), 0) % RG) // G
-        sect = kc // SUB
-        abs_kv = j * SUB + (kc - sect * SUB)
-        len_rows = jnp.zeros((HRG, 1), jnp.int32)
-        row_req = (jax.lax.broadcasted_iota(jnp.int32, (HRG, 1), 0) % RG) // G
-        for r in range(RPB):
-            len_rows = jnp.where(row_req == r, lens[r], len_rows)
-        valid = (sect == rq) & (abs_kv < len_rows)
-        if sliding_window is not None and sliding_window > 0:
-            # decode: q_abs = len - 1; visible iff abs_kv > q_abs - W
-            valid &= abs_kv > (len_rows - 1 - sliding_window)
-
-        s = jnp.concatenate([
-            jax.lax.dot_general(
-                qp_scr[h * RG : (h + 1) * RG, 0:D], head(kv, h),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for h in range(Hkv)
-        ], axis=0) * scale  # [HRG, KVBLK], head-major rows
-        if logit_cap:
-            s = logit_cap * jnp.tanh(s / logit_cap)
-        s = jnp.where(valid, s, NEG_INF)
-
-        m_old = m_scr[0, :][:, None]
-        l_old = l_scr[0, :][:, None]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_old, m_cur)
-        # Unlike the per-request blocked kernel, a packed cell can be
-        # entirely PAST one request's kv_len (the group runs to the
-        # longest member): such rows are all-masked, m stays NEG_INF,
-        # and exp(s - m_new) would be exp(0)=1 garbage — mask p itself.
-        p_ = jnp.where(valid, jnp.exp(s - m_new), 0.0)
-        corr = jnp.exp(m_old - m_new)
-        l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
-        pv = jnp.concatenate([
-            jax.lax.dot_general(
-                p_[h * RG : (h + 1) * RG].astype(kv.dtype),
-                head(kv, h, base=VB),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for h in range(Hkv)
-        ], axis=0)  # [HRG, D]
-        acc_scr[:, 0:D] = acc_scr[:, 0:D] * corr + pv
-        m_scr[0, :] = m_new[:, 0]
-        l_scr[0, :] = l_new[:, 0]
-
-    @pl.when((max_len > 0) & (j == last_j))
-    def _():
-        l = l_scr[0, :]  # [Hkv*RG] head-major
-        l_safe = jnp.where(l <= 0.0, 1.0, l)
-        for hq in range(Hq):
-            h, g = hq // G, hq % G
-            c, o = (hq * D) // 128, (hq * D) % 128
-            for r in range(RPB):
-                row = h * RG + r * G + g
-                o_buf[r, c, o : o + D] = (
-                    acc_scr[row, 0:D] / l_safe[row]
-                ).astype(o_buf.dtype)
-        cp = pltpu.make_async_copy(
-            o_buf, out_hbm.at[pl.ds(r0, RPB)], o_sem)
-        cp.start()
-        cp.wait()
-
-
-def ragged_paged_attention_chunked_packed(
-    q,  # [B, Hq, D] (decode: one row per request)
-    kv_cache,  # [L, S, CT, 128]
-    layer_idx,
-    page_table,
-    kv_lens,
-    *,
-    page_size,
-    num_kv_heads,
-    head_dim,
-    scale,
-    logit_cap=None,
-    sliding_window=None,
-    rpb: int = 2,
-    kv_block: int = 1024,
-    interpret: bool = False,
-):
-    """Driver for the multi-request packed decode kernel (experiment; see
-    _rpa_kernel_chunked_packed)."""
-    B, Hq, D = q.shape
-    assert 128 % D == 0 and (Hq * D) % 128 == 0
-    L, S, CT, _ = kv_cache.shape
-    Hkv = num_kv_heads
-    Bt, maxP = page_table.shape
-    assert Bt == B
-    max_kv = maxP * page_size
-    SUB = kv_block // rpb
-    # no point streaming sections longer than the pool's per-request extent
-    SUB = max(page_size, min(SUB, -(-max_kv // page_size) * page_size))
-    if SUB % page_size:
-        raise ValueError("kv_block/rpb must be a multiple of page_size")
-    if max_kv % SUB:
-        padP = (SUB - max_kv % SUB) // page_size
-        page_table = jnp.pad(page_table, ((0, 0), (0, padP)))
-        maxP += padP
-        max_kv += padP * page_size
-    if B % rpb:
-        padB = rpb - B % rpb
-        page_table = jnp.pad(page_table, ((0, padB), (0, 0)))
-        kv_lens = jnp.pad(kv_lens, (0, padB))
-    Bpad = page_table.shape[0]
-    KJ = max_kv // SUB
-    KVBLK = rpb * SUB
-    CQ = Hq * D // 128
-    QROWS = max(rpb, 8)
-    q_in = jnp.pad(q.reshape(B, CQ, 128), ((0, Bpad - B + QROWS), (0, 0), (0, 0)))
-    kv_flat = kv_cache.reshape(L * S, CT, 128)
-    RG = rpb * (Hq // Hkv)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(Bpad // rpb, KJ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((QROWS, CQ, 128), q.dtype),
-            pltpu.VMEM((2, KVBLK, CT, 128), kv_cache.dtype),
-            pltpu.VMEM((rpb, CQ, 128), q.dtype),
-            pltpu.VMEM((1, Hkv * RG), jnp.float32),
-            pltpu.VMEM((1, Hkv * RG), jnp.float32),
-            pltpu.VMEM((Hkv * RG, 128), jnp.float32),
-            pltpu.VMEM((Hkv * RG, 128), q.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2, rpb)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-    kernel = functools.partial(
-        _rpa_kernel_chunked_packed,
-        page_size=page_size, RPB=rpb, SUB=SUB, scale=scale,
-        logit_cap=logit_cap, sliding_window=sliding_window,
-        D=D, Hq=Hq, Hkv=Hkv,
-    )
-    layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Bpad + QROWS, CQ, 128), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(
-        layer_arr,
-        jnp.asarray([S], jnp.int32),
-        page_table,
-        kv_lens,
-        q_in,
-        kv_flat,
-    )
-    return out[:B].reshape(B, Hq, D)
-
-
-def _rpa_kernel_packed(
-    # scalar prefetch
-    layer_ref, num_slots_ref, page_table_ref, kv_lens_ref,
-    # HBM refs: q [Bpad+QROWS, Hq, D]; kv [L*ncomp*S, Hkv, D] (aligned) or
-    # [L*S, 2, D/2] (MLA latent halves); out [Bpad+QROWS, Hq, Dv]
-    q_hbm, kv_hbm, out_hbm,
-    # scratch
-    q_buf, k_buf, v_buf, o_buf, m_scr, l_scr, acc_scr, q_sem, kv_sems,
-    o_sem,
-    *, page_size, RPB, SUB, scale, logit_cap, sliding_window, ncomp, v_dim,
-    D, Hq, Hkv,
-):
-    """Multi-request packed decode for the ALIGNED (D multiple of 128) and
-    MLA layouts — same schedule as _rpa_kernel_chunked_packed: RPB requests
-    per cell, block-diagonal SUB-slot KV sections, [RPB*G, KVBLK] score
-    tiles instead of [QBLK*G, KVBLK]. MLA benefits most: G = Hq there, so
-    the blocked tile is 16x taller than the valid rows."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    ppb = SUB // page_size
-    KVBLK = RPB * SUB
-    layer = layer_ref[0]
-    S = num_slots_ref[0]
-    k_base = (layer * ncomp + 0) * S
-    v_base = (layer * ncomp + 1) * S if ncomp == 2 else k_base
-    r0 = i * RPB
-    G = Hq // Hkv
-    RG = RPB * G
-
-    lens = [kv_lens_ref[r0 + r] for r in range(RPB)]
-    max_len = lens[0]
-    for r in range(1, RPB):
-        max_len = jnp.maximum(max_len, lens[r])
-    active = (j * SUB) < max_len
-    last_j = jnp.maximum((max_len + SUB - 1) // SUB - 1, 0)
-    first_j = jnp.zeros((), jnp.int32)
-    if sliding_window is not None and sliding_window > 0:
-        w0 = jnp.maximum(lens[0] - sliding_window, 0)
-        for r in range(1, RPB):
-            w0 = jnp.minimum(w0, jnp.maximum(lens[r] - sliding_window, 0))
-        first_j = w0 // SUB
-        active &= j >= first_j
-
-    def kv_dma(slot, blk, wait):
-        # unconditional per-request gathers (see chunked packed kernel)
-        for r in range(RPB):
-            specs = [(kv_hbm, k_base,
-                      k_buf.at[slot, pl.ds(r * SUB, SUB)],
-                      kv_sems.at[slot, r, 0])]
-            if v_dim is None:
-                specs.append((kv_hbm, v_base,
-                              v_buf.at[slot, pl.ds(r * SUB, SUB)],
-                              kv_sems.at[slot, r, 1]))
-            _kv_block_copies(
-                page_table_ref, r0 + r, blk, ppb, page_size, specs,
-                wait=wait)
-
-    slot = jax.lax.rem(j, 2)
-
-    @pl.when(active & (j == first_j))
-    def _():
-        pltpu.make_async_copy(
-            q_hbm.at[pl.ds(r0, q_buf.shape[0])], q_buf, q_sem).start()
-        kv_dma(slot, j, wait=False)
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
-        pltpu.make_async_copy(
-            q_hbm.at[pl.ds(r0, q_buf.shape[0])], q_buf, q_sem).wait()
-
-    @pl.when(active)
-    def _():
-        @pl.when(j < last_j)
-        def _():
-            kv_dma(1 - slot, j + 1, wait=False)
-
-        kv_dma(slot, j, wait=True)
-
-        Dv = v_dim if v_dim is not None else D
-        q = q_buf[...]  # [QROWS, Hq, D]
-        if v_dim is None:
-            k = k_buf[slot]  # [KVBLK, Hkv, D]
-            v = v_buf[slot]
-            if k.dtype != q.dtype:
-                k, v = k.astype(q.dtype), v.astype(q.dtype)
-        else:
-            q = q.astype(jnp.float32)
-            k3 = k_buf[slot].astype(jnp.float32)  # [KVBLK, 2, D/2]
-
-        # Stacked-heads flash (see the chunked packed kernel): rows are
-        # head-major [Hkv*RG, ...]; dots per head, flash ops once.
-        HRG = Hkv * RG
-        kc = jax.lax.broadcasted_iota(jnp.int32, (HRG, KVBLK), 1)
-        rq = (jax.lax.broadcasted_iota(jnp.int32, (HRG, KVBLK), 0) % RG) // G
-        sect = kc // SUB
-        abs_kv = j * SUB + (kc - sect * SUB)
-        len_rows = jnp.zeros((HRG, 1), jnp.int32)
-        row_req = (jax.lax.broadcasted_iota(jnp.int32, (HRG, 1), 0) % RG) // G
-        for r in range(RPB):
-            len_rows = jnp.where(row_req == r, lens[r], len_rows)
-        valid = (sect == rq) & (abs_kv < len_rows)
-        if sliding_window is not None and sliding_window > 0:
-            valid &= abs_kv > (len_rows - 1 - sliding_window)
-
-        def qh(h):
-            # rows packed request-major within a head: row r*G+g
-            return q[0:RPB, h * G : (h + 1) * G, :].reshape(RG, D)
-
-        if v_dim is None:
-            s = jnp.concatenate([
-                jax.lax.dot_general(
-                    qh(h), k[:, h, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) for h in range(Hkv)
-            ], axis=0)
-        else:
-            HALF = D // 2
-            s = jnp.concatenate([
-                jax.lax.dot_general(
-                    qh(h)[:, 0:HALF], k3[:, 0, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) + jax.lax.dot_general(
-                    qh(h)[:, HALF:], k3[:, 1, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) for h in range(Hkv)
-            ], axis=0)
-        s = s * scale  # [HRG, KVBLK]
-        if logit_cap:
-            s = logit_cap * jnp.tanh(s / logit_cap)
-        s = jnp.where(valid, s, NEG_INF)
-
-        m_old = m_scr[0, :][:, None]
-        l_old = l_scr[0, :][:, None]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_old, m_cur)
-        p_ = jnp.where(valid, jnp.exp(s - m_new), 0.0)
-        corr = jnp.exp(m_old - m_new)
-        l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
-        if v_dim is None:
-            pv = jnp.concatenate([
-                jax.lax.dot_general(
-                    p_[h * RG : (h + 1) * RG].astype(v.dtype), v[:, h, :],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) for h in range(Hkv)
-            ], axis=0)  # [HRG, Dv]
-        else:
-            HALF = D // 2
-            hv = []
-            for h in range(Hkv):
-                parts = []
-                for c in range(2):
-                    lo = c * HALF
-                    hi = min(v_dim, lo + HALF)
-                    if hi > lo:
-                        parts.append(jax.lax.dot_general(
-                            p_[h * RG : (h + 1) * RG].astype(k3.dtype),
-                            k3[:, c, 0 : hi - lo],
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ))
-                hv.append(jnp.concatenate(parts, axis=1)
-                          if len(parts) > 1 else parts[0])
-            pv = jnp.concatenate(hv, axis=0) if len(hv) > 1 else hv[0]
-        acc_scr[...] = acc_scr[...] * corr + pv
-        m_scr[0, :] = m_new[:, 0]
-        l_scr[0, :] = l_new[:, 0]
-
-    @pl.when((max_len > 0) & (j == last_j))
-    def _():
-        Dv = v_dim if v_dim is not None else D
-        l = l_scr[0, :]  # [Hkv*RG] head-major
-        l_safe = jnp.where(l <= 0.0, 1.0, l)
-        normed = acc_scr[...] / l_safe[:, None]  # [HRG, Dv]
-        out = jnp.concatenate([
-            jnp.concatenate([
-                normed[h * RG + r * G : h * RG + (r + 1) * G][None]
-                for h in range(Hkv)
-            ], axis=1)
-            for r in range(RPB)
-        ], axis=0)  # [RPB, Hq, Dv]
-        o_buf[0:RPB] = out.astype(o_buf.dtype)
-        cp = pltpu.make_async_copy(
-            o_buf.at[pl.ds(0, RPB)], out_hbm.at[pl.ds(r0, RPB)], o_sem)
-        cp.start()
-        cp.wait()
-
-
-def ragged_paged_attention_packed(
-    q,  # [B, Hq, D] decode rows
-    kv_cache,  # [L, ncomp, S, Hkv, D] aligned pool or [L, 1, S, 1, Dlat]
-    layer_idx,
-    page_table,
-    kv_lens,
-    *,
-    page_size,
-    scale,
-    logit_cap=None,
-    sliding_window=None,
-    v_dim=None,
-    rpb: int = 2,
-    kv_block: Optional[int] = None,
-    interpret: bool = False,
-):
-    """Driver for the aligned/MLA multi-request packed decode kernel."""
-    B, Hq, D = q.shape
-    L, ncomp, S, Hkv, _ = kv_cache.shape
-    Bt, maxP = page_table.shape
-    assert Bt == B
-    max_kv = maxP * page_size
-    kv_block = kv_block or 1024
-    row_bytes = 2 * Hkv * D * jnp.dtype(kv_cache.dtype).itemsize
-    budget = (8 << 20) if v_dim is not None else (6 << 20)
-    vmem_rows = budget // (2 * max(row_bytes, 1))
-    kv_block = min(kv_block,
-                   max(page_size, vmem_rows // page_size * page_size))
-    SUB = max(page_size, kv_block // rpb)
-    SUB = max(page_size, min(SUB, -(-max_kv // page_size) * page_size))
-    if SUB % page_size:
-        raise ValueError("kv_block/rpb must be a multiple of page_size")
-    if max_kv % SUB:
-        padP = (SUB - max_kv % SUB) // page_size
-        page_table = jnp.pad(page_table, ((0, 0), (0, padP)))
-        maxP += padP
-        max_kv += padP * page_size
-    if B % rpb:
-        padB = rpb - B % rpb
-        page_table = jnp.pad(page_table, ((0, padB), (0, 0)))
-        kv_lens = jnp.pad(kv_lens, (0, padB))
-    Bpad = page_table.shape[0]
-    KJ = max_kv // SUB
-    KVBLK = rpb * SUB
-    Dv = v_dim if v_dim is not None else D
-    QROWS = max(rpb, 8)
-    q_in = jnp.pad(q, ((0, Bpad - B + QROWS), (0, 0), (0, 0)))
-    G = Hq // Hkv
-    RG = rpb * G
-
-    if v_dim is None:
-        kv_flat = kv_cache.reshape(L * ncomp * S, Hkv, kv_cache.shape[-1])
-        kvb_shape = (2, KVBLK, Hkv, D)
-        vb_shape = (2, KVBLK, Hkv, D)
-    else:
-        kv_flat = kv_cache.reshape(L * ncomp * S, 2, kv_cache.shape[-1] // 2)
-        kvb_shape = (2, KVBLK, 2, D // 2)
-        vb_shape = (1, 8, 2, 128)  # unused for MLA
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(Bpad // rpb, KJ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((QROWS, Hq, D), q.dtype),
-            pltpu.VMEM(kvb_shape, kv_cache.dtype),
-            pltpu.VMEM(vb_shape, kv_cache.dtype),
-            pltpu.VMEM((QROWS, Hq, Dv), q.dtype),
-            pltpu.VMEM((1, Hkv * RG), jnp.float32),
-            pltpu.VMEM((1, Hkv * RG), jnp.float32),
-            pltpu.VMEM((Hkv * RG, Dv), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2, rpb, 2)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-    kernel = functools.partial(
-        _rpa_kernel_packed,
-        page_size=page_size, RPB=rpb, SUB=SUB, scale=scale,
-        logit_cap=logit_cap, sliding_window=sliding_window,
-        ncomp=ncomp, v_dim=v_dim, D=D, Hq=Hq, Hkv=Hkv,
-    )
-    layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Bpad + QROWS, Hq, Dv), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(
-        layer_arr,
-        jnp.asarray([S], jnp.int32),
-        page_table,
-        kv_lens,
-        q_in,
-        kv_flat,
-    )
-    return out[:B]

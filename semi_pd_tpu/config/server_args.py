@@ -152,6 +152,12 @@ class ServerArgs:
     # 5x a 1 ms cycle yet invisible against any human SLO); 1 ms/cycle is
     # negligible against the tunneled attachment's ~200 ms cycles.
     semi_pd_stretch_grace_ms: float = 1.0
+    # Queue-pressure relief: when the oldest waiting prompt has aged past
+    # this, the interference allowance ramps (linearly over a second
+    # interval) from the stretch bound toward the MPS-proportional share —
+    # bounded interference is the goal only while prefill supply covers
+    # demand; TTFT is part of the goodput contract too.
+    semi_pd_queue_relief_ms: float = 500.0
     # Per-chunk useful compute must be at least this multiple of the fixed
     # chunk dispatch overhead before a chunk is dispatched; the per-tick
     # allowance banks in a deficit counter until a chunk of that size is

@@ -157,7 +157,10 @@ class AsyncEngine:
         image_data=None,
         lora_path: Optional[str] = None,
         session_params: Optional[dict] = None,
+        input_embeds=None,
     ) -> AsyncIterator[Dict[str, Any]]:
+        if input_embeds is not None and session_params:
+            raise ValueError("input_embeds is not supported inside sessions")
         if session_params:
             # branch-from-turn sessions (reference Session.create_req);
             # built on the tick thread: the session tree is also mutated
@@ -175,6 +178,7 @@ class AsyncEngine:
                 rid=rid, stream=stream, return_logprob=return_logprob,
                 top_logprobs_num=top_logprobs_num,
                 image_data=image_data, lora_path=lora_path,
+                input_embeds=input_embeds,
             )
         q: asyncio.Queue = asyncio.Queue()
         with self._lock:

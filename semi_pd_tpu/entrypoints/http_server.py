@@ -168,6 +168,9 @@ async def generate(request: web.Request) -> web.StreamResponse:
         image_data=body.get("image_data"),
         lora_path=body.get("lora_path"),
         session_params=body.get("session_params"),
+        # reference io_struct.py:46-47 GenerateReqInput.input_embeds —
+        # [num_tokens, hidden] floats (or a batch of them)
+        input_embeds=body.get("input_embeds"),
     )
     try:
         if body.get("stream"):

@@ -167,6 +167,7 @@ class Engine:
         top_logprobs_num: int = 0,
         lora_path: Optional[str] = None,
         image_data=None,
+        input_embeds=None,
     ) -> Req:
         if isinstance(sampling_params, dict):
             sampling_params = SamplingParams.from_dict(sampling_params)
@@ -179,6 +180,33 @@ class Engine:
             raise ValueError(
                 "engine is in embedding mode (--is-embedding); use encode()"
             )
+        if input_embeds is not None:
+            # Precomputed-embedding prompt (reference io_struct.py:46-47,281
+            # GenerateReqInput.input_embeds; used by RL / embedding-injection
+            # clients). Rides the multimodal embed-override splice: the step
+            # program skips the embedding gather for every prompt row. The
+            # placeholder ids are arbitrary, so these requests are excluded
+            # from radix prefix caching (scheduler._attach_prefix /
+            # _release_finished).
+            if image_data is not None:
+                raise ValueError("input_embeds and image_data are exclusive")
+            if input_ids is not None or prompt is not None:
+                raise ValueError(
+                    "input_embeds replaces the prompt; do not pass "
+                    "prompt/input_ids alongside it")
+            import numpy as _np
+
+            embeds = _np.asarray(input_embeds, dtype=_np.float32)
+            if embeds.ndim != 2 or embeds.shape[0] == 0:
+                raise ValueError(
+                    f"input_embeds must be [num_tokens, hidden], got "
+                    f"{embeds.shape}")
+            hidden = self.runner.model_config.hidden_size
+            if embeds.shape[1] != hidden:
+                raise ValueError(
+                    f"input_embeds hidden dim {embeds.shape[1]} != model "
+                    f"hidden size {hidden}")
+            input_ids = [0] * embeds.shape[0]
         if input_ids is None:
             assert prompt is not None and self.tokenizer is not None
             input_ids = self.tokenizer.encode(prompt)
@@ -205,6 +233,10 @@ class Engine:
             return_logprob=return_logprob or top_logprobs_num > 0,
             top_logprobs_num=min(max(int(top_logprobs_num or 0), 0), 32),
         )
+        if input_embeds is not None:
+            req.input_embeds = True
+            req.mm_embeds = embeds
+            req.mm_positions = {i: i for i in range(embeds.shape[0])}
         if image_data is not None:
             self._attach_images(req, image_data)
         if lora_path:
@@ -357,6 +389,7 @@ class Engine:
         top_logprobs_num: int = 0,
         lora_path: Optional[Union[str, List[str]]] = None,
         image_data=None,
+        input_embeds=None,
     ) -> Union[Dict, List[Dict]]:
         """Synchronous batch generation (reference engine.py:122 generate)."""
         if self.server_args.is_embedding:
@@ -376,9 +409,24 @@ class Engine:
             prompt, single = [prompt], True
         if input_ids is not None and input_ids and isinstance(input_ids[0], int):
             input_ids, single = [input_ids], True
+        if input_embeds is not None:
+            import numpy as _np
+
+            first = input_embeds[0]
+            if _np.ndim(first) == 1 or (
+                    not isinstance(first, (list, _np.ndarray))):
+                # single request [N, H] (rows are 1-D vectors)
+                input_embeds, single = [
+                    _np.asarray(input_embeds, dtype=_np.float32)], True
+            else:  # batch: list of [N_i, H] (possibly ragged N_i)
+                input_embeds = [
+                    _np.asarray(e, dtype=_np.float32) for e in input_embeds
+                ]
 
         reqs = []
-        n = len(prompt) if prompt is not None else len(input_ids)
+        n = (len(prompt) if prompt is not None
+             else len(input_ids) if input_ids is not None
+             else len(input_embeds))
         for i in range(n):
             lp = lora_path[i] if isinstance(lora_path, list) else lora_path
             img = image_data[i] if isinstance(image_data, list) and not single else image_data
@@ -391,6 +439,8 @@ class Engine:
                     top_logprobs_num=top_logprobs_num,
                     lora_path=lp,
                     image_data=img,
+                    input_embeds=(
+                        input_embeds[i] if input_embeds is not None else None),
                 )
             )
         with self._lock:

@@ -98,6 +98,10 @@ class Req:  # batch membership by object, and dicts key on rid
     # image-patch embeddings [n_mm, H] + prompt position -> row map
     mm_embeds: Any = None
     mm_positions: Any = None
+    # Prompt supplied as precomputed embeddings (reference io_struct.py:46
+    # input_embeds): placeholder input_ids, rows overridden via mm_embeds;
+    # excluded from radix prefix caching (ids are not the identity).
+    input_embeds: bool = False
 
     # Original prompt length (input_ids grows when retraction folds generated
     # tokens back into the prefill input; reference keeps origin_input_ids

@@ -137,6 +137,11 @@ class Scheduler:
         # _prefill_chunk_budget. Seeded at one chunk-overhead so the first
         # chunk after a quiet period does not wait for the bank to fill.
         self._prefill_deficit = self._prefill_overhead
+        # Injectable clock for the wall-based accrual (cadence tests drive
+        # the controller on simulated time).
+        self._now = time.monotonic
+        self._last_budget_t = self._now()
+        self._recent_prefill_time = 0.0
         # Full wall time of a decode-only flush cycle INCLUDING the readback
         # wait. With async dispatch the device executes during the readback
         # wait, so per-step wall times are meaningless (observed: decode
@@ -377,33 +382,63 @@ class Scheduler:
             )
         if not self.running:
             # No decode cadence to protect: full-size chunks.
+            self._last_budget_t = self._now()
             return self.args.chunked_prefill_size
         depth = max(self.overlap_depth, 1)
-        per_tick_pure = self._cycle_base / depth
-        stretch_allow = (
-            max(self.args.semi_pd_max_cycle_stretch - 1.0, 0.0) * per_tick_pure
-            + self.args.semi_pd_stretch_grace_ms / 1e3 / depth
-        )
-        # Cycle framing: clients receive `depth` tokens per flush cycle, so
-        # the SLO constrains the WHOLE cycle: depth*slo >= cycle_base +
-        # depth*chunk_time. Per-tick slack:
+        per_tick_pure = max(self._cycle_base / depth, 1e-6)
+        now = self._now()
+        dt = min(max(now - self._last_budget_t, 0.0), 1.0)
+        self._last_budget_t = now
+        # Accrual is WALL-CLOCK based: the allowance is a FRACTION of
+        # elapsed pure-decode time (round-5 hardware capture: accruing from
+        # the slew-limited cycle-base EWMA under-credited a stalling device
+        # ~10x — the EWMA lagged the true 3.5s cycles for the whole pass and
+        # prefill starved into a 43s TTFT queue). Chunk execution time is
+        # excluded so the fraction stays a bound, not a self-reinforcing
+        # feedback.
+        dt_pure = max(dt - self._recent_prefill_time, 0.0)
+        self._recent_prefill_time = 0.0
+        share = self.args.semi_pd_prefill_share
+        base_frac = max(self.args.semi_pd_max_cycle_stretch - 1.0, 0.0)
+        # MPS-proportional ceiling (reference SM split: prefill always gets
+        # its share of the device, engine.py:591-642).
+        cap_frac = share / max(1.0 - share, 0.05)
+        # SLO framing as a fraction: depth*slo >= cycle_base + depth*chunk.
         slo_cycle = self.args.decode_slo_ms / 1e3 * depth
-        slo_slack = (
-            (slo_cycle - self._cycle_base) / depth
-        ) * self.args.semi_pd_prefill_share
-        if slo_slack <= 0:
-            # SLO unattainable: the scale-free stretch bound alone governs.
-            allow = stretch_allow
+        slo_slack = ((slo_cycle - self._cycle_base) / depth) * share
+        slo_frac = slo_slack / per_tick_pure
+        if slo_slack > 0:
+            frac = min(base_frac, max(slo_frac, 0.25 * base_frac))
+            relief_cap = min(cap_frac, max(slo_frac, base_frac))
         else:
-            # Both bounds live: the tighter one wins, floored at a quarter
-            # of the stretch allowance so a barely-attainable SLO does not
-            # starve prefill below its proportional share.
-            allow = min(stretch_allow, max(slo_slack, 0.25 * stretch_allow))
+            frac = base_frac
+            relief_cap = cap_frac
+        # Queue-pressure relief valve: the stretch bound minimizes
+        # interference while prefill supply covers demand; when the oldest
+        # waiting prompt ages past semi_pd_queue_relief_ms the allowance
+        # ramps toward the MPS-proportional share — TTFT is part of the
+        # goodput contract too (round-5 capture: a fixed 1.35x stretch on a
+        # degraded device capped prefill below offered load and the queue
+        # never drained).
+        if self.waiting:
+            head_age = now - min(
+                r.queue_time for r in list(self.waiting)[:8])
+            relief_s = self.args.semi_pd_queue_relief_ms / 1e3
+            ramp = min(max((head_age - relief_s) / relief_s, 0.0), 1.0)
+            frac = frac + (max(relief_cap, frac) - frac) * ramp
         # Split-flush overlap: the cycle's one blocking readback executes
         # held extend chunks on-device underneath the D2H latency — that
-        # window is free prefill time. Credit its per-tick share on top of
-        # the visible-time allowance.
-        hidden = (self._readback_cost / depth) if self.enable_overlap else 0.0
+        # window is free prefill time. Credit it as its measured fraction
+        # of the cycle, plus the absolute per-cycle grace.
+        hidden_frac = (
+            self._readback_cost / max(self._cycle_base, 1e-6)
+            if self.enable_overlap else 0.0
+        )
+        grace_frac = (
+            self.args.semi_pd_stretch_grace_ms / 1e3
+            / max(self._cycle_base, 1e-6)
+        )
+        allow = (frac + hidden_frac + grace_frac) * dt_pure
         # Bank the allowance; cap at one full-size chunk so idle stretches
         # cannot bank an unbounded stall.
         cost = max(self._prefill_cost_per_token, 1e-9)
@@ -411,9 +446,7 @@ class Scheduler:
             self._prefill_overhead
             + self.args.chunked_prefill_size * cost
         )
-        self._prefill_deficit = min(
-            self._prefill_deficit + allow + hidden, bank_cap
-        )
+        self._prefill_deficit = min(self._prefill_deficit + allow, bank_cap)
         # Overhead may consume at most 1/(1+duty) of the spend: the EWMA is
         # learned from noisy cycle residuals and an inflated value would
         # otherwise zero the chunk permanently (observed: host think-time
@@ -452,6 +485,9 @@ class Scheduler:
             return  # free chunk: no decode cadence was at stake
         spent = self._prefill_overhead + n_tokens * self._prefill_cost_per_token
         self._prefill_deficit = max(0.0, self._prefill_deficit - spent)
+        # Exclude this chunk's execution time from the next accrual window
+        # (wall-clock accrual must count only pure-decode time).
+        self._recent_prefill_time += spent
 
     # ================================================================ prefill
     def _form_extend_batch(self, token_budget: int) -> Optional[List[Tuple[Req, int]]]:
@@ -506,10 +542,12 @@ class Scheduler:
         scheduler.py:1075 get_new_batch_prefill → match_prefix)."""
         if req.req_slot is not None or req.prefilled_len > 0 or req.pages:
             return len(req.pages)
-        if req.lora_id:
+        if req.lora_id or req.input_embeds:
             # KV depends on the adapter; the tree is adapter-blind, so LoRA
             # requests bypass prefix caching (reference: radix keys would
             # need the lora id folded in — future per-adapter trees).
+            # input_embeds prompts carry placeholder ids — not an identity
+            # the token-keyed tree may match or index.
             return 0
         pages, node = self.tree_cache.match_prefix(req.input_ids)
         # Must leave >= 1 uncached token to produce logits (reference
@@ -1497,7 +1535,8 @@ class Scheduler:
         (reference radix_cache.py:168 cache_finished_req)."""
         self.n_finished += 1
         req.finish_time = time.monotonic()
-        if not isinstance(self.tree_cache, ChunkCache) and not req.lora_id:
+        if (not isinstance(self.tree_cache, ChunkCache) and not req.lora_id
+                and not req.input_embeds):
             kv_tokens = req.kv_len
             n_full = kv_tokens // self.page_size
             tokens = req.all_token_ids()[: n_full * self.page_size]

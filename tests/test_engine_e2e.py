@@ -203,3 +203,43 @@ def test_split_flush_holds_extends(hf_model):
     s.drain()  # a stale in-flight decode of finished reqs may remain
     assert not s._held and not s._ring
     s.check_memory()
+
+
+@pytest.mark.quick
+@pytest.mark.parametrize("semi_pd", [False, True])
+def test_input_embeds_matches_token_ids(hf_model, semi_pd):
+    """input_embeds end-to-end (reference io_struct.py:46-47,281
+    GenerateReqInput.input_embeds): generating from precomputed embedding
+    rows must match generating from the equivalent token ids exactly, and
+    the placeholder-id prompt must never touch the radix cache."""
+    hf, _ = hf_model
+    eng = _mk_engine(hf_model, enable_semi_pd=semi_pd)
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(1, 256, size=21).tolist()
+    sp = SamplingParams(max_new_tokens=10, temperature=0.0, ignore_eos=True)
+
+    want = eng.generate(input_ids=prompt, sampling_params=sp)["output_ids"]
+
+    embeds = hf.model.embed_tokens.weight.detach().numpy()[prompt]
+    got = eng.generate(input_embeds=embeds, sampling_params=sp)
+    assert got["output_ids"] == want
+
+    # batch form: [N1,H] and [N2,H] together
+    prompt2 = rng.integers(1, 256, size=9).tolist()
+    want2 = eng.generate(input_ids=prompt2, sampling_params=sp)["output_ids"]
+    embeds2 = hf.model.embed_tokens.weight.detach().numpy()[prompt2]
+    outs = eng.generate(input_embeds=[embeds, embeds2], sampling_params=sp)
+    assert [o["output_ids"] for o in outs] == [want, want2]
+
+    # Radix exclusion: a second embeds request reports no cached prefix even
+    # though its placeholder ids equal the first's (all zeros).
+    again = eng.generate(input_embeds=embeds, sampling_params=sp)
+    assert again["meta_info"]["cached_tokens"] == 0
+    assert again["output_ids"] == want
+
+    # Validation errors surface as ValueError (HTTP layer maps to 400)
+    with pytest.raises(ValueError):
+        eng.make_request(input_embeds=embeds[:, :-1], sampling_params=sp)
+    with pytest.raises(ValueError):
+        eng.make_request(input_ids=prompt, input_embeds=embeds,
+                         sampling_params=sp)

@@ -63,6 +63,9 @@ class CadenceSim:
         self.s._readback_cost = readback  # measured on first flush IRL
         # the scheduler believes there is one running decode stream
         self.s.running = [object()]
+        # drive the controller's wall-clock accrual on simulated time
+        self.s._now = lambda: self.t
+        self.s._last_budget_t = self.t
 
     def chunk_cost(self, n):
         return self.chunk_overhead + self.cost_per_token * n
@@ -70,10 +73,11 @@ class CadenceSim:
     def run(self, n_cycles):
         depth = self.s.overlap_depth
         for _ in range(n_cycles):
-            entries, cycle_dt = [], 0.0
+            entries = []
+            t0 = self.t
             for _ in range(depth):
                 # decode step (dispatched; lands at next flush)
-                cycle_dt += self.decode_cost
+                self.t += self.decode_cost
                 entries.append(_RingEntry(
                     kind="decode", hb=None, tokens=None, logprobs=None,
                     epochs=[]))
@@ -84,18 +88,18 @@ class CadenceSim:
                         n = min(budget, self.remaining)
                         self.remaining -= n
                         self.s._note_prefill_dispatch(n)
-                        cycle_dt += self.chunk_cost(n)
+                        self.t += self.chunk_cost(n)
                         entries.append(_RingEntry(
                             kind="extend", hb=None, tokens=None, logprobs=None,
                             epochs=[], admitted=[(None, n)]))
                         self.chunks.append((budget, n))
             # flush: readback, then all `depth` decode tokens reach the host
-            self.t += cycle_dt + self.readback
+            self.t += self.readback
             for _ in range(depth):
                 self.decode_deliveries.append(self.t)
             # accounting sees the FULL cycle wall incl. the readback wait
             # (async dispatch hides device work inside it)
-            self.s._account_costs(entries, cycle_dt + self.readback)
+            self.s._account_costs(entries, self.t - t0)
 
     def itl_p95(self, skip_cycles=3):
         d = self.s.overlap_depth
@@ -265,3 +269,47 @@ def test_infeasible_slo_degrades_to_proportional():
         n_cycles += 1
         assert n_cycles < 2000, "prefill starved under infeasible SLO"
     assert all(n >= sched.page_size for _, n in sim.chunks)
+
+
+def test_queue_relief_ramps_to_proportional_share():
+    """When the waiting queue ages past semi_pd_queue_relief_ms, the
+    allowance must ramp from the stretch bound toward the MPS-proportional
+    share (round-5 hardware capture: a fixed stretch on a degraded device
+    capped prefill below offered load — TTFT p50 hit 43s while colocated
+    cruised; the reference's SM split always grants prefill its share)."""
+    from collections import deque
+
+    sched = make_scheduler(decode_slo_ms=4.0)  # SLO unattainable
+    sim = CadenceSim(sched, prefill_tokens=1 << 20)
+    sim.run(5)  # converge
+
+    # measure stretch-bound throughput (no waiting queue)
+    c0, t0 = len(sim.chunks), sim.t
+    sim.run(20)
+    tokens_stretch = sum(n for _, n in sim.chunks[c0:])
+    rate_stretch = tokens_stretch / (sim.t - t0)
+
+    # an aged waiting prompt triggers the relief ramp
+    fake = type("R", (), {})()
+    fake.queue_time = sim.t - 100.0  # far past the relief threshold
+    fake.prompt_len = 1 << 20
+    fake.prefilled_len = 0
+    sched.waiting = deque([fake])
+    c1, t1 = len(sim.chunks), sim.t
+    sim.run(20)
+    tokens_relief = sum(n for _, n in sim.chunks[c1:])
+    rate_relief = tokens_relief / (sim.t - t1)
+
+    share = sched.args.semi_pd_prefill_share
+    assert rate_relief > 2.0 * rate_stretch, (
+        f"relief valve did not open: {rate_relief:.0f} vs stretch-bound "
+        f"{rate_stretch:.0f} tok/s"
+    )
+    # ... but still bounded by the proportional ceiling (not unbounded)
+    cap_frac = share / (1 - share)
+    cost = sched._prefill_cost_per_token
+    # upper bound: cap+hidden+grace fraction of wall converted to tokens
+    hidden = sched._readback_cost / sched._cycle_base
+    grace = sched.args.semi_pd_stretch_grace_ms / 1e3 / sched._cycle_base
+    max_rate = (cap_frac + hidden + grace) / cost
+    assert rate_relief <= max_rate * 1.3

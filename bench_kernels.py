@@ -38,9 +38,22 @@ from semi_pd_tpu.ops.attention.reference import (
 from semi_pd_tpu.runtime.forward_batch import build_attn_meta
 
 HBM_PEAK_GBPS = 819.0  # v5e
+MXU_PEAK_TFLOPS = 197.0  # v5e bf16 (197 TFLOP/s per chip)
 PAGE = int(os.environ.get("BENCH_PAGE", "16"))
 HQ, HKV, D = 32, 8, 64  # 1B-class flagship (llama-3.2-1B shapes)
 SCALE = D ** -0.5
+
+
+def attn_flops(q_lens, kv_len, Hq, D, Dv=None):
+    """Causal ragged attention FLOPs: per (q row, visible kv slot, q head),
+    one QK^T dot (2D) and one PV accumulate (2Dv). Row at in-sequence
+    position p (absolute q_pos = kv_len - n + p) sees q_pos + 1 slots."""
+    Dv = Dv if Dv is not None else D
+    visible = 0
+    for n in q_lens:
+        # sum over rows of (kv_len - n + j + 1) for j in [0, n)
+        visible += n * (kv_len - n + 1) + n * (n - 1) // 2
+    return visible * Hq * 2 * (D + Dv)
 
 
 def make_case(B, kv_len, q_lens, seed=0, chunked=False, shuffled=False,
@@ -236,6 +249,10 @@ def run_case(name, B, kv_len, q_lens, iters=5, chunked=False, kv_block=None,
     }
     if not (sane_p and sane_x):
         row["slope_suspect"] = True
+    if int(sum(q_lens)) != B:  # extend: compute-shaped — report MXU util
+        fl = attn_flops(q_lens, kv_len, HQ, D)
+        row["mxu_pct"] = round(
+            100 * fl / t_pallas / (MXU_PEAK_TFLOPS * 1e12), 1)
     print(json.dumps(row), flush=True)
     return row
 
@@ -347,7 +364,15 @@ def run_case_mla(name, B, kv_len, iters=5, kv_block=None):
     """Absorbed-MLA decode (DeepSeek latent KV): pool [1, 1, S, 1, 768]
     (kv_lora 512 + rope 64, lane-padded), v = 512-dim latent prefix.
     Same chained-slope timing as run_case, with the latent row of each
-    request rewritten every iteration so the pool stays loop-carried."""
+    request rewritten every iteration so the pool stays loop-carried.
+
+    The scatter runs BEFORE the kernel read — the serving order
+    (layers/attention.py paged_attention_mla writes latent_new, then
+    attends). The round-4 sweep measured write-AFTER-read, which forces XLA
+    to materialize a copy of the whole loop-carried pool for the in-flight
+    kernel read (~0.13 ms = one 100 MB pool copy at roofline) — a harness
+    artifact, not a serving cost; BENCH_PACKED3_r4's 53.9% harness had no
+    such hazard."""
     Dlat, VDIM, HQ_MLA = 768, 512, 16
     rng = np.random.default_rng(11)
     pages_per_req = -(-kv_len // PAGE)
@@ -372,10 +397,15 @@ def run_case_mla(name, B, kv_len, iters=5, kv_block=None):
     q_req_idx = jnp.arange(B, dtype=jnp.int32)
     q_pos = jnp.full((B,), kv_len - 1, jnp.int32)
 
+    lat0 = jnp.asarray(
+        rng.normal(size=(B, Dlat)).astype(np.float32) * 0.3, jnp.bfloat16)
+
     def make_fn(reps, use_pallas):
-        def fn(q0, kv):
+        def fn(q0, kv, lat0):
             def body(carry, _):
-                q, kv = carry
+                q, kv, lat = carry
+                # serving order: write this step's latent, THEN attend
+                kv = kv.at[0, 0, slots, 0, :].set(lat.astype(kv.dtype))
                 if use_pallas:
                     out = ragged_paged_attention(
                         q, kv, 0, pt, kv_lens, meta, page_size=PAGE,
@@ -384,13 +414,15 @@ def run_case_mla(name, B, kv_len, iters=5, kv_block=None):
                     out = ragged_paged_attention_reference(
                         q, kv, 0, pt, q_req_idx, q_pos, kv_lens,
                         page_size=PAGE, scale=SCALE, v_dim=VDIM)
-                lat = jnp.pad(out.mean(axis=1), ((0, 0), (0, Dlat - VDIM)))
-                kv = kv.at[0, 0, slots, 0, :].set(lat.astype(kv.dtype))
+                lat = lat0 + 1e-3 * jnp.pad(
+                    out.mean(axis=1), ((0, 0), (0, Dlat - VDIM))
+                ).astype(lat0.dtype)
                 q = q0 + 1e-3 * jnp.pad(
                     out, ((0, 0), (0, 0), (0, Dlat - VDIM))).astype(q0.dtype)
-                return (q, kv), None
+                return (q, kv, lat), None
 
-            (q, kv), _ = jax.lax.scan(body, (q0, kv), None, length=reps)
+            (q, kv, lat), _ = jax.lax.scan(body, (q0, kv, lat0), None,
+                                           length=reps)
             return q
 
         return jax.jit(fn)
@@ -400,7 +432,7 @@ def run_case_mla(name, B, kv_len, iters=5, kv_block=None):
     for tag, use_pallas in (("pallas", True), ("xla", False)):
         long_fn, short_fn = make_fn(CHAIN, use_pallas), make_fn(1, use_pallas)
         res[tag], sane = chained_slope(
-            long_fn, short_fn, (q0, kv), iters, name=f"{name}:{tag}")
+            long_fn, short_fn, (q0, kv, lat0), iters, name=f"{name}:{tag}")
         suspect = suspect or not sane
 
     # Raw single-call correctness (ADVICE r4 — see run_case).

@@ -403,6 +403,15 @@ class ServerArgs:
         if not (0.0 < self.speculative_accept_threshold_acc <= 1.0):
             raise ValueError("speculative_accept_threshold_acc in (0, 1]")
 
+        if isinstance(self.page_size, str):
+            # --page-size auto: page 64 measures ~10% more decode bandwidth
+            # than 16 with the stacked-heads packed kernel (BENCH_KERNELS
+            # *_p64 rows: 52.1 vs 47.2% at b16/kv8k), but radix prefix
+            # sharing is quantized to page granularity — so auto picks 64
+            # exactly when prefix reuse is impossible (radix disabled).
+            if self.page_size != "auto":
+                raise ValueError("page_size must be an int or 'auto'")
+            self.page_size = 64 if self.disable_radix_cache else 16
         if self.page_size < 1:
             raise ValueError("page_size must be >= 1")
         if self.chunked_prefill_size % self.page_size != 0:
@@ -426,6 +435,10 @@ class ServerArgs:
                                         default=f.default)
             elif f.name in ("decode_bs_buckets", "prefill_token_buckets", "lora_paths"):
                 parser.add_argument(name, type=str, default=None)
+            elif f.name == "page_size":  # int or the literal "auto"
+                parser.add_argument(
+                    name, type=lambda s: s if s == "auto" else int(s),
+                    default=f.default)
             else:
                 base = {int: int, float: float}.get(_base_type(f.type), str)
                 parser.add_argument(name, type=base, default=_default_of(f))

@@ -59,6 +59,21 @@ def register_processor(proc: CustomLogitProcessor) -> CustomLogitProcessor:
 def resolve_processor(name: str) -> CustomLogitProcessor:
     proc = _REGISTRY.get(name)
     if proc is None:
+        if len(name) > 128 or name.strip().startswith(("gASV", "gAWV", "\x80")):
+            # Reference clients ship dill-pickled callables
+            # (srt/sampling/custom_logit_processor.py to_str/from_str —
+            # base64 pickle blobs). Deserializing arbitrary client
+            # bytecode on the server is remote code execution by design;
+            # this framework deliberately supports only named SERVER-SIDE
+            # registry entries (see README "Custom logit processors").
+            raise ValueError(
+                "custom_logit_processor looks like a serialized (pickled) "
+                "callable. Wire-pickled processors are rejected by design "
+                "(arbitrary code execution); register the processor "
+                "server-side via semi_pd_tpu.sampling.logit_processor."
+                "register_processor and pass its name instead. Registered: "
+                f"{sorted(_REGISTRY)}"
+            )
         raise ValueError(
             f"unknown custom logit processor {name!r}; registered: "
             f"{sorted(_REGISTRY)}"

@@ -187,3 +187,26 @@ def test_custom_processor_under_semi_pd_with_prefill():
     assert r_short.finished and r_long.finished
     assert all(t not in banned for t in r_short.output_ids), r_short.output_ids
     eng.scheduler.check_memory()
+
+
+@pytest.mark.quick
+def test_pickled_processor_rejected_with_guidance():
+    """Reference clients ship dill-pickled callables over the wire
+    (srt/sampling/custom_logit_processor.py to_str — base64 pickle blobs);
+    this framework rejects them BY DESIGN (RCE). The error must say so and
+    point at the named server-side registry (README compat boundary)."""
+    import base64
+    import pickle
+
+    from semi_pd_tpu.sampling.logit_processor import resolve_processor
+
+    blob = base64.b64encode(pickle.dumps({"fake": "callable"})).decode()
+    with pytest.raises(ValueError) as ei:
+        resolve_processor(blob)
+    msg = str(ei.value)
+    assert "pickled" in msg and "register_processor" in msg
+
+    # a short unknown name still gets the plain unknown-name error
+    with pytest.raises(ValueError) as ei2:
+        resolve_processor("nope")
+    assert "unknown custom logit processor" in str(ei2.value)

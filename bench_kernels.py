@@ -254,7 +254,32 @@ def run_case(name, B, kv_len, q_lens, iters=5, chunked=False, kv_block=None,
         row["mxu_pct"] = round(
             100 * fl / t_pallas / (MXU_PEAK_TFLOPS * 1e12), 1)
     print(json.dumps(row), flush=True)
+    _checkpoint_rows(row)
     return row
+
+
+# Incremental checkpoint: the attachment can wedge mid-sweep for minutes
+# (observed round-5: a 15-min stall on the ragged-extend case lost every
+# completed row because the file was only written at exit).
+_ROWS_CKPT = []
+
+
+def _checkpoint_rows(row):
+    if row.get("roofline_pct", 0) > 100:
+        # A reading past the physical HBM peak is measurement noise (a
+        # chained slope of two dispatch-jitter-dominated timings on a
+        # degraded attachment — observed 340%-of-roofline rows during a
+        # 515s-warmup window), never a real kernel time.
+        row["slope_suspect"] = True
+        print(f"# WARNING {row['case']}: {row['roofline_pct']}% of roofline "
+              f"is physically impossible — row marked suspect",
+              file=sys.stderr)
+    _ROWS_CKPT.append(row)
+    try:
+        with open("BENCH_KERNELS.partial.json", "w") as f:
+            json.dump(_ROWS_CKPT, f, indent=1)
+    except OSError:
+        pass
 
 
 def run_case_packed(name, B, kv_len, rpb, iters=5, kv_block=1024, page=None):
@@ -357,6 +382,7 @@ def run_case_packed(name, B, kv_len, rpb, iters=5, kv_block=1024, page=None):
     if suspect:
         row["slope_suspect"] = True
     print(json.dumps(row), flush=True)
+    _checkpoint_rows(row)
     return row
 
 
@@ -465,6 +491,7 @@ def run_case_mla(name, B, kv_len, iters=5, kv_block=None):
     if suspect:
         row["slope_suspect"] = True
     print(json.dumps(row), flush=True)
+    _checkpoint_rows(row)
     return row
 
 
@@ -550,6 +577,7 @@ def run_case_aligned(name, B, kv_len, iters=5):
     if suspect:
         row["slope_suspect"] = True
     print(json.dumps(row), flush=True)
+    _checkpoint_rows(row)
     return row
 
 

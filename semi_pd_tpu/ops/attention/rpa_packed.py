@@ -17,6 +17,7 @@ routers stay in ragged_paged_attention.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,7 @@ def _rpa_kernel_chunked_packed(
     q_buf, kv_buf, o_buf, m_scr, l_scr, acc_scr, qp_scr, q_sem, kv_sem,
     o_sem,
     *, page_size, RPB, SUB, scale, logit_cap, sliding_window, D, Hq, Hkv,
+    diag_dots=False,
 ):
     """Multi-request packed DECODE cell (VERDICT r3 #2 escape hatch,
     measured — see PERF.md).
@@ -133,36 +135,62 @@ def _rpa_kernel_chunked_packed(
             c, o = base + (h * D) // 128, (h * D) % 128
             return x[:, c, o : o + D]
 
-        # Block-diagonal validity: kv column kc belongs to section
-        # kc // SUB == its request; a row sees only its own section, up to
-        # that request's kv_len. Rows are STACKED head-major ([Hkv * RG,
-        # ...]): the qk/pv dots stay per head (different kv lanes), but the
-        # mask/softmax/normalizer ops run ONCE on the [Hkv*RG, KVBLK] tile
-        # instead of Hkv times on [RG, KVBLK] — same VPU element count,
-        # ~Hkv x fewer op issues (the residual per-cell cost after the
-        # packing win; PERF.md round 4).
         HRG = Hkv * RG
-        kc = jax.lax.broadcasted_iota(jnp.int32, (HRG, KVBLK), 1)
-        rq = (jax.lax.broadcasted_iota(jnp.int32, (HRG, KVBLK), 0) % RG) // G
-        sect = kc // SUB
-        abs_kv = j * SUB + (kc - sect * SUB)
         len_rows = jnp.zeros((HRG, 1), jnp.int32)
         row_req = (jax.lax.broadcasted_iota(jnp.int32, (HRG, 1), 0) % RG) // G
         for r in range(RPB):
             len_rows = jnp.where(row_req == r, lens[r], len_rows)
-        valid = (sect == rq) & (abs_kv < len_rows)
-        if sliding_window is not None and sliding_window > 0:
-            # decode: q_abs = len - 1; visible iff abs_kv > q_abs - W
-            valid &= abs_kv > (len_rows - 1 - sliding_window)
 
-        s = jnp.concatenate([
-            jax.lax.dot_general(
-                qp_scr[h * RG : (h + 1) * RG, 0:D], head(kv, h),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for h in range(Hkv)
-        ], axis=0) * scale  # [HRG, KVBLK], head-major rows
+        if diag_dots:
+            # BATCHED-DIAGONAL dots (round-5): the block-diagonal structure
+            # means 1 - 1/RPB of the [HRG, KVBLK] score tile is masked
+            # waste. Folding (head, request) into dot_general's batch dims
+            # computes only each row's own SUB-wide section — the VPU flash
+            # tile shrinks RPB-fold at identical streamed bytes, and the
+            # whole cell still issues ONE qk dot and ONE pv dot.
+            kc = jax.lax.broadcasted_iota(jnp.int32, (HRG, SUB), 1)
+            abs_kv = j * SUB + kc
+            valid = abs_kv < len_rows
+            if sliding_window is not None and sliding_window > 0:
+                valid &= abs_kv > (len_rows - 1 - sliding_window)
+            # Per-head batch-RPB dots (an all-heads [Hkv*RPB, SUB, D]
+            # batched dot blew the 16M scoped VMEM at rpb4/kvb1024 —
+            # compile-measured 25.3M)
+            qp = qp_scr[...]
+            s = jnp.concatenate([
+                jax.lax.dot_general(
+                    qp[h * RG : (h + 1) * RG, 0:D].reshape(RPB, G, D),
+                    head(kv, h).reshape(RPB, SUB, D),
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).reshape(RG, SUB)
+                for h in range(Hkv)
+            ], axis=0) * scale  # [HRG, SUB]
+        else:
+            # Full-width tile with block-diagonal masking: kv column kc
+            # belongs to section kc // SUB == its request; a row sees only
+            # its own section, up to that request's kv_len. Rows are
+            # STACKED head-major ([Hkv * RG, ...]): the qk/pv dots stay per
+            # head (different kv lanes), but the mask/softmax/normalizer
+            # ops run ONCE on the [Hkv*RG, KVBLK] tile instead of Hkv times
+            # on [RG, KVBLK] (PERF.md round 4).
+            kc = jax.lax.broadcasted_iota(jnp.int32, (HRG, KVBLK), 1)
+            rq = (jax.lax.broadcasted_iota(jnp.int32, (HRG, KVBLK), 0)
+                  % RG) // G
+            sect = kc // SUB
+            abs_kv = j * SUB + (kc - sect * SUB)
+            valid = (sect == rq) & (abs_kv < len_rows)
+            if sliding_window is not None and sliding_window > 0:
+                # decode: q_abs = len - 1; visible iff abs_kv > q_abs - W
+                valid &= abs_kv > (len_rows - 1 - sliding_window)
+            s = jnp.concatenate([
+                jax.lax.dot_general(
+                    qp_scr[h * RG : (h + 1) * RG, 0:D], head(kv, h),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for h in range(Hkv)
+            ], axis=0) * scale  # [HRG, KVBLK], head-major rows
         if logit_cap:
             s = logit_cap * jnp.tanh(s / logit_cap)
         s = jnp.where(valid, s, NEG_INF)
@@ -178,15 +206,27 @@ def _rpa_kernel_chunked_packed(
         p_ = jnp.where(valid, jnp.exp(s - m_new), 0.0)
         corr = jnp.exp(m_old - m_new)
         l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
-        pv = jnp.concatenate([
-            jax.lax.dot_general(
-                p_[h * RG : (h + 1) * RG].astype(kv.dtype),
-                head(kv, h, base=VB),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            for h in range(Hkv)
-        ], axis=0)  # [HRG, D]
+        if diag_dots:
+            pv = jnp.concatenate([
+                jax.lax.dot_general(
+                    p_[h * RG : (h + 1) * RG].reshape(
+                        RPB, G, SUB).astype(kv.dtype),
+                    head(kv, h, base=VB).reshape(RPB, SUB, D),
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).reshape(RG, D)
+                for h in range(Hkv)
+            ], axis=0)  # [HRG, D]
+        else:
+            pv = jnp.concatenate([
+                jax.lax.dot_general(
+                    p_[h * RG : (h + 1) * RG].astype(kv.dtype),
+                    head(kv, h, base=VB),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for h in range(Hkv)
+            ], axis=0)  # [HRG, D]
         acc_scr[:, 0:D] = acc_scr[:, 0:D] * corr + pv
         m_scr[0, :] = m_new[:, 0]
         l_scr[0, :] = l_new[:, 0]
@@ -284,6 +324,7 @@ def ragged_paged_attention_chunked_packed(
         page_size=page_size, RPB=rpb, SUB=SUB, scale=scale,
         logit_cap=logit_cap, sliding_window=sliding_window,
         D=D, Hq=Hq, Hkv=Hkv,
+        diag_dots=os.environ.get("RPA_PACKED_DIAG", "1") == "1",
     )
     layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
     out = pl.pallas_call(
@@ -315,7 +356,7 @@ def _rpa_kernel_packed(
     q_buf, k_buf, v_buf, o_buf, m_scr, l_scr, acc_scr, q_sem, kv_sems,
     o_sem,
     *, page_size, RPB, SUB, scale, logit_cap, sliding_window, ncomp, v_dim,
-    D, Hq, Hkv,
+    D, Hq, Hkv, diag_dots=False,
 ):
     """Multi-request packed decode for the ALIGNED (D multiple of 128) and
     MLA layouts — same schedule as _rpa_kernel_chunked_packed: RPB requests
@@ -352,16 +393,26 @@ def _rpa_kernel_packed(
     def kv_dma(slot, blk, wait):
         # unconditional per-request gathers (see chunked packed kernel)
         for r in range(RPB):
-            specs = [(kv_hbm, k_base,
-                      k_buf.at[slot, pl.ds(r * SUB, SUB)],
-                      kv_sems.at[slot, r, 0])]
             if v_dim is None:
-                specs.append((kv_hbm, v_base,
-                              v_buf.at[slot, pl.ds(r * SUB, SUB)],
-                              kv_sems.at[slot, r, 1]))
-            _kv_block_copies(
-                page_table_ref, r0 + r, blk, ppb, page_size, specs,
-                wait=wait)
+                specs = [(kv_hbm, k_base,
+                          k_buf.at[slot, pl.ds(r * SUB, SUB)],
+                          kv_sems.at[slot, r, 0]),
+                         (kv_hbm, v_base,
+                          v_buf.at[slot, pl.ds(r * SUB, SUB)],
+                          kv_sems.at[slot, r, 1])]
+                _kv_block_copies(
+                    page_table_ref, r0 + r, blk, ppb, page_size, specs,
+                    wait=wait)
+            else:
+                # MLA latent rows travel in 8-row blocks (the hbm ref is
+                # the [rows/8, 8, D] untiled-dim-0 view): offsets and
+                # lengths are all in 8-row units.
+                specs = [(kv_hbm, k_base // 8,
+                          k_buf.at[slot, pl.ds(r * (SUB // 8), SUB // 8)],
+                          kv_sems.at[slot, r, 0])]
+                _kv_block_copies(
+                    page_table_ref, r0 + r, blk, ppb, page_size // 8,
+                    specs, wait=wait)
 
     slot = jax.lax.rem(j, 2)
 
@@ -393,20 +444,30 @@ def _rpa_kernel_packed(
                 k, v = k.astype(q.dtype), v.astype(q.dtype)
         else:
             q = q.astype(jnp.float32)
-            k3 = k_buf[slot].astype(jnp.float32)  # [KVBLK, 2, D/2]
+            # [KVBLK/8, 8, D] 8-row blocks -> [KVBLK, D] latent rows
+            k2 = k_buf[slot].reshape(KVBLK, D).astype(jnp.float32)
+        kv_dt = k2.dtype if v_dim is not None else v.dtype
 
         # Stacked-heads flash (see the chunked packed kernel): rows are
         # head-major [Hkv*RG, ...]; dots per head, flash ops once.
         HRG = Hkv * RG
-        kc = jax.lax.broadcasted_iota(jnp.int32, (HRG, KVBLK), 1)
-        rq = (jax.lax.broadcasted_iota(jnp.int32, (HRG, KVBLK), 0) % RG) // G
-        sect = kc // SUB
-        abs_kv = j * SUB + (kc - sect * SUB)
         len_rows = jnp.zeros((HRG, 1), jnp.int32)
         row_req = (jax.lax.broadcasted_iota(jnp.int32, (HRG, 1), 0) % RG) // G
         for r in range(RPB):
             len_rows = jnp.where(row_req == r, lens[r], len_rows)
-        valid = (sect == rq) & (abs_kv < len_rows)
+        if diag_dots:
+            # batched per-section dots: score tile [HRG, SUB] (see the
+            # chunked packed kernel — RPB-fold less VPU flash area)
+            kc = jax.lax.broadcasted_iota(jnp.int32, (HRG, SUB), 1)
+            abs_kv = j * SUB + kc
+            valid = abs_kv < len_rows
+        else:
+            kc = jax.lax.broadcasted_iota(jnp.int32, (HRG, KVBLK), 1)
+            rq = (jax.lax.broadcasted_iota(
+                jnp.int32, (HRG, KVBLK), 0) % RG) // G
+            sect = kc // SUB
+            abs_kv = j * SUB + (kc - sect * SUB)
+            valid = (sect == rq) & (abs_kv < len_rows)
         if sliding_window is not None and sliding_window > 0:
             valid &= abs_kv > (len_rows - 1 - sliding_window)
 
@@ -414,28 +475,28 @@ def _rpa_kernel_packed(
             # rows packed request-major within a head: row r*G+g
             return q[0:RPB, h * G : (h + 1) * G, :].reshape(RG, D)
 
-        if v_dim is None:
+        def khead(h):
+            return k2 if v_dim is not None else k[:, h, :]
+
+        if diag_dots:
             s = jnp.concatenate([
                 jax.lax.dot_general(
-                    qh(h), k[:, h, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    qh(h).reshape(RPB, G, D),
+                    khead(h).reshape(RPB, SUB, D),
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                ) for h in range(Hkv)
+                ).reshape(RG, SUB)
+                for h in range(Hkv)
             ], axis=0)
         else:
-            HALF = D // 2
             s = jnp.concatenate([
                 jax.lax.dot_general(
-                    qh(h)[:, 0:HALF], k3[:, 0, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) + jax.lax.dot_general(
-                    qh(h)[:, HALF:], k3[:, 1, :],
+                    qh(h), khead(h),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) for h in range(Hkv)
             ], axis=0)
-        s = s * scale  # [HRG, KVBLK]
+        s = s * scale  # [HRG, KVBLK or SUB]
         if logit_cap:
             s = logit_cap * jnp.tanh(s / logit_cap)
         s = jnp.where(valid, s, NEG_INF)
@@ -447,32 +508,29 @@ def _rpa_kernel_packed(
         p_ = jnp.where(valid, jnp.exp(s - m_new), 0.0)
         corr = jnp.exp(m_old - m_new)
         l_new = l_old * corr + jnp.sum(p_, axis=1, keepdims=True)
-        if v_dim is None:
+
+        def vhead(h):
+            return (k2[:, 0:v_dim] if v_dim is not None else v[:, h, :])
+
+        if diag_dots:
             pv = jnp.concatenate([
                 jax.lax.dot_general(
-                    p_[h * RG : (h + 1) * RG].astype(v.dtype), v[:, h, :],
+                    p_[h * RG : (h + 1) * RG].reshape(
+                        RPB, G, SUB).astype(kv_dt),
+                    vhead(h).reshape(RPB, SUB, Dv),
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).reshape(RG, Dv)
+                for h in range(Hkv)
+            ], axis=0)
+        else:
+            pv = jnp.concatenate([
+                jax.lax.dot_general(
+                    p_[h * RG : (h + 1) * RG].astype(kv_dt), vhead(h),
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) for h in range(Hkv)
             ], axis=0)  # [HRG, Dv]
-        else:
-            HALF = D // 2
-            hv = []
-            for h in range(Hkv):
-                parts = []
-                for c in range(2):
-                    lo = c * HALF
-                    hi = min(v_dim, lo + HALF)
-                    if hi > lo:
-                        parts.append(jax.lax.dot_general(
-                            p_[h * RG : (h + 1) * RG].astype(k3.dtype),
-                            k3[:, c, 0 : hi - lo],
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ))
-                hv.append(jnp.concatenate(parts, axis=1)
-                          if len(parts) > 1 else parts[0])
-            pv = jnp.concatenate(hv, axis=0) if len(hv) > 1 else hv[0]
         acc_scr[...] = acc_scr[...] * corr + pv
         m_scr[0, :] = m_new[:, 0]
         l_scr[0, :] = l_new[:, 0]
@@ -552,9 +610,22 @@ def ragged_paged_attention_packed(
         kvb_shape = (2, KVBLK, Hkv, D)
         vb_shape = (2, KVBLK, Hkv, D)
     else:
-        kv_flat = kv_cache.reshape(L * ncomp * S, 2, kv_cache.shape[-1] // 2)
-        kvb_shape = (2, KVBLK, 2, D // 2)
-        vb_shape = (1, 8, 2, 128)  # unused for MLA
+        # 8-ROW-BLOCKED latent view [L*S/8, 8, Dlat] — a FREE bitcast of
+        # the [L, 1, S, 1, Dlat] pool (identical physical bytes: minor-2
+        # (8, Dlat) is exactly one (8,128)-tile row-block, and dim 0 stays
+        # UNTILED so any dynamic offset is legal — a plain rank-2
+        # [rows, Dlat] view needs Mosaic to PROVE 8-divisibility of the
+        # offset, which it cannot for page-table values). The old
+        # [rows, 2, Dlat/2] view had an incompatible (2, Dlat/2) tiling,
+        # so XLA materialized a relayout copy of the ENTIRE pool every
+        # call (~0.24 ms for a 100 MB pool — measured as the r4 "MLA
+        # scatter gap", which was never the scatter).
+        assert S % 8 == 0 and page_size % 8 == 0, (
+            "MLA packed kernel needs 8-divisible page_size/slot count")
+        kv_flat = kv_cache.reshape((L * ncomp * S) // 8, 8,
+                                   kv_cache.shape[-1])
+        kvb_shape = (2, KVBLK // 8, 8, D)
+        vb_shape = (1, 8, 128)  # unused for MLA
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -582,6 +653,7 @@ def ragged_paged_attention_packed(
         page_size=page_size, RPB=rpb, SUB=SUB, scale=scale,
         logit_cap=logit_cap, sliding_window=sliding_window,
         ncomp=ncomp, v_dim=v_dim, D=D, Hq=Hq, Hkv=Hkv,
+        diag_dots=os.environ.get("RPA_PACKED_DIAG", "1") == "1",
     )
     layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
     out = pl.pallas_call(

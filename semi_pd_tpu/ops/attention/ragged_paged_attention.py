@@ -142,19 +142,26 @@ def _rpa_kernel(
     last_kv = jnp.minimum(kv_len, q_abs_hi + 1)
     last_ki = jnp.maximum((last_kv + KVBLK - 1) // KVBLK - 1, 0)
 
-    def _dma_specs(slot):
-        specs = [(kv_hbm, k_base, k_buf.at[slot], kv_sems.at[slot, 0])]
+    def _dma(slot, block_idx, wait):
         if v_dim is None:
-            specs.append((kv_hbm, v_base, v_buf.at[slot], kv_sems.at[slot, 1]))
-        return specs
+            specs = [(kv_hbm, k_base, k_buf.at[slot], kv_sems.at[slot, 0]),
+                     (kv_hbm, v_base, v_buf.at[slot], kv_sems.at[slot, 1])]
+            _kv_block_copies(page_table_ref, bsafe, block_idx, ppb,
+                             page_size, specs, wait=wait)
+        else:
+            # MLA latent rows travel in 8-row blocks: the hbm ref is the
+            # [rows/8, 8, D] untiled-dim-0 view (see the packed kernel),
+            # so offsets/lengths are in 8-row units.
+            specs = [(kv_hbm, k_base // 8, k_buf.at[slot],
+                      kv_sems.at[slot, 0])]
+            _kv_block_copies(page_table_ref, bsafe, block_idx, ppb,
+                             page_size // 8, specs, wait=wait)
 
     def start_kv_dma(slot, block_idx):
-        _kv_block_copies(page_table_ref, bsafe, block_idx, ppb, page_size,
-                         _dma_specs(slot), wait=False)
+        _dma(slot, block_idx, wait=False)
 
     def wait_kv_dma(slot, block_idx):
-        _kv_block_copies(page_table_ref, bsafe, block_idx, ppb, page_size,
-                         _dma_specs(slot), wait=True)
+        _dma(slot, block_idx, wait=True)
 
     slot = jax.lax.rem(ki, 2)
 
@@ -202,7 +209,8 @@ def _rpa_kernel(
                 k, v = k.astype(q.dtype), v.astype(q.dtype)
         else:
             q = q.astype(jnp.float32)
-            k3 = k_buf[slot].astype(jnp.float32)  # [KVBLK, 2, D/2]
+            # [KVBLK/8, 8, D] 8-row blocks -> [KVBLK, D] latent rows
+            k2 = k_buf[slot].reshape(KVBLK, D).astype(jnp.float32)
 
         # Mask shared by all kv heads: [QG, KVBLK] (q rows replicated per G)
         kv_pos = kv_blk_start + jax.lax.broadcasted_iota(jnp.int32, (QG, KVBLK), 1)
@@ -227,16 +235,11 @@ def _rpa_kernel(
                     preferred_element_type=jnp.float32,
                 )
             else:
-                # half-accumulated contraction over the padded latent dim
-                # (kv viewed as [KVBLK, 2, D/2]: dim 1 of size 2 satisfies
-                # sublane tiling, D/2 is a lane-tile multiple)
-                HALF = D // 2
+                # single full-width contraction over the padded latent dim
+                # (the 8-row-block view needs no halves; round-5 — the old
+                # [rows, 2, D/2] view forced a relayout copy of the pool)
                 s = jax.lax.dot_general(
-                    q_h[:, 0:HALF], k3[:, 0, :],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) + jax.lax.dot_general(
-                    q_h[:, HALF:], k3[:, 1, :],
+                    q_h, k2,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -259,19 +262,13 @@ def _rpa_kernel(
                     preferred_element_type=jnp.float32,
                 )  # [QG, Dv]
             else:
-                # V = latent prefix of K across the two halves
-                HALF = D // 2
-                parts = []
-                for c in range(2):
-                    lo = c * HALF
-                    hi = min(v_dim, lo + HALF)
-                    if hi > lo:
-                        parts.append(jax.lax.dot_general(
-                            p.astype(k3.dtype), k3[:, c, 0 : hi - lo],
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ))
-                pv = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+                # V is the latent prefix of K (v_dim is a lane-tile
+                # multiple, so the static slice is Mosaic-legal)
+                pv = jax.lax.dot_general(
+                    p.astype(k2.dtype), k2[:, 0:v_dim],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             acc_scr[h] = acc_scr[h] * corr + pv
             m_scr[h, :] = m_new[:, 0]
             l_scr[h, :] = l_new[:, 0]
@@ -520,7 +517,12 @@ def ragged_paged_attention(
     # the flash loop's k/v VALUE temporaries cost another ~KVBLK row each,
     # and 8MB of scratch OOM'd the v5e compiler at D=128 Hkv=8 (17.3M scoped;
     # kvb=2048 at CT=8 likewise).
-    kv_block = kv_block or (1024 if is_decode else 256)
+    # extend kv_block 512 (was 256): the extend kernel is grid-cell-
+    # overhead-bound (~17us/cell fixed cost measured round-5: MXU util
+    # 7.4% at kvb256); halving the cell count measured 2.215 -> 1.396 ms
+    # (+58%) at the flagship extend shape. kvb1024 extend overflows
+    # scoped VMEM (f32 accumulator is QBLK x Hq x 128).
+    kv_block = kv_block or (1024 if is_decode else 512)
     row_bytes = 2 * Hkv * D * jnp.dtype(kv_cache.dtype).itemsize  # K+V row
     # MLA keeps f32 compute (see kernel) whose temporaries fit the round-2
     # budget; row_bytes already double-counts its single component (ncomp=1),
@@ -616,11 +618,11 @@ def ragged_paged_attention(
             pltpu.VMEM((QBLK, Hq, D), q.dtype),
             pltpu.VMEM(
                 (2, KVBLK, Hkv, D) if v_dim is None
-                else (2, KVBLK, 2, D // 2),
+                else (2, KVBLK // 8, 8, D),
                 kv_cache.dtype,
             ),
             pltpu.VMEM(
-                (2, KVBLK, Hkv, D) if v_dim is None else (1, 8, 2, 128),
+                (2, KVBLK, Hkv, D) if v_dim is None else (1, 8, 128),
                 kv_cache.dtype,
             ),
             pltpu.VMEM((QBLK, Hq, Dv), q.dtype),
@@ -640,6 +642,8 @@ def ragged_paged_attention(
                 f"v_dim a multiple of 128 (got D={D}, v_dim={v_dim}); "
                 "pad the pool"
             )
+        assert S % 8 == 0 and page_size % 8 == 0, (
+            "MLA kernel needs 8-divisible page_size/slot count")
 
     kernel = functools.partial(
         _rpa_kernel,
@@ -658,8 +662,11 @@ def ragged_paged_attention(
     if v_dim is None:
         kv_flat = kv_cache.reshape(L * ncomp * S, Hkv, kv_cache.shape[-1])
     else:
-        # MLA: latent pool viewed as [rows, 2, D/2] halves (Hkv == 1)
-        kv_flat = kv_cache.reshape(L * ncomp * S, 2, kv_cache.shape[-1] // 2)
+        # MLA: 8-row-blocked latent view [rows/8, 8, Dlat] — a FREE bitcast
+        # with dim 0 untiled (see rpa_packed.py; the old [rows, 2, Dlat/2]
+        # halves view forced a relayout copy of the entire pool per call)
+        kv_flat = kv_cache.reshape(
+            (L * ncomp * S) // 8, 8, kv_cache.shape[-1])
 
     out = pl.pallas_call(
         kernel,
@@ -707,7 +714,12 @@ def _ragged_paged_attention_merged(
     QBLK = q_block or (16 if is_decode else 128)
     QBLK = min(QBLK, max(16, T))
 
-    kv_block = kv_block or (1024 if is_decode else 256)
+    # extend kv_block 512 (was 256): the extend kernel is grid-cell-
+    # overhead-bound (~17us/cell fixed cost measured round-5: MXU util
+    # 7.4% at kvb256); halving the cell count measured 2.215 -> 1.396 ms
+    # (+58%) at the flagship extend shape. kvb1024 extend overflows
+    # scoped VMEM (f32 accumulator is QBLK x Hq x 128).
+    kv_block = kv_block or (1024 if is_decode else 512)
     KVBLK = min(kv_block, max(page_size, max_kv))
     if KVBLK % page_size:
         raise ValueError("kv_block must be a multiple of page_size")
@@ -1046,7 +1058,12 @@ def ragged_paged_attention_chunked(
     QBLK = q_block or (16 if is_decode else 128)
     QBLK = min(QBLK, max(16, T))
 
-    kv_block = kv_block or (1024 if is_decode else 256)
+    # extend kv_block 512 (was 256): the extend kernel is grid-cell-
+    # overhead-bound (~17us/cell fixed cost measured round-5: MXU util
+    # 7.4% at kvb256); halving the cell count measured 2.215 -> 1.396 ms
+    # (+58%) at the flagship extend shape. kvb1024 extend overflows
+    # scoped VMEM (f32 accumulator is QBLK x Hq x 128).
+    kv_block = kv_block or (1024 if is_decode else 512)
     KVBLK = min(kv_block, max(page_size, max_kv))
     if KVBLK % page_size:
         raise ValueError("kv_block must be a multiple of page_size")

@@ -478,14 +478,23 @@ def test_packed_decode_kernel_matches_reference():
     )
     CT = 2 * Hkv * D // 128
     kvc = jnp.asarray(np.swapaxes(kv5, 1, 2).reshape(L, S, CT, 128))
-    for rpb in (2, 4):
-        out = ragged_paged_attention_chunked_packed(
-            q, kvc, 1, pt, kvl, page_size=PS, num_kv_heads=Hkv, head_dim=D,
-            scale=0.25, rpb=rpb, kv_block=rpb * 16, interpret=True,
-        )
-        np.testing.assert_allclose(
-            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5,
-            err_msg=f"rpb={rpb}")
+    # both score-tile schedules: batched-diagonal (default) and full-width
+    # masked (RPA_PACKED_DIAG=0 kill switch)
+    import os as _os
+    for diag in ("1", "0"):
+        _os.environ["RPA_PACKED_DIAG"] = diag
+        try:
+            for rpb in (2, 4):
+                out = ragged_paged_attention_chunked_packed(
+                    q, kvc, 1, pt, kvl, page_size=PS, num_kv_heads=Hkv,
+                    head_dim=D, scale=0.25, rpb=rpb, kv_block=rpb * 16,
+                    interpret=True,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5,
+                    err_msg=f"rpb={rpb} diag={diag}")
+        finally:
+            _os.environ.pop("RPA_PACKED_DIAG", None)
 
 
 def test_packed_aligned_kernel_matches_reference():

@@ -267,7 +267,7 @@ def orchestrator_main():
     # attempts with escalating probe budgets beat one long wait: kill fast,
     # respawn, and only fall back to a long probe budget (the 243s legit
     # slow-warmup case) once quick retries have failed.
-    probe_budgets = [90.0, 90.0, 150.0, 240.0]
+    probe_budgets = [75.0, 75.0, 150.0, 240.0]
     profile = "full"
     for i in range(4):
         if i > 0 and remaining() < 130.0:
@@ -983,9 +983,12 @@ def worker_main():
             # Size the pass to the time actually left: a shorter complete
             # pass at the same rate yields a valid goodput ratio; mid-
             # stream truncation does not (round-4: semi-PD cut at 35/95).
-            avail = max(20.0, min(
-                pass_budget, remaining() - tail_est - 25.0))
-            n_pass = max(12, min(n_reqs, int(rate * avail * 0.9)))
+            # Floor 12s, NOT 20: a 20s floor overcommitted a 26s remainder
+            # (round-5: two probe wedges ate the budget and the deadline
+            # emitter killed the only healthy-window pass mid-flight — a
+            # tiny complete window beats none).
+            avail = min(pass_budget, max(12.0, remaining() - tail_est - 22.0))
+            n_pass = max(8, min(n_reqs, int(rate * avail * 0.9)))
             budgets = []
             if semi:  # record the controller's actual chunk budgets
                 orig_budget = eng.scheduler._prefill_chunk_budget

@@ -801,9 +801,12 @@ def _ragged_paged_attention_merged(
 
 
 def _rpa_kernel_chunked(
-    # scalar prefetch (same 10 as _rpa_kernel)
+    # scalar prefetch (the 10 of _rpa_kernel + host-precomputed per-block
+    # contiguity: block_first[b, ki] = first page if the block's pages are
+    # consecutive, else -1)
     layer_ref, num_slots_ref, page_table_ref, kv_lens_ref, q_lens_ref,
     q_start_ref, block_seq_ref, block_row_ref, block_qofs_ref, win_base_ref,
+    block_first_ref,
     # HBM refs: q [Tpad, Hq*D/128, 128]; kv [L*S, CT, 128] with K chunks in
     # [0, Hkv*D/128) and V chunks in [Hkv*D/128, CT); out like q
     q_hbm, kv_hbm, out_hbm,
@@ -866,13 +869,13 @@ def _rpa_kernel_chunked(
         _kv_block_copies(
             page_table_ref, bsafe, block_idx, ppb, page_size,
             [(kv_hbm, row_base, kv_buf.at[slot], kv_sem.at[slot])],
-            wait=False)
+            wait=False, block_first_ref=block_first_ref)
 
     def wait_kv_dma(slot, block_idx):
         _kv_block_copies(
             page_table_ref, bsafe, block_idx, ppb, page_size,
             [(kv_hbm, row_base, kv_buf.at[slot], kv_sem.at[slot])],
-            wait=True)
+            wait=True, block_first_ref=block_first_ref)
 
     slot = jax.lax.rem(ki, 2)
 
@@ -1117,8 +1120,21 @@ def ragged_paged_attention_chunked(
             logit_cap=logit_cap, interpret=interpret,
         )
 
+    # Host-side per-block contiguity (one fused XLA op): first page of
+    # block (b, ki) when its ppb pages are consecutive, else -1. Replaces
+    # ppb scalar page-table reads + compares per grid cell (~32 at
+    # kv_block 512 / page 16 — a real share of the extend kernel's fixed
+    # per-cell cost).
+    ppb_h = KVBLK // page_size
+    if ppb_h > 1:
+        pt_r = page_table[:, : KB * ppb_h].reshape(B, KB, ppb_h)
+        contig_h = jnp.all(pt_r[:, :, 1:] == pt_r[:, :, :-1] + 1, axis=2)
+        block_first = jnp.where(contig_h, pt_r[:, :, 0], -1).astype(jnp.int32)
+    else:
+        block_first = page_table[:, :KB].astype(jnp.int32)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=10,
+        num_scalar_prefetch=11,
         grid=(NQB, KB),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -1184,6 +1200,7 @@ def ragged_paged_attention_chunked(
         meta.block_row,
         meta.block_qofs,
         win_base if win_base is not None else jnp.zeros_like(kv_lens),
+        block_first,
         q_in,
         kv_flat,
     )

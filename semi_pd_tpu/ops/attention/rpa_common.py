@@ -81,7 +81,8 @@ def _spec_tree_mask(valid, spec_anc, win_base, q_abs, kv_pos):
 
 
 def _kv_block_copies(
-    page_table_ref, bsafe, block_idx, ppb, page_size, specs, wait
+    page_table_ref, bsafe, block_idx, ppb, page_size, specs, wait,
+    block_first_ref=None,
 ):
     """Issue (wait=False) or await (wait=True) the KV-block gather.
 
@@ -107,10 +108,20 @@ def _kv_block_copies(
             cp = pltpu.make_async_copy(src, dst, sem)
             (cp.wait if wait else cp.start)()
         return
-    first = page_table_ref[bsafe, block_idx * ppb]
-    contig = page_table_ref[bsafe, block_idx * ppb + 1] == first + 1
-    for p in range(2, ppb):
-        contig &= page_table_ref[bsafe, block_idx * ppb + p] == first + p
+    if block_first_ref is not None:
+        # Host-precomputed contiguity (round-5): the per-page scalar
+        # read+compare loop below costs ~ppb x 100-200ns per cell — at
+        # kv_block 512 / page 16 that is 32 scalar reads per cell, a real
+        # share of the extend kernel's ~20us fixed per-cell cost. The
+        # driver computes first-page-if-contiguous (-1 otherwise) from the
+        # same page table in one fused XLA op.
+        first = block_first_ref[bsafe, block_idx]
+        contig = first >= 0
+    else:
+        first = page_table_ref[bsafe, block_idx * ppb]
+        contig = page_table_ref[bsafe, block_idx * ppb + 1] == first + 1
+        for p in range(2, ppb):
+            contig &= page_table_ref[bsafe, block_idx * ppb + p] == first + p
 
     KVBLK = ppb * page_size
 

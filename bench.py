@@ -974,10 +974,19 @@ def worker_main():
             # round-4 capture: two mid-pass compiles truncated the semi-PD
             # pass at 35/95 admissions and scored it 0.34x on an otherwise
             # healthy attachment.
-            if semi and remaining() > 130:
+            if semi and remaining() > 60:
+                # ALWAYS warm the semi scheduler's program set before its
+                # measured window — just smaller when the budget is tight
+                # (round-5 capture: skipping below a 130s threshold left
+                # the chained-variant compiles INSIDE the measured pass:
+                # TTFT 21s, 1 request admitted, while colocated — warmed
+                # by calibration — cruised at goodput 1.155).
+                tight = remaining() < 130
                 run_serving_sim(
-                    eng, 6, max(rate, 1.0), min(prompt_len, 1024), 6,
-                    seed=1, budget_s=min(30.0, remaining() - 110.0))
+                    eng, 3 if tight else 6, max(rate, 1.0),
+                    min(prompt_len, 1024), 6, seed=1,
+                    budget_s=max(8.0, min(12.0 if tight else 30.0,
+                                          remaining() - 45.0)))
                 swap_scheduler(eng, semi)  # flush to clean state
                 _touch_progress()
             # Size the pass to the time actually left: a shorter complete
